@@ -1,0 +1,145 @@
+"""Unit tests for the pure-numpy geometry kernel (no Spark)."""
+
+import numpy as np
+import pytest
+
+from pythongis_spark.geometry import core as G
+from pythongis_spark.geometry import wkb as W
+from pythongis_spark.geometry import geodesy
+
+
+SQUARE = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+HOLE = np.array([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]], dtype=float)
+
+
+def test_wkb_point_roundtrip():
+    blob = W.wkb_point(1.5, -2.25)
+    t, coords = W.decode_wkb(blob)
+    assert t == "Point"
+    assert coords.tolist() == [[1.5, -2.25]]
+
+
+def test_wkb_points_vectorized_matches_scalar():
+    xs = np.array([0.0, 1.25, -179.99])
+    ys = np.array([0.0, -45.5, 89.0])
+    blobs = W.wkb_points_vectorized(xs, ys)
+    assert blobs[1] == W.wkb_point(1.25, -45.5)
+    assert all(len(b) == 21 for b in blobs)
+
+
+def test_wkb_polygon_roundtrip_with_hole():
+    blob = W.wkb_polygon(SQUARE, [HOLE])
+    t, rings = W.decode_wkb(blob)
+    assert t == "Polygon"
+    assert len(rings) == 2
+    np.testing.assert_allclose(rings[0], SQUARE)
+    np.testing.assert_allclose(rings[1], HOLE)
+
+
+def test_wkb_multipolygon_roundtrip():
+    blob = W.wkb_multipolygon([(SQUARE, [HOLE]), (SQUARE + 10, [])])
+    t, polys = W.decode_wkb(blob)
+    assert t == "MultiPolygon"
+    assert len(polys) == 2 and len(polys[0]) == 2 and len(polys[1]) == 1
+
+
+def test_bbox():
+    blob = W.wkb_polygon(SQUARE, [HOLE])
+    assert W.geom_bbox(blob) == (0.0, 0.0, 4.0, 4.0)
+
+
+def test_point_in_polygon_with_hole():
+    geom = ("Polygon", [SQUARE, HOLE])
+    px = np.array([2.0, 0.5, 5.0, 2.0])
+    py = np.array([2.0, 0.5, 2.0, 0.5])
+    # center is inside the hole -> out; (0.5,0.5) inside; (5,2) outside; (2,0.5) inside
+    assert G.points_in_polygon(px, py, geom).tolist() == [False, True, False, True]
+
+
+def test_point_in_multipolygon():
+    geom = W.decode_wkb(W.wkb_multipolygon([(SQUARE, []), (SQUARE + 10, [])]))
+    assert G.points_in_polygon(
+        np.array([2.0, 12.0, 7.0]), np.array([2.0, 12.0, 7.0]), geom
+    ).tolist() == [True, True, False]
+
+
+def test_area_length_centroid():
+    geom = ("Polygon", [SQUARE, HOLE])
+    assert G.polygon_area(geom) == 16.0 - 4.0
+    assert G.geom_length(geom) == 16.0 + 8.0
+    cx, cy = G.geom_centroid(("Polygon", [SQUARE]))
+    assert (cx, cy) == (2.0, 2.0)
+    line = ("LineString", np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0]]))
+    assert G.geom_length(line) == 4.0
+    assert G.geom_centroid(line) == (1.5, 0.5)
+
+
+def test_point_distance_to_polygon():
+    geom = ("Polygon", [SQUARE])
+    d = G.points_to_geom_dist(np.array([2.0, 6.0, -3.0]), np.array([2.0, 2.0, 0.0]), geom)
+    np.testing.assert_allclose(d, [0.0, 2.0, 3.0])
+
+
+def test_geoms_intersect():
+    a = W.decode_wkb(W.wkb_polygon(SQUARE))
+    b = W.decode_wkb(W.wkb_polygon(SQUARE + 2))  # overlapping
+    c = W.decode_wkb(W.wkb_polygon(SQUARE + 10))  # disjoint
+    d = W.decode_wkb(W.wkb_polygon(SQUARE * 0.25 + 1.0))  # fully inside a
+    assert G.geoms_intersect(a, b)
+    assert not G.geoms_intersect(a, c)
+    assert G.geoms_intersect(a, d)
+    line_in = ("LineString", np.array([[1.0, 1.0], [2.0, 2.0]]))
+    line_out = ("LineString", np.array([[10.0, 1.0], [12.0, 2.0]]))
+    assert G.geoms_intersect(a, line_in)
+    assert not G.geoms_intersect(a, line_out)
+
+
+def test_within():
+    a = W.decode_wkb(W.wkb_polygon(SQUARE))
+    small = W.decode_wkb(W.wkb_polygon(SQUARE * 0.25 + 1.0))
+    cross = W.decode_wkb(W.wkb_polygon(SQUARE + 2))
+    assert G.geom_within(small, a)
+    assert not G.geom_within(cross, a)
+    pt = ("Point", np.array([[2.0, 2.0]]))
+    assert G.geom_within(pt, a)
+
+
+def test_clip_ring_to_rect():
+    out = G.clip_ring_to_rect(SQUARE, 2, 2, 10, 10)
+    assert out is not None
+    t = ("Polygon", [out])
+    assert G.polygon_area(t) == 4.0  # overlap of [0,4]^2 with [2,10]^2
+    assert G.clip_ring_to_rect(SQUARE, 10, 10, 20, 20) is None
+
+
+def test_clip_line_to_rect():
+    line = np.array([[-1.0, 2.0], [5.0, 2.0]])
+    segs = G.clip_line_to_rect(line, 0, 0, 4, 4)
+    assert len(segs) == 1
+    np.testing.assert_allclose(segs[0], [[0.0, 2.0], [4.0, 2.0]])
+
+
+def test_haversine_vs_vincenty():
+    # Paris -> NYC approx 5837 km
+    d_h = geodesy.haversine_m(2.35, 48.85, -74.0, 40.71)
+    d_v = geodesy.vincenty_inverse_m(2.35, 48.85, -74.0, 40.71)
+    assert 5.80e6 < d_h < 5.90e6
+    assert 5.80e6 < d_v < 5.90e6
+    assert abs(d_h - d_v) / d_v < 0.01
+    # zero distance
+    assert geodesy.vincenty_inverse_m(10.0, 50.0, 10.0, 50.0) == 0.0
+
+
+def test_vincenty_direct_roundtrip():
+    lon2, lat2 = geodesy.vincenty_direct(
+        np.array([2.35]), np.array([48.85]), np.array([90.0]), np.array([100000.0])
+    )
+    d = geodesy.vincenty_inverse_m(2.35, 48.85, lon2[0], lat2[0])
+    assert abs(d - 100000.0) < 1.0
+
+
+def test_great_circle_path():
+    path = geodesy.great_circle_path(0.0, 0.0, 90.0, 0.0, segments=10)
+    assert path.shape == (11, 2)
+    np.testing.assert_allclose(path[0], [0, 0], atol=1e-9)
+    np.testing.assert_allclose(path[-1], [90, 0], atol=1e-9)
