@@ -1,0 +1,129 @@
+"""Spatial join correctness vs a brute-force in-memory oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pythongis_spark import fixtures as FX
+from pythongis_spark.geometry import core as G
+from pythongis_spark.geometry import wkb as W
+from pythongis_spark.operators.spatial_join import (
+    point_in_polygon_join,
+    spatial_anti_join,
+    spatial_join,
+    spatial_semi_join,
+)
+
+
+@pytest.fixture(scope="module")
+def zones(spark):
+    return spark.createDataFrame(FX.golden_zones_pdf(60)).cache()
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(FX.golden_points_pdf(800)).cache()
+
+
+def brute_force_pip(points_pdf: pd.DataFrame, zones_pdf: pd.DataFrame) -> set:
+    """O(P x Z) oracle mirroring the reference's exact matching loop
+    (pythongis/vector/manager.py:381-431)."""
+    pairs = set()
+    pts = points_pdf.dropna(subset=["lon"])
+    px = pts["lon"].to_numpy()
+    py = pts["lat"].to_numpy()
+    pid = pts["point_id"].to_numpy()
+    for _, zrow in zones_pdf.iterrows():
+        geom = W.decode_wkb(zrow["geom"])
+        inside = G.points_in_polygon(px, py, geom)
+        for p in pid[inside]:
+            pairs.add((int(p), int(zrow["zone_id"])))
+    return pairs
+
+
+def test_pip_join_matches_bruteforce(spark, zones, points):
+    expected = brute_force_pip(points.toPandas(), zones.toPandas())
+    got = point_in_polygon_join(
+        points, zones, lon="lon", lat="lat", point_id="point_id"
+    )
+    pairs = {
+        (r["point_id"], r["zone_id"])
+        for r in got.select("point_id", "zone_id").collect()
+    }
+    assert pairs == expected
+    assert len(pairs) > 100  # sanity: join actually matched things
+
+
+def test_pip_join_salted_equals_broadcast(spark, zones, points):
+    """Salted shuffle path must produce the identical pair set."""
+    base = point_in_polygon_join(points, zones, point_id="point_id")
+    salted = point_in_polygon_join(
+        points,
+        zones,
+        point_id="point_id",
+        broadcast_rows=0,  # force shuffle path
+        salt_threshold=10,  # force salting of nearly every cell
+        max_salt=4,
+    )
+    a = {(r["point_id"], r["zone_id"]) for r in base.select("point_id", "zone_id").collect()}
+    b = {(r["point_id"], r["zone_id"]) for r in salted.select("point_id", "zone_id").collect()}
+    assert a == b
+
+
+def test_pip_keepall_nullpad(spark, zones, points):
+    got = point_in_polygon_join(points, zones, point_id="point_id", keepall=True)
+    n_points = points.count()
+    matched_ids = {
+        r["point_id"]
+        for r in point_in_polygon_join(points, zones, point_id="point_id")
+        .select("point_id")
+        .distinct()
+        .collect()
+    }
+    # every point appears at least once; unmatched rows have null zone_id
+    assert got.select("point_id").distinct().count() == n_points
+    nulls = got.filter(F.col("zone_id").isNull()).select("point_id").collect()
+    assert all(r["point_id"] not in matched_ids for r in nulls)
+
+
+def test_semi_and_anti_partition_points(spark, zones, points):
+    semi = spatial_semi_join(points, zones, point_id="point_id")
+    anti = spatial_anti_join(points, zones, point_id="point_id")
+    n = points.count()
+    ns, na = semi.count(), anti.count()
+    assert ns + na == n
+    assert semi.join(anti, "point_id", "inner").count() == 0
+    # null-geometry points land in anti (no match possible)
+    null_ids = {r["point_id"] for r in points.filter(F.col("lon").isNull()).collect()}
+    anti_ids = {r["point_id"] for r in anti.select("point_id").collect()}
+    assert null_ids <= anti_ids
+
+
+def test_subkey_filters_matches(spark, zones, points):
+    pts = points.withColumn("category", F.lit("A"))
+    got = point_in_polygon_join(
+        pts, zones, point_id="point_id", subkey=("category", "category")
+    )
+    cats = {r["category"] for r in got.select("category").distinct().collect()}
+    assert cats <= {"A"}
+
+
+def test_general_spatial_join_polygons(spark, zones):
+    """Polygon-vs-polygon intersects via the general path, vs brute force."""
+    zpdf = FX.golden_zones_pdf(40)
+    a_pdf = zpdf.iloc[:20][["zone_id", "geom"]].rename(columns={"zone_id": "a_id"})
+    b_pdf = zpdf.iloc[15:40][["zone_id", "geom"]].rename(columns={"zone_id": "b_id"})
+    a = spark.createDataFrame(a_pdf)
+    b = spark.createDataFrame(b_pdf)
+    got = spatial_join(a, b, "intersects", left_id="a_id")
+    pairs = {(r["a_id"], r["b_id"]) for r in got.select("a_id", "b_id").collect()}
+    expected = set()
+    for _, ra in a_pdf.iterrows():
+        ga = W.decode_wkb(ra["geom"])
+        for _, rb in b_pdf.iterrows():
+            if G.geoms_intersect(ga, W.decode_wkb(rb["geom"])):
+                expected.add((int(ra["a_id"]), int(rb["b_id"])))
+    assert pairs == expected
+    # self-overlap rows (15..19) must match themselves
+    assert all((i, i) in pairs for i in range(15, 20))
