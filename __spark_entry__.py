@@ -95,12 +95,267 @@ def _q_pip_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zone_centers(spark: SparkSession) -> DataFrame:
+    z = FX.oracle_zones(spark)
+    return z.select(
+        "zone_id",
+        ((F.col("bbox_xmin") + F.col("bbox_xmax")) / 2).alias("cx"),
+        ((F.col("bbox_ymin") + F.col("bbox_ymax")) / 2).alias("cy"),
+    )
+
+
+def _q_knn_zone_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.knn import knn_join
+
+    pts = FX.events_points(spark, sf_dir)
+    centers = _zone_centers(spark)
+    got = knn_join(
+        pts, centers, 3, point_id="event_id", target_id="zone_id",
+        t_lon="cx", t_lat="cy",
+    )
+    return got.select("event_id", "zone_id", "knn_rank", "dist")
+
+
+def _q_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.knn import distance_join
+
+    pts = FX.events_points(spark, sf_dir)
+    centers = _zone_centers(spark)
+    got = distance_join(
+        pts, centers, 15.0, point_id="event_id", target_id="zone_id",
+        t_lon="cx", t_lat="cy",
+    )
+    return got.select("event_id", "zone_id", "dist")
+
+
+def _q_agg_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.relational import aggregate
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "acct_dec", F.col("c_acctbal").cast("decimal(38,9)")
+    )
+    out = aggregate(
+        cust,
+        ["c_nationkey"],
+        [
+            ("n_cust", "c_custkey", "count"),
+            ("sum_acctbal", "acct_dec", "sum"),
+            ("min_acctbal", "c_acctbal", "min"),
+            ("maj_segment", "c_mktsegment", "majority"),
+            ("min_segment", "c_mktsegment", "minority"),
+            ("first_name", "c_name", "first"),
+            ("last_name", "c_name", "last"),
+        ],
+        order_col="c_custkey",
+    )
+    return out.withColumn("sum_acctbal", F.col("sum_acctbal").cast("double"))
+
+
+def _q_join_orders_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.relational import attribute_join
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .withColumn("price_dec", F.col("o_totalprice").cast("decimal(38,9)"))
+    )
+    out = attribute_join(
+        cust.select("c_custkey", "c_name", "c_nationkey"),
+        orders,
+        "c_custkey",
+        fieldmapping=[("n_orders", "o_orderkey", "count"), ("sum_price", "price_dec", "sum")],
+        collapse=True,
+        keepall=True,
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+    )
+
+
+def _q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.relational import moving_window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "val_dec", F.col("value").cast("decimal(38,9)")
+    )
+    out = moving_window(
+        ev,
+        5,
+        [("mv_sum", "val_dec", "sum"), ("mv_n", "value", "count")],
+        order_col="event_id",
+        group_col="user_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("mv_sum").cast("double").alias("mv_sum"),
+        "mv_n",
+    )
+
+
+def _q_classify_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.relational import classify
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return classify(
+        cust.select("c_custkey", "c_acctbal"), "c_acctbal", "quantile", 4,
+        out="class", order_tiebreak="c_custkey",
+    )
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.relational import histogram
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return histogram(li, "l_quantity", bins=10)
+
+
+def _q_tab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.relational import tab
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return tab(orders, "o_orderpriority")
+
+
+def _q_merge_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.relational import merge_tables
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_name").alias("name"), F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_name").alias("name"), F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("kind"),
+    )
+    return merge_tables(cust, supp)
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(38,9)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+                    "decimal(38,9)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+RD_WORLD = None  # lazy import guard
+
+
+def _rd():
+    from pythongis_spark.raster.model import RasterDef
+
+    return RasterDef(360, 180, (1.0, 0.0, -180.0, 0.0, -1.0, 90.0))
+
+
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.zonal import zonal_statistics
+
+    zones = FX.oracle_zones(spark)
+    cells = FX.raster_cells(spark, 360, 180, 1).withColumn(
+        "val", F.col("val").cast("decimal(38,9)")
+    )
+    out = zonal_statistics(zones, cells, _rd(), stats=["count", "sum", "min", "max"])
+    return out.select(
+        "zone_id",
+        "band",
+        F.col("count").alias("n"),
+        F.col("sum").cast("double").alias("sum_val"),
+        F.col("min").cast("double").alias("min_val"),
+        F.col("max").cast("double").alias("max_val"),
+    )
+
+
+def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.zonal import rasterize
+
+    zones = FX.oracle_zones(spark)
+    out = rasterize(zones, _rd(), valuekey="zone_id", stat="sum")
+    return out.select("x", "y", "val")
+
+
+def _q_upscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.algebra import upscale
+
+    cells = FX.raster_cells(spark, 360, 180, 1).withColumn(
+        "val", F.col("val").cast("decimal(38,9)")
+    )
+    out = upscale(cells, 30, "sum")
+    return out.select("x", "y", F.col("val").cast("double").alias("val"))
+
+
+def _q_tiled_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.geometry.udfs import st_point
+    from pythongis_spark.operators.tiling import tiled_vector
+
+    pts = FX.events_points(spark, sf_dir).withColumn(
+        "geom", st_point(F.col("lon"), F.col("lat"))
+    )
+    out = tiled_vector(pts, (-180.0, -90.0, 180.0, 90.0), (5, 5))
+    return out.select("event_id", "tile_id", "tile_tx", "tile_ty")
+
+
+def _q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.algebra import histogram
+
+    cells = FX.raster_cells(spark, 360, 180, 1)
+    return histogram(cells, bins=10).select("band", "bin", "n")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "zonal_stats_raster": _q_zonal_stats,
+        "rasterize_zones": _q_rasterize,
+        "upscale_raster": _q_upscale,
+        "tiled_vector_assign": _q_tiled_vector,
+        "raster_histogram": _q_raster_histogram,
         "pip_join_rows": _q_pip_rows,
         "pip_zone_stats": _q_pip_zone_stats,
         "tile_assign_quadkey": _q_tile_assign,
         "pip_semi_join": _q_pip_semi,
+        "knn_zone_centers": _q_knn_zone_centers,
+        "distance_join_centers": _q_distance_join,
+        "agg_customer_nation": _q_agg_customer_nation,
+        "join_orders_collapse": _q_join_orders_collapse,
+        "moving_window_events": _q_moving_window,
+        "classify_quantile": _q_classify_quantile,
+        "histogram_quantity": _q_histogram,
+        "tab_orderpriority": _q_tab,
+        "merge_union_byname": _q_merge_byname,
+        "topk_orders_per_customer": _q_topk_orders,
+        "tpch_q1": _q_tpch_q1,
     }
 
 
@@ -133,7 +388,152 @@ def _tile_sql(lon: str, lat: str, z: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     zid = FX.zone_id_sql("p.lon", "p.lat")
+    knn_dist = "sqrt((p.lon - z.cx) * (p.lon - z.cx) + (p.lat - z.cy) * (p.lat - z.cy))"
+    raster1 = FX.raster_cells_cte_sql(360, 180, 1)
+    cell_zone = FX.zone_id_sql("(-180.0 + (r.x + 0.5))", "(90.0 - (r.y + 0.5))")
     return {
+        "zonal_stats_raster": f"""
+            WITH {raster1}
+            SELECT {cell_zone} AS zone_id, r.band,
+                   COUNT(r.val) AS n,
+                   CAST(SUM(CAST(r.val AS DECIMAL(38,9))) AS DOUBLE) AS sum_val,
+                   CAST(MIN(r.val) AS DOUBLE) AS min_val,
+                   CAST(MAX(r.val) AS DOUBLE) AS max_val
+            FROM raster r
+            GROUP BY zone_id, r.band
+        """,
+        "rasterize_zones": f"""
+            WITH {raster1}
+            SELECT r.x, r.y, CAST({cell_zone} AS DOUBLE) AS val
+            FROM raster r WHERE r.band = 0
+        """,
+        "upscale_raster": f"""
+            WITH {raster1}
+            SELECT CAST(FLOOR(r.x / 30) AS INTEGER) AS x,
+                   CAST(FLOOR(r.y / 30) AS INTEGER) AS y,
+                   CAST(SUM(CAST(r.val AS DECIMAL(38,9))) AS DOUBLE) AS val
+            FROM raster r GROUP BY 1, 2
+        """,
+        "tiled_vector_assign": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id,
+                   (CAST(FLOOR((lat + 90.0) / 36.0) AS BIGINT) * 5
+                    + CAST(FLOOR((lon + 180.0) / 72.0) AS BIGINT)) AS tile_id,
+                   CAST(FLOOR((lon + 180.0) / 72.0) AS INTEGER) AS tile_tx,
+                   CAST(FLOOR((lat + 90.0) / 36.0) AS INTEGER) AS tile_ty
+            FROM pts
+        """,
+        "raster_histogram": f"""
+            WITH {raster1},
+            mm AS (SELECT MIN(val) AS lo, MAX(val) AS hi FROM raster),
+            b AS (
+              SELECT r.band,
+                     CAST(LEAST(9, FLOOR((r.val - mm.lo) / ((mm.hi - mm.lo) / 10))) AS INTEGER) AS bin
+              FROM raster r, mm WHERE r.val IS NOT NULL
+            )
+            SELECT band, bin, COUNT(*) AS n FROM b GROUP BY band, bin
+        """,
+        "knn_zone_centers": f"""
+            WITH {_PTS_CTE}, {FX.ZONES_CTE_SQL}
+            SELECT event_id, zone_id, knn_rank, dist FROM (
+              SELECT p.event_id, z.zone_id,
+                     {knn_dist} AS dist,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY p.event_id
+                       ORDER BY {knn_dist}, z.zone_id
+                     ) AS knn_rank
+              FROM pts p CROSS JOIN zones z
+            ) WHERE knn_rank <= 3
+        """,
+        "distance_join_centers": f"""
+            WITH {_PTS_CTE}, {FX.ZONES_CTE_SQL}
+            SELECT p.event_id, z.zone_id, {knn_dist} AS dist
+            FROM pts p CROSS JOIN zones z
+            WHERE {knn_dist} <= 15.0
+        """,
+        "agg_customer_nation": """
+            SELECT c_nationkey,
+                   COUNT(c_custkey) AS n_cust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(38,9))) AS DOUBLE) AS sum_acctbal,
+                   MIN(c_acctbal) AS min_acctbal,
+                   (SELECT c_mktsegment FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+                    GROUP BY c_mktsegment ORDER BY COUNT(*) DESC, c_mktsegment ASC LIMIT 1) AS maj_segment,
+                   (SELECT c_mktsegment FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+                    GROUP BY c_mktsegment ORDER BY COUNT(*) ASC, c_mktsegment ASC LIMIT 1) AS min_segment,
+                   MIN_BY(c_name, c_custkey) AS first_name,
+                   MAX_BY(c_name, c_custkey) AS last_name
+            FROM customer c
+            GROUP BY c_nationkey
+        """,
+        "join_orders_collapse": """
+            SELECT c.c_custkey, c.c_name, c.c_nationkey,
+                   COALESCE(o.n_orders, 0) AS n_orders,
+                   CAST(o.sum_price AS DOUBLE) AS sum_price
+            FROM customer c
+            LEFT JOIN (
+              SELECT o_custkey,
+                     COUNT(o_orderkey) AS n_orders,
+                     SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS sum_price
+              FROM orders GROUP BY o_custkey
+            ) o ON o.o_custkey = c.c_custkey
+        """,
+        "moving_window_events": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(38,9))) OVER w AS DOUBLE) AS mv_sum,
+                   COUNT(value) OVER w AS mv_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "classify_quantile": """
+            SELECT c_custkey, c_acctbal,
+                   CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS class
+            FROM customer
+        """,
+        "histogram_quantity": """
+            WITH mm AS (SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi FROM lineitem),
+            b AS (
+              SELECT CAST(LEAST(9, FLOOR((l_quantity - mm.lo) / ((mm.hi - mm.lo) / 10))) AS INTEGER) AS bin,
+                     mm.lo AS lo, (mm.hi - mm.lo) / 10 AS width
+              FROM lineitem, mm WHERE l_quantity IS NOT NULL
+            )
+            SELECT bin, COUNT(*) AS n,
+                   ANY_VALUE(lo) + bin * ANY_VALUE(width) AS bin_lo,
+                   ANY_VALUE(lo) + (bin + 1) * ANY_VALUE(width) AS bin_hi
+            FROM b GROUP BY bin
+        """,
+        "tab_orderpriority": """
+            SELECT o_orderpriority, COUNT(*) AS n,
+                   COUNT(*) / (SELECT COUNT(*) FROM orders) * 100.0 AS pct
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "merge_union_byname": """
+            SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind,
+                   CAST(NULL AS INTEGER) AS nationkey
+            FROM customer
+            UNION ALL
+            SELECT s_name AS name, CAST(NULL AS DOUBLE) AS acctbal, 'supplier' AS kind,
+                   s_nationkey AS nationkey
+            FROM supplier
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders
+            ) WHERE rk <= 3
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(38,9))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,9))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,9))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
         "pip_join_rows": f"""
             WITH {_PTS_CTE}, {FX.ZONES_CTE_SQL}
             SELECT p.event_id, z.zone_id, z.name, z.category

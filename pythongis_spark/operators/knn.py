@@ -1,0 +1,266 @@
+"""Distance joins and k-nearest-neighbour joins.
+
+Reference semantics: ``pythongis/vector/manager.py:268-379`` — per left
+feature, bbox-overlap matches first, then remaining candidates sorted by
+distance; ``radius`` → within-distance join, ``n`` → k nearest. The
+reference sort is unstable on ties; we document the divergence and break
+ties deterministically by ``(dist, right_id)`` (SURVEY.md §7 build plan
+item 5).
+
+Physical plan (scales to 10^12 probe rows):
+
+1. targets are cell-indexed at a level chosen from their count, then
+   exploded to the neighbor cells within a Chebyshev ring R (build-side
+   explosion ~ (2R+1)^2, bounded);
+2. probe points keep their single pure-Catalyst cell → equi-join;
+3. ``row_number() over (partition by left id order by dist, right_id) <= k``;
+4. correctness guard: a row's k-th distance must not exceed the distance
+   to the ring boundary (otherwise a nearer target could sit outside the
+   ring). Rows failing the guard — and rows with < k matches — fall back
+   to an exact broadcast cross-join, which only ever sees a tiny remnant.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pythongis_spark.index import udfs as IU
+from pythongis_spark.index import quadkey as Q
+
+EARTH_RADIUS_M = 6371008.8
+
+
+def _dist_expr(lx, ly, rx, ry, metric: str) -> Column:
+    if metric == "planar":
+        # explicit multiply (not POWER) so the oracle SQL can reproduce the
+        # exact IEEE result with (a-b)*(a-b)
+        dx, dy = lx - rx, ly - ry
+        return F.sqrt(dx * dx + dy * dy)
+    if metric == "haversine":
+        # fully JVM-side haversine (whole-stage codegen)
+        rl1, rl2 = F.radians(ly), F.radians(ry)
+        dlat = rl2 - rl1
+        dlon = F.radians(rx) - F.radians(lx)
+        h = F.sin(dlat / 2) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlon / 2) ** 2
+        return F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+    if metric == "vincenty":
+        from pythongis_spark.geometry.udfs import st_geodetic_distance
+
+        return st_geodetic_distance(lx, ly, rx, ry)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def _boundary_guard_expr(lon, lat, z: int, ring: int, metric: str) -> Column:
+    """Lower bound of the distance from a point to the outside of its
+    (2*ring+1)^2 cell window. Conservative: sides clipped at the grid edge
+    contribute +inf (nothing exists beyond the world)."""
+    n = 1 << z
+    cw, ch = 360.0 / n, 180.0 / n
+    tx = F.floor((lon + 180.0) / F.lit(360.0) * n)
+    ty = F.floor((F.lit(90.0) - lat) / F.lit(180.0) * n)
+    x_lo = F.lit(-180.0) + (tx - ring) * cw       # window west edge
+    x_hi = F.lit(-180.0) + (tx + ring + 1) * cw   # east
+    y_hi = F.lit(90.0) - (ty - ring) * ch         # north
+    y_lo = F.lit(90.0) - (ty + ring + 1) * ch     # south
+    inf = F.lit(float("inf"))
+    d_w = F.when(tx - ring <= 0, inf).otherwise(lon - x_lo)
+    d_e = F.when(tx + ring >= n - 1, inf).otherwise(x_hi - lon)
+    d_n = F.when(ty - ring <= 0, inf).otherwise(y_hi - lat)
+    d_s = F.when(ty + ring >= n - 1, inf).otherwise(lat - y_lo)
+    if metric == "planar":
+        return F.least(d_w, d_e, d_n, d_s)
+    # meters: meridian sides scaled by cos(max |lat| in window) lower bound
+    deg_m = math.pi / 180.0 * EARTH_RADIUS_M
+    maxabslat = F.greatest(F.abs(y_lo), F.abs(y_hi))
+    coslat = F.cos(F.radians(F.least(maxabslat, F.lit(90.0))))
+    return F.least(
+        F.least(d_w, d_e) * deg_m * coslat, F.least(d_n, d_s) * F.lit(deg_m)
+    )
+
+
+def _explode_neighbor_cells(targets: DataFrame, lon: str, lat: str, z: int, ring: int) -> DataFrame:
+    """One row per (target, neighbor cell within Chebyshev ring)."""
+    n = 1 << z
+    tx = F.floor((F.col(lon) + 180.0) / F.lit(360.0) * n).cast("long")
+    ty = F.floor((F.lit(90.0) - F.col(lat)) / F.lit(180.0) * n).cast("long")
+    tx = F.greatest(F.lit(0), F.least(F.lit(n - 1), tx))
+    ty = F.greatest(F.lit(0), F.least(F.lit(n - 1), ty))
+    df = targets.withColumn("_tx", tx).withColumn("_ty", ty)
+    offs = F.sequence(F.lit(-ring), F.lit(ring))
+    df = df.withColumn("_dx", F.explode(offs)).withColumn("_dy", F.explode(offs))
+    df = df.withColumn("_nx", F.col("_tx") + F.col("_dx")).withColumn(
+        "_ny", F.col("_ty") + F.col("_dy")
+    )
+    df = df.filter(
+        (F.col("_nx") >= 0) & (F.col("_nx") < n) & (F.col("_ny") >= 0) & (F.col("_ny") < n)
+    )
+    df = df.withColumn("cell", IU.interleave_expr(F.col("_nx"), F.col("_ny")))
+    return df.drop("_tx", "_ty", "_dx", "_dy", "_nx", "_ny")
+
+
+def _pick_target_level(n_targets: int, k: int) -> int:
+    """Level where a cell holds ≈ k targets on average (so ring=1 holds ≈
+    9k — comfortably more than k)."""
+    if n_targets <= 0:
+        return 0
+    cells = max(1.0, n_targets / max(k, 1))
+    z = int(math.floor(math.log(cells, 4)))
+    return max(0, min(Q.MAX_LEVEL, z))
+
+
+def knn_join(
+    points: DataFrame,
+    targets: DataFrame,
+    k: int,
+    *,
+    point_id: str,
+    target_id: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    t_lon: str = "lon",
+    t_lat: str = "lat",
+    metric: str = "planar",
+    z: int | None = None,
+    ring: int = 1,
+    broadcast_targets_rows: int = 100_000,
+    max_fallback_rounds: int = 3,
+) -> DataFrame:
+    """k nearest targets per point → columns of ``points`` + ``target_id``
+    + ``dist`` + ``knn_rank`` (1-based).
+
+    Exact (guard + fallback), deterministic (ties by (dist, target_id)).
+    Reference analog: ``spatial_join(condition='distance', n=k)``
+    (``pythongis/vector/manager.py:293-296,345-355``); divergence: ties.
+    """
+    n_targets = targets.count()
+    tgt = targets.select(
+        F.col(target_id).alias("_tid"),
+        F.col(t_lon).alias("_tlon"),
+        F.col(t_lat).alias("_tlat"),
+    )
+    pts = points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+
+    if n_targets <= max(k * 4, 1000) or n_targets <= broadcast_targets_rows // 100:
+        # tiny target table: exact broadcast cross join
+        return _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric).withColumnRenamed(
+            "_tid", target_id
+        )
+
+    if z is None:
+        z = _pick_target_level(n_targets, k)
+
+    result = None
+    pending = pts
+    cur_ring = ring
+    for _ in range(max_fallback_rounds):
+        if z <= 0:
+            break
+        exploded = _explode_neighbor_cells(tgt, "_tlon", "_tlat", z, cur_ring)
+        if n_targets * (2 * cur_ring + 1) ** 2 <= broadcast_targets_rows:
+            exploded = F.broadcast(exploded)
+        probe = pending.withColumn(
+            "cell", IU.point_cell_expr(F.col(lon), F.col(lat), z)
+        )
+        cand = probe.join(exploded, "cell", "inner").withColumn(
+            "dist",
+            _dist_expr(F.col(lon), F.col(lat), F.col("_tlon"), F.col("_tlat"), metric),
+        )
+        w = Window.partitionBy(point_id).orderBy("dist", "_tid")
+        topk = cand.withColumn("knn_rank", F.row_number().over(w)).filter(
+            F.col("knn_rank") <= k
+        )
+        guard = _boundary_guard_expr(F.col(lon), F.col(lat), z, cur_ring, metric)
+        stats = topk.groupBy(point_id).agg(
+            F.count("*").alias("_nm"), F.max("dist").alias("_kd")
+        )
+        topk = topk.join(stats, point_id)
+        ok = topk.filter((F.col("_nm") >= k) & (F.col("_kd") <= guard)).drop(
+            "_nm", "_kd", "cell", "_tlon", "_tlat"
+        )
+        result = ok if result is None else result.unionByName(ok)
+        ok_ids = ok.select(point_id).distinct()
+        pending = pending.join(ok_ids, point_id, "left_anti")
+        if pending.limit(1).count() == 0:
+            pending = None
+            break
+        cur_ring *= 2
+    if pending is not None and pending.limit(1).count() > 0:
+        bf = _knn_bruteforce(pending, tgt, k, point_id, lon, lat, metric)
+        result = bf if result is None else result.unionByName(bf)
+    return result.withColumnRenamed("_tid", target_id)
+
+
+def _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric):
+    cand = pts.crossJoin(F.broadcast(tgt)).withColumn(
+        "dist",
+        _dist_expr(F.col(lon), F.col(lat), F.col("_tlon"), F.col("_tlat"), metric),
+    )
+    w = Window.partitionBy(point_id).orderBy("dist", "_tid")
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .drop("_tlon", "_tlat")
+    )
+
+
+def distance_join(
+    points: DataFrame,
+    targets: DataFrame,
+    radius: float,
+    *,
+    point_id: str,
+    target_id: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    t_lon: str = "lon",
+    t_lat: str = "lat",
+    metric: str = "planar",
+    z: int | None = None,
+    broadcast_targets_rows: int = 500_000,
+) -> DataFrame:
+    """All (point, target) pairs within ``radius`` — the reference's
+    within-distance join (``pythongis/vector/manager.py:282-291,333-337``,
+    geodetic-buffer approach replaced by cell-ring candidates + exact
+    distance refine). Output: point columns + ``target_id`` + ``dist``.
+    """
+    tgt = targets.select(
+        F.col(target_id).alias("_tid"),
+        F.col(t_lon).alias("_tlon"),
+        F.col(t_lat).alias("_tlat"),
+    )
+    pts = points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+
+    # choose z so one cell edge ≥ radius → ring=1 window covers radius
+    if metric == "planar":
+        rad_deg = radius
+    else:
+        rad_deg = radius / (math.pi / 180.0 * EARTH_RADIUS_M)  # ≥ true lat-deg
+    if z is None:
+        z = 0
+        while z < Q.MAX_LEVEL and 180.0 / (1 << (z + 1)) >= rad_deg:
+            z += 1
+    # at high z with huge radius fall back to brute force
+    if z == 0:
+        cand = pts.crossJoin(F.broadcast(tgt))
+    else:
+        # ring must cover radius in *lon* degrees too (shrinks with cos lat
+        # for metric joins); widen ring for the worst-case target latitude
+        ring = 1
+        if metric != "planar":
+            ring = 2  # conservative widening for lon shrink up to 60°
+        exploded = _explode_neighbor_cells(tgt, "_tlon", "_tlat", z, ring)
+        n_exp = (2 * ring + 1) ** 2
+        if targets.count() * n_exp <= broadcast_targets_rows:
+            exploded = F.broadcast(exploded)
+        probe = pts.withColumn("cell", IU.point_cell_expr(F.col(lon), F.col(lat), z))
+        cand = probe.join(exploded, "cell", "inner").drop("cell")
+    out = cand.withColumn(
+        "dist",
+        _dist_expr(F.col(lon), F.col(lat), F.col("_tlon"), F.col("_tlat"), metric),
+    ).filter(F.col("dist") <= radius)
+    return out.drop("_tlon", "_tlat").withColumnRenamed("_tid", target_id)

@@ -1,0 +1,166 @@
+"""Raster map algebra and band statistics on cell tables.
+
+Reference: band operator overloads via PIL.ImageMath
+(``pythongis/raster/data.py:244-346``), expression strings
+(``data.py:436-514``), band stats with the hand-rolled tiled two-pass
+fallback (``data.py:592-779``), mosaic (``raster/manager.py:23-63``),
+upscale (``manager.py:724-775``). Here every one is a Catalyst
+expression / aggregation: partial+final aggregation, spills and AQE give
+the tiled-fallback behavior natively.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def band(df: DataFrame, b: int) -> DataFrame:
+    return df.filter(F.col("band") == b)
+
+
+def map_algebra(expr: str, **rasters: DataFrame) -> DataFrame:
+    """Evaluate an expression over same-grid cell tables, e.g.
+    ``map_algebra("rast1 + rast2 * 2", rast1=a, rast2=b)`` — the
+    reference's ``mathexpr`` (``pythongis/raster/analyzer.py:94-143``).
+
+    Inputs join on (x, y); each raster's ``val`` becomes a column named by
+    its keyword. Nodata (NULL) propagates like the reference's unioned
+    masks (``raster/data.py:264-273``).
+    """
+    names = list(rasters)
+    out = None
+    for name in names:
+        d = rasters[name].select("x", "y", F.col("val").alias(name))
+        out = d if out is None else out.join(d, ["x", "y"])
+    return out.withColumn("val", F.expr(expr)).select("x", "y", "val")
+
+
+def compute(df: DataFrame, expr: str, condition: str | None = None) -> DataFrame:
+    """``Band.compute``: val → expr(val), optionally only where condition;
+    nodata (NULL) preserved (``raster/data.py:436-514``). ``expr`` and
+    ``condition`` are SQL over the column ``val``."""
+    new = F.expr(expr)
+    if condition is not None:
+        new = F.when(F.expr(condition), new).otherwise(F.col("val"))
+    return df.withColumn("val", F.when(F.col("val").isNull(), None).otherwise(new))
+
+
+def recode(df: DataFrame, condition: str, newval: float) -> DataFrame:
+    """``Band.recode`` (``raster/data.py:516-538``)."""
+    return df.withColumn(
+        "val",
+        F.when(F.col("val").isNull(), None)
+        .when(F.expr(condition), F.lit(newval))
+        .otherwise(F.col("val")),
+    )
+
+
+def conditional(df: DataFrame, condition: str) -> DataFrame:
+    """``Band.conditional`` → 1/0 mask band (``raster/data.py:540-590``)."""
+    return df.withColumn(
+        "val",
+        F.when(F.col("val").isNull(), None).otherwise(
+            F.expr(condition).cast("double")
+        ),
+    )
+
+
+STATS_EXPRS = {
+    "count": lambda c: F.count(c),
+    "sum": lambda c: F.sum(c),
+    "mean": lambda c: F.avg(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "median": lambda c: F.expr("percentile(val, 0.5)"),
+}
+
+
+def band_stats(df: DataFrame, stats: list[str], by: list[str] | None = None) -> DataFrame:
+    """``Band.summarystats`` (``raster/data.py:592-779``): nodata (NULL)
+    excluded automatically; majority/minority via deterministic
+    count+row_number (ties → lowest value, documented divergence from the
+    reference's dict order)."""
+    by = by or ["band"]
+    simple = [STATS_EXPRS[s](F.col("val")).alias(s) for s in stats if s in STATS_EXPRS]
+    out = df.groupBy(*by).agg(*simple)
+    for s in ("majority", "minority"):
+        if s in stats:
+            counts = (
+                df.filter(F.col("val").isNotNull())
+                .groupBy(*by, "val")
+                .agg(F.count("*").alias("_n"))
+            )
+            order = (
+                [F.col("_n").desc(), F.col("val").asc()]
+                if s == "majority"
+                else [F.col("_n").asc(), F.col("val").asc()]
+            )
+            w = Window.partitionBy(*by).orderBy(*order)
+            top = (
+                counts.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select(*by, F.col("val").alias(s))
+            )
+            out = out.join(top, by, "left")
+    return out
+
+
+def histogram(df: DataFrame, bins: int = 10, by: list[str] | None = None) -> DataFrame:
+    """``Band.histogram`` (``raster/data.py:842-869``)."""
+    by = by or ["band"]
+    mm = df.agg(F.min("val").alias("lo"), F.max("val").alias("hi")).first()
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    width = (hi - lo) / bins if hi > lo else 1.0
+    b = F.least(F.lit(bins - 1), F.floor((F.col("val") - F.lit(lo)) / F.lit(width))).cast("int")
+    return (
+        df.filter(F.col("val").isNotNull())
+        .groupBy(*by, b.alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def mosaic(rasters: list[DataFrame], overlaprule: str = "last") -> DataFrame:
+    """Paste N same-grid cell tables; overlapping non-null cells resolved
+    by paint order (``pythongis/raster/manager.py:23-63``): 'last' = later
+    raster wins, 'first' = earlier wins."""
+    tagged = [
+        r.select("x", "y", "band", "val", F.lit(i).alias("_src"))
+        for i, r in enumerate(rasters)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    order = F.col("_src").desc() if overlaprule == "last" else F.col("_src").asc()
+    w = Window.partitionBy("x", "y", "band").orderBy(F.col("val").isNull().asc(), order)
+    return (
+        u.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("x", "y", "band", "val")
+    )
+
+
+def upscale(df: DataFrame, k: int, stat: str = "sum") -> DataFrame:
+    """Aggregate k×k cell blocks to one coarse cell
+    (``pythongis/raster/manager.py:724-775``) — pure Catalyst groupBy, one
+    shuffle (vs the reference's per-tile python loop)."""
+    agg = STATS_EXPRS[stat](F.col("val")).alias("val")
+    return (
+        df.groupBy(
+            F.floor(F.col("x") / k).cast("int").alias("x"),
+            F.floor(F.col("y") / k).cast("int").alias("y"),
+            "band",
+        )
+        .agg(agg)
+    )
+
+
+def sequence_interpolate(r1: DataFrame, r2: DataFrame, t: float) -> DataFrame:
+    """Linear interpolation between two same-grid rasters at fraction t —
+    ``pythongis/raster/manager.py:65-160``."""
+    a = r1.select("x", "y", "band", F.col("val").alias("v1"))
+    b = r2.select("x", "y", "band", F.col("val").alias("v2"))
+    return a.join(b, ["x", "y", "band"]).select(
+        "x", "y", "band",
+        (F.col("v1") + (F.col("v2") - F.col("v1")) * F.lit(float(t))).alias("val"),
+    )

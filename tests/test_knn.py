@@ -1,0 +1,116 @@
+"""kNN / distance join correctness vs brute-force pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pythongis_spark.geometry import geodesy
+from pythongis_spark.operators.knn import distance_join, knn_join
+
+
+def _mkpoints(n, seed, prefix):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return pd.DataFrame(
+        {
+            f"{prefix}_id": np.arange(n, dtype=np.int64),
+            "lon": rng.uniform(-170, 170, n),
+            "lat": rng.uniform(-70, 70, n),
+        }
+    )
+
+
+def brute_knn(pts: pd.DataFrame, tgt: pd.DataFrame, k: int, metric="planar") -> set:
+    out = set()
+    for _, p in pts.iterrows():
+        if metric == "planar":
+            d = np.sqrt((tgt["lon"] - p["lon"]) ** 2 + (tgt["lat"] - p["lat"]) ** 2)
+        else:
+            d = geodesy.haversine_m(
+                np.full(len(tgt), p["lon"]), np.full(len(tgt), p["lat"]),
+                tgt["lon"].to_numpy(), tgt["lat"].to_numpy(),
+            )
+        order = sorted(zip(d, tgt["t_id"]))[:k]
+        for rk, (dist, tid) in enumerate(order, 1):
+            out.add((int(p["p_id"]), int(tid), rk))
+    return out
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    pts = _mkpoints(300, 1, "p")
+    tgt = _mkpoints(40, 2, "t")
+    return spark.createDataFrame(pts).cache(), spark.createDataFrame(tgt).cache(), pts, tgt
+
+
+@pytest.fixture(scope="module")
+def big_targets(spark):
+    pts = _mkpoints(400, 3, "p")
+    tgt = _mkpoints(20_000, 4, "t")
+    return spark.createDataFrame(pts).cache(), spark.createDataFrame(tgt).cache(), pts, tgt
+
+
+def _collect_knn(df):
+    return {
+        (r["p_id"], r["t_id"], r["knn_rank"])
+        for r in df.select("p_id", "t_id", "knn_rank").collect()
+    }
+
+
+def test_knn_bruteforce_path(spark, small):
+    spts, stgt, pts, tgt = small
+    got = knn_join(spts, stgt, 3, point_id="p_id", target_id="t_id")
+    assert _collect_knn(got) == brute_knn(pts, tgt, 3)
+
+
+def test_knn_grid_path_exact(spark, big_targets):
+    spts, stgt, pts, tgt = big_targets
+    got = knn_join(spts, stgt, 5, point_id="p_id", target_id="t_id")
+    assert _collect_knn(got) == brute_knn(pts, tgt, 5)
+
+
+def test_knn_haversine_metric(spark, small):
+    spts, stgt, pts, tgt = small
+    got = knn_join(spts, stgt, 2, point_id="p_id", target_id="t_id", metric="haversine")
+    assert _collect_knn(got) == brute_knn(pts, tgt, 2, metric="haversine")
+
+
+def test_knn_k_larger_than_targets(spark, small):
+    spts, stgt, pts, tgt = small
+    got = knn_join(spts, stgt, 100, point_id="p_id", target_id="t_id")
+    # every point gets all 40 targets
+    counts = got.groupBy("p_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in counts] == [40]
+
+
+def test_distance_join_planar(spark, big_targets):
+    spts, stgt, pts, tgt = big_targets
+    radius = 3.0
+    got = distance_join(spts, stgt, radius, point_id="p_id", target_id="t_id")
+    pairs = {(r["p_id"], r["t_id"]) for r in got.select("p_id", "t_id").collect()}
+    expected = set()
+    for _, p in pts.iterrows():
+        d = np.sqrt((tgt["lon"] - p["lon"]) ** 2 + (tgt["lat"] - p["lat"]) ** 2)
+        for tid in tgt["t_id"][d <= radius]:
+            expected.add((int(p["p_id"]), int(tid)))
+    assert pairs == expected
+    assert len(pairs) > 0
+
+
+def test_distance_join_haversine(spark, small):
+    spts, stgt, pts, tgt = small
+    radius = 500_000.0  # 500 km
+    got = distance_join(
+        spts, stgt, radius, point_id="p_id", target_id="t_id", metric="haversine"
+    )
+    pairs = {(r["p_id"], r["t_id"]) for r in got.select("p_id", "t_id").collect()}
+    expected = set()
+    for _, p in pts.iterrows():
+        d = geodesy.haversine_m(
+            np.full(len(tgt), p["lon"]), np.full(len(tgt), p["lat"]),
+            tgt["lon"].to_numpy(), tgt["lat"].to_numpy(),
+        )
+        for tid in tgt["t_id"][d <= radius]:
+            expected.add((int(p["p_id"]), int(tid)))
+    assert pairs == expected
+    assert len(pairs) > 0

@@ -1,0 +1,153 @@
+"""Raster model / algebra / zonal tests vs small numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pythongis_spark import fixtures as FX
+from pythongis_spark.geometry import wkb as W
+from pythongis_spark.raster import algebra as A
+from pythongis_spark.raster import model as M
+from pythongis_spark.raster import zonal as Z
+
+RD = M.RasterDef(36, 18, (10.0, 0.0, -180.0, 0.0, -10.0, 90.0))
+
+
+@pytest.fixture(scope="module")
+def cells(spark):
+    return FX.raster_cells(spark, w=36, h=18, bands=2).cache()
+
+
+def _np_grid(w=36, h=18, bands=2):
+    x, y, b = np.meshgrid(np.arange(w), np.arange(h), np.arange(bands), indexing="ij")
+    val = ((x * 7 + y * 13 + b * 17) % 1000) / 10.0
+    nod = (x * 31 + y * 29 + b) % 20 == 0
+    return x, y, b, np.where(nod, np.nan, val)
+
+
+def test_fixture_matches_numpy(spark, cells):
+    pdf = cells.toPandas()
+    x, y, b, val = _np_grid()
+    lookup = {(int(a), int(c), int(d)): v for a, c, d, v in zip(x.ravel(), y.ravel(), b.ravel(), val.ravel())}
+    assert len(pdf) == 36 * 18 * 2
+    for _, r in pdf.sample(50, random_state=0).iterrows():
+        expect = lookup[(r["x"], r["y"], r["band"])]
+        if np.isnan(expect):
+            assert pd.isna(r["val"])
+        else:
+            assert r["val"] == expect
+
+
+def test_band_stats(spark, cells):
+    out = A.band_stats(cells, ["count", "sum", "mean", "min", "max", "median", "majority"]).toPandas()
+    x, y, b, val = _np_grid()
+    for _, r in out.iterrows():
+        v = val[:, :, int(r["band"])]
+        v = v[~np.isnan(v)]
+        assert r["count"] == len(v)
+        assert abs(r["sum"] - v.sum()) < 1e-6
+        assert r["min"] == v.min() and r["max"] == v.max()
+        assert abs(r["median"] - np.median(v)) < 1e-9
+
+
+def test_map_algebra_and_compute(spark, cells):
+    b0 = A.band(cells, 0)
+    b1 = A.band(cells, 1)
+    out = A.map_algebra("a + b * 2", a=b0, b=b1).toPandas()
+    x, y, b, val = _np_grid()
+    expect = val[:, :, 0] + val[:, :, 1] * 2
+    some = out.dropna().sample(20, random_state=1)
+    for _, r in some.iterrows():
+        assert abs(r["val"] - expect[int(r["x"]), int(r["y"])]) < 1e-9
+    # compute with condition preserves nodata
+    c = A.compute(b0, "val * 0 + 1", condition="val > 50").toPandas()
+    assert set(c["val"].dropna().unique()) <= {1.0} | set(
+        v for v in val[:, :, 0].ravel() if not np.isnan(v) and v <= 50
+    )
+
+
+def test_mosaic_last_wins(spark):
+    a = spark.createDataFrame(
+        pd.DataFrame({"x": [0, 1], "y": [0, 0], "band": [0, 0], "val": [1.0, None]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"x": [0, 1], "y": [0, 0], "band": [0, 0], "val": [9.0, 5.0]})
+    )
+    last = A.mosaic([a, b], "last").toPandas().set_index("x")["val"]
+    first = A.mosaic([a, b], "first").toPandas().set_index("x")["val"]
+    assert last[0] == 9.0 and last[1] == 5.0
+    assert first[0] == 1.0 and first[1] == 5.0  # null in a -> falls through
+
+
+def test_upscale_sum(spark, cells):
+    out = A.upscale(A.band(cells, 0), 6, "sum").toPandas()
+    assert len(out) == 6 * 3
+    x, y, b, val = _np_grid()
+    v = np.nan_to_num(val[:, :, 0])
+    blk = v[:6, :6].sum()
+    got = out[(out.x == 0) & (out.y == 0)]["val"].iloc[0]
+    assert abs(got - blk) < 1e-9
+
+
+def test_rasterize_and_zonal(spark):
+    # two rectangles burned with their zone ids, then zonal stats
+    z1 = W.wkb_polygon(np.array([[-180, -90], [0, -90], [0, 90], [-180, 90], [-180, -90]], float))
+    z2 = W.wkb_polygon(np.array([[0, -90], [180, -90], [180, 90], [0, 90], [0, -90]], float))
+    zones = spark.createDataFrame(
+        pd.DataFrame({"zone_id": [1, 2], "geom": [z1, z2]})
+    )
+    burned = Z.rasterize(zones, RD, valuekey="zone_id", stat="sum").toPandas()
+    # every grid cell center is in exactly one zone
+    assert len(burned) == 36 * 18
+    assert set(burned["val"].unique()) == {1.0, 2.0}
+    west = burned[burned.x < 18]
+    assert (west["val"] == 1.0).all()
+
+    vals = FX.raster_cells(spark, w=36, h=18, bands=1)
+    zs = Z.zonal_statistics(zones, vals, RD, stats=["count", "sum", "mean"]).toPandas()
+    x, y, b, val = _np_grid(bands=1)
+    v_west = val[:18, :, 0]
+    v_west = v_west[~np.isnan(v_west)]
+    r = zs[zs.zone_id == 1].iloc[0]
+    assert r["count"] == len(v_west)
+    assert abs(r["sum"] - v_west.sum()) < 1e-6
+
+
+def test_crop_and_roll(spark, cells):
+    c = M.crop(A.band(cells, 0), RD, (-180, 0, 0, 90), worldcoords=True).toPandas()
+    assert c["x"].max() <= 18 and c["y"].max() <= 9
+    r = M.roll(A.band(cells, 0), RD, 5, 0).toPandas()
+    assert set(r["x"].unique()) == set(range(36))
+
+
+def test_tile_windows_caps():
+    wins = M.tile_windows(100, 50, 30, 30)
+    assert len(wins) == 4 * 2
+    last = wins[-1]
+    assert last["x0"] == 90 and last["w"] == 10
+    assert last["y0"] == 30 and last["h"] == 20
+
+
+def test_interpolate_idw_exact_at_known(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lon": [-175.0, 175.0], "lat": [85.0, -85.0], "v": [10.0, 50.0]})
+    )
+    rd = M.RasterDef(36, 18, (10.0, 0.0, -180.0, 0.0, -10.0, 90.0))
+    out = Z.interpolate_idw(pts, rd, "v").toPandas()
+    assert len(out) == 36 * 18
+    known = out[(out.x == 0) & (out.y == 0)]["val"].iloc[0]
+    assert known == 10.0
+    mid = out[(out.x == 18) & (out.y == 9)]["val"].iloc[0]
+    assert 10.0 < mid < 50.0
+
+
+def test_density_smooth(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lon": [-175.0, -175.0], "lat": [85.0, 85.0]})
+    )
+    rd = M.RasterDef(36, 18, (10.0, 0.0, -180.0, 0.0, -10.0, 90.0))
+    out = Z.density_smooth(pts, rd, None, radius_cells=2).toPandas()
+    center = out[(out.x == 0) & (out.y == 0)]["val"].iloc[0]
+    assert center == 2.0  # weight 1 at d=0, both points in the cell
+    assert (out["val"] <= 2.0).all()
