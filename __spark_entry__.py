@@ -17,6 +17,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -334,8 +336,136 @@ def _q_raster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(cells, bins=10).select("band", "bin", "n")
 
 
+def _q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_exact(docs, ["text"], "doc_id").select(
+        "text", "keeper_id", "dup_count"
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.text import with_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_token_counts(docs).select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+
+def _q_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.text import with_quality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_quality(docs).select(
+        "doc_id", "n_chars_q", "punct_ratio", "digit_ratio", "space_ratio",
+        "stopword_ratio", "mean_word_len",
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from pythongis_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.array(
+        emb.filter(F.col("vec_id") == 0).select("embedding").first()[0],
+        dtype=np.float64,
+    )
+    from pyspark.sql import Window
+
+    got = cosine_topk(emb, q, k=10)
+    # ids + rank only: scores are numpy-BLAS sums (order differs from the
+    # SQL chain); ordering is robust because margins ≫ float error
+    return got.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .alias("rk"),
+    )
+
+
+def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_v"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_v"))
+
+    @F.pandas_udf("double")
+    def cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        A = np.array(av.tolist(), dtype=np.float64)
+        B = np.array(bv.tolist(), dtype=np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(num / np.where(den == 0, 1.0, den), index=av.index)
+
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cos(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("cosine") >= 0.45)
+    )
+    return pairs.select("a_id", "b_id")
+
+
+def _q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs).groupBy("lang", "lang_pred").agg(F.count("*").alias("n"))
+
+
+def _q_minhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, "doc_id", threshold=0.5).select("a_id", "b_id")
+
+
+def _q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dup_pairs(docs, "doc_id", max_hamming=8)
+
+
+def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs).groupBy("fp").agg(F.count("*").alias("n"))
+
+
+def _q_verify_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.images.ops import verify_images
+
+    imgs = FX.images_df(spark, 200)
+    return verify_images(imgs).filter(
+        "ok_shape AND psnr_ok AND phash_ok AND caption_ok"
+    ).select("image_id", "fmt", "psnr_ok", "phash_ok", "caption_ok")
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.images.ops import extract_features
+
+    imgs = FX.images_df(spark, 200)
+    return extract_features(imgs).select(
+        "image_id", "w", "h", "fmt", "brightness", "phash"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "token_counts_docs": _q_token_counts,
+        "quality_docs": _q_quality_docs,
+        "ann_topk_ids": _q_ann_topk,
+        "embedding_pairs_exact": _q_embedding_pairs,
+        "langid_docs": _q_langid_docs,
+        "minhash_pairs_docs": _q_minhash_pairs_docs,
+        "simhash_pairs_docs": _q_simhash_pairs_docs,
+        "fingerprint_docs": _q_fingerprint_docs,
+        "verify_images": _q_verify_images,
+        "image_features": _q_image_features,
         "zonal_stats_raster": _q_zonal_stats,
         "rasterize_zones": _q_rasterize,
         "upscale_raster": _q_upscale,
@@ -391,7 +521,44 @@ def oracle_sql() -> dict[str, str]:
     knn_dist = "sqrt((p.lon - z.cx) * (p.lon - z.cx) + (p.lat - z.cy) * (p.lat - z.cy))"
     raster1 = FX.raster_cells_cte_sql(360, 180, 1)
     cell_zone = FX.zone_id_sql("(-180.0 + (r.x + 0.5))", "(90.0 - (r.y + 0.5))")
+    en_stop = r"(?i)\b(the|and|of|to|in|is|that|with|for|was)\b"
+    bpe_pat = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^\sA-Za-z0-9]"
     return {
+        "dedup_exact_docs": """
+            SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "token_counts_docs": f"""
+            SELECT doc_id,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END AS n_tokens_ws,
+                   LEN(REGEXP_EXTRACT_ALL(text, '{bpe_pat}')) AS n_tokens_bpe
+            FROM documents
+        """,
+        "quality_docs": f"""
+            SELECT doc_id,
+                   LENGTH(text) AS n_chars_q,
+                   LEN(REGEXP_EXTRACT_ALL(text, '[^\\w\\s]')) / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS punct_ratio,
+                   LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS digit_ratio,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\\s')) / GREATEST(CAST(LENGTH(text) AS DOUBLE), 1.0) AS space_ratio,
+                   LEN(REGEXP_EXTRACT_ALL(text, '{en_stop}')) / GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END, 1.0) AS stopword_ratio,
+                   (CAST(LENGTH(text) AS DOUBLE) - LEN(REGEXP_EXTRACT_ALL(text, '\\s'))) / GREATEST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0 ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END, 1.0) AS mean_word_len
+            FROM documents
+        """,
+        "ann_topk_ids": """
+            SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rk
+            FROM (
+              SELECT e.vec_id,
+                     list_cosine_similarity(e.embedding, q.embedding) AS cos
+              FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            ) ORDER BY rk LIMIT 10
+        """,
+        "embedding_pairs_exact": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
         "zonal_stats_raster": f"""
             WITH {raster1}
             SELECT {cell_zone} AS zone_id, r.band,

@@ -1,0 +1,108 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32), plus the
+north-rule image pipeline (generate → decode/verify → pip-tag → quadkey
+tile → aggregate) and reports its throughput in images/sec.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+``tools/scaling_bench.py`` → ``BENCH/BASELINE.md``; this script is the
+single-config per-round benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+IMG_N = int(os.environ.get("SPARK_GRAFT_IMG_N", "50000"))
+
+BENCH_QUERIES = [
+    "pip_join_rows",
+    "pip_zone_stats",
+    "tile_assign_quadkey",
+    "knn_zone_centers",
+    "zonal_stats_raster",
+    "rasterize_zones",
+    "tpch_q1",
+    "moving_window_events",
+    "join_orders_collapse",
+]
+
+
+def image_pipeline(spark, n: int) -> int:
+    """The north-rule flagship at bench scale: synthesize the image table
+    distributed, verify payload, pip-tag with zones, assign quadkey tiles,
+    aggregate per (zone, tile)."""
+    from pyspark.sql import functions as F
+
+    from pythongis_spark import fixtures as FX
+    from pythongis_spark.images.ops import verify_images
+    from pythongis_spark.index import udfs as IU
+    from pythongis_spark.operators.spatial_join import point_in_polygon_join
+
+    imgs = FX.images_df(spark, n, partitions=CPUS * 2).cache()
+    ok = verify_images(imgs).filter("psnr_ok AND phash_ok AND caption_ok")
+    n_ok = ok.count()
+    assert n_ok == n, f"payload verification failed: {n_ok}/{n}"
+    zones = FX.oracle_zones(spark)
+    tagged = point_in_polygon_join(
+        imgs.select("image_id", "lon", "lat"), zones, point_id="image_id"
+    )
+    tiled = tagged.withColumn(
+        "tile", IU.point_cell_expr(F.col("lon"), F.col("lat"), 8)
+    )
+    out = tiled.groupBy("zone_id", "tile").count()
+    out.count()
+    imgs.unpersist()
+    return n
+
+
+def main():
+    t_start = time.perf_counter()
+    from pythongis_spark.session import get_spark
+
+    spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=CPUS)
+    # warm the JVM/Arrow paths so per-query numbers reflect steady state
+    spark.range(1000).count()
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    timings = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    n = image_pipeline(spark, IMG_N)
+    img_sec = time.perf_counter() - t0
+    timings["image_pipeline"] = round(img_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (spatial join + tiling + zonal + relational) and image-pipeline throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "images": n,
+                "images_per_sec": round(n / img_sec, 1),
+                "total_wall_sec": round(time.perf_counter() - t_start, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

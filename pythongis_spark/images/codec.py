@@ -46,14 +46,19 @@ def make_pixels(i: int, w: int, h: int) -> np.ndarray:
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
+def quantize_lossy(pixels: np.ndarray) -> np.ndarray:
+    """The FJPG quantizer: what decode(encode(px, 'jpeg')) returns."""
+    q = (pixels.astype(np.int32) // _Q) * _Q + _Q // 2
+    return np.clip(q, 0, 255).astype(np.uint8)
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     """uint8 (h, w, 3) → bytes in the deterministic container format."""
     h, w, c = pixels.shape
     assert c == 3
     magic = FMT_MAGIC[fmt]
     if magic == MAGIC_LOSSY:
-        q = (pixels.astype(np.int32) // _Q) * _Q + _Q // 2
-        payload = zlib.compress(np.clip(q, 0, 255).astype(np.uint8).tobytes(), 6)
+        payload = zlib.compress(quantize_lossy(pixels).tobytes(), 6)
     else:
         payload = zlib.compress(pixels.tobytes(), 6)
     return magic + struct.pack("<HH", w, h) + payload
@@ -80,9 +85,7 @@ def average_phash(pixels: np.ndarray) -> int:
     hh, ww = (h // 8) * 8, (w // 8) * 8
     g = gray[:hh, :ww].reshape(8, hh // 8, 8, ww // 8).mean(axis=(1, 3))
     bits = (g > g.mean()).ravel()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+    val = int(np.packbits(bits).view(">u8")[0])  # MSB-first, same as shift loop
     # wrap to signed int64 for Spark LongType
     if val >= 1 << 63:
         val -= 1 << 64

@@ -1,0 +1,141 @@
+"""Image-payload operators over the (image_id, bytes, w, h, fmt, caption,
+phash) table — BASELINE.json input_hint.
+
+All decode/verify work happens inside ``mapInPandas`` over Arrow batches
+(numpy per batch; zero per-row Python at the Spark boundary). The codec
+itself is the deterministic stand-in from ``images.codec`` (PIL absent);
+the Spark plumbing — schema, batch shapes, partition behavior — is real.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pythongis_spark.images import codec
+
+VERIFY_SCHEMA = (
+    "image_id string, fmt string, ok_shape boolean, psnr double, "
+    "psnr_ok boolean, phash_ok boolean, caption_ok boolean"
+)
+
+
+def verify_images(df: DataFrame, reencode: bool = True) -> DataFrame:
+    """Per-row payload invariant check (input_hint): decode → re-encode →
+    decode → pixels allclose / PSNR ≥ 40 dB for lossy; phash recomputed
+    equals the stored column; caption byte-equality vs its deterministic
+    reconstruction."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = codec.decode_image(r.bytes)
+                ok_shape = px.shape == (r.h, r.w, 3)
+                if reencode:
+                    rt = codec.decode_image(codec.encode_image(px, r.fmt))
+                    psnr = codec.psnr_db(px, rt)
+                else:
+                    psnr = float("inf")
+                lossless = codec.FMT_MAGIC[r.fmt] in codec.MAGIC_LOSSLESS
+                psnr_ok = bool(np.isinf(psnr)) if lossless else psnr >= 40.0
+                phash_ok = codec.average_phash(px) == r.phash
+                i = int(r.image_id[3:])
+                from pythongis_spark.fixtures import WORDS
+
+                caption_ok = r.caption == f"caption {i} {WORDS[i % 256]}"
+                rows.append(
+                    dict(
+                        image_id=r.image_id,
+                        fmt=r.fmt,
+                        ok_shape=ok_shape,
+                        psnr=float(psnr),
+                        psnr_ok=psnr_ok,
+                        phash_ok=phash_ok,
+                        caption_ok=caption_ok,
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=VERIFY_SCHEMA)
+
+
+FEATURE_SCHEMA = (
+    "image_id string, w int, h int, fmt string, mean_r double, mean_g double, "
+    "mean_b double, brightness double, contrast double, phash long"
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Decode + per-image feature extraction (channel means, brightness,
+    contrast, phash) — the feature-extract stage of a training-data
+    pipeline, as a ``mapInPandas`` batch op."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = codec.decode_image(r.bytes).astype(np.float64)
+                rows.append(
+                    dict(
+                        image_id=r.image_id,
+                        w=int(r.w),
+                        h=int(r.h),
+                        fmt=r.fmt,
+                        mean_r=float(px[:, :, 0].mean()),
+                        mean_g=float(px[:, :, 1].mean()),
+                        mean_b=float(px[:, :, 2].mean()),
+                        brightness=float(px.mean()),
+                        contrast=float(px.std()),
+                        phash=codec.average_phash(px.astype(np.uint8)),
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "image_id string, w int, h int, bytes binary"
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int, fmt: str = "png") -> DataFrame:
+    """Nearest-neighbour resize (numpy index sampling — PIL absent, real
+    resampling plumbing) re-encoded to ``fmt``."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = codec.decode_image(r.bytes)
+                ys = (np.arange(out_h) * px.shape[0] // out_h).astype(int)
+                xs = (np.arange(out_w) * px.shape[1] // out_w).astype(int)
+                small = px[ys][:, xs]
+                rows.append(
+                    dict(
+                        image_id=r.image_id,
+                        w=out_w,
+                        h=out_h,
+                        bytes=codec.encode_image(small, fmt),
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def phash_hamming_expr(a, b):
+    """Hamming distance between two int64 phashes, pure Catalyst
+    (bit_count of xor) — near-duplicate detection on the JVM side."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def decode_stub_external(fmt: str):
+    """Where a *real* decoder would plug in. PIL/libjpeg are not installed
+    in this environment; calling this is an explicit, documented stub."""
+    raise NotImplementedError(
+        f"real {fmt} decode requires an image library (PIL) not present in "
+        "this environment; the deterministic FPNG/FBMP/FJPG codec in "
+        "pythongis_spark.images.codec is the drop-in stand-in"
+    )

@@ -88,7 +88,7 @@ def explode_bbox_cells(df: DataFrame, z: int, out: str = "cell") -> DataFrame:
     )
 
 
-def pick_level(df: DataFrame, sample_rows: int = 10_000, target_cells: float = 4.0) -> int:
+def pick_level(df: DataFrame, sample_rows: int = 10_000, target_cells: float = 16.0) -> int:
     """Pick an index level from the build side's median bbox size.
 
     One cheap aggregate on (at most) a sampled prefix — the planning

@@ -1,0 +1,391 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design: every method is (1) a cheap JVM-side or Arrow-batched
+signature pass, (2) a bucket equi-join that only pairs up collision
+candidates (never O(N²)), (3) an exact verify on candidates, (4) an
+iterative connected-components pass to elect one keeper per duplicate
+cluster — all DataFrame ops, shuffle keys are the bucket hashes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(s: str) -> int:
+    """Process-independent 64-bit string hash (python's builtin ``hash``
+    is salted per process — useless on executors)."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8", "ignore"), digest_size=8).digest(), "little"
+    )
+
+
+# ------------------------------------------------------------------
+# exact dedup
+# ------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact key; adds group size.
+
+    Pure hash groupBy — map-side partial aggregation, one shuffle."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def dedup_exact_rows(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """The surviving rows themselves (keeper per key)."""
+    keep = dedup_exact(df, cols, id_col).select(F.col("keeper_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+# ------------------------------------------------------------------
+# shingling + minhash (Arrow-batched numpy)
+# ------------------------------------------------------------------
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Rolling polynomial hashes of char k-grams of the normalized text."""
+    s = " ".join(text.lower().split())
+    data = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+    n = len(data)
+    if n < k:
+        return np.array([_stable_hash64(s) & MERSENNE], dtype=np.uint64)
+    B = np.uint64(1000003)
+    M = np.uint64(MERSENNE)
+    h = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        h = (h * B + data[j : n - k + 1 + j].astype(np.uint64)) & M
+    return np.unique(h)
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+    out: str = "sig",
+) -> DataFrame:
+    """MinHash signature (num_perm 64-bit mins over universal-hashed char
+    shingles), numpy-vectorized per document."""
+    a, b = _minhash_params(num_perm)
+
+    @F.pandas_udf("array<long>")
+    def sig(texts: pd.Series) -> pd.Series:
+        out_rows = []
+        M = np.uint64(MERSENNE)
+        for t in texts.to_numpy(object):
+            if t is None:
+                out_rows.append(None)
+                continue
+            sh = _shingle_hashes(t, shingle_k)
+            # (num_perm, n_shingles) universal hash, min per row
+            vals = (a[:, None] * sh[None, :] + b[:, None]) % M
+            out_rows.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out_rows, index=texts.index)
+
+    return df.withColumn(out, sig(F.col(text_col)))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH + exact verify.
+
+    banding: signature split into ``bands`` bands of r=num_perm/bands
+    rows; band hash → bucket equi-join (self-join produces each colliding
+    pair once, a.id < b.id); verify = exact Jaccard of shingle sets ≥
+    threshold (recomputed per pair in an Arrow batch).
+    Output: (a_id, b_id, jaccard)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(df, text_col, num_perm, shingle_k).select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"), "sig"
+    )
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sigs.select("_id", "_txt", "sig", band_idx).withColumn(
+        "bucket", F.xxhash64(F.slice("sig", F.col("band") * r + 1, r), F.col("band"))
+    )
+    L = banded.select(
+        F.col("_id").alias("a_id"), F.col("_txt").alias("a_txt"), "band", "bucket"
+    )
+    Rt = banded.select(
+        F.col("_id").alias("b_id"), F.col("_txt").alias("b_txt"), "band", "bucket"
+    )
+    pairs = (
+        L.join(Rt, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_txt", "b_txt")
+        .distinct()
+    )
+
+    @F.pandas_udf("double")
+    def jaccard(a_txt: pd.Series, b_txt: pd.Series) -> pd.Series:
+        out = np.zeros(len(a_txt))
+        av = a_txt.to_numpy(object)
+        bv = b_txt.to_numpy(object)
+        for i in range(len(av)):
+            sa = _shingle_hashes(av[i], shingle_k)
+            sb = _shingle_hashes(bv[i], shingle_k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            out[i] = inter / union if union else 1.0
+        return pd.Series(out, index=a_txt.index)
+
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("a_txt"), F.col("b_txt")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------
+# simhash
+# ------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word hashes (Charikar 2002): sum ±1 per bit
+    weighted by term frequency; numpy-vectorized."""
+
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out_rows = []
+        bitcols = np.arange(64, dtype=np.uint64)
+        for t in texts.to_numpy(object):
+            if t is None:
+                out_rows.append(None)
+                continue
+            words = t.lower().split()
+            if not words:
+                out_rows.append(0)
+                continue
+            hs = np.array(
+                [_stable_hash64(w) for w in words], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> bitcols[None, :]) & 1).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            val = 0
+            for i in range(64):
+                if v[i] > 0:
+                    val |= 1 << i
+            if val >= 1 << 63:
+                val -= 1 << 64
+            out_rows.append(val)
+        return pd.Series(out_rows, index=texts.index)
+
+    return df.withColumn(out, sh(F.col(text_col)))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming ≤ k: bucket by each of 4
+    16-bit bands (pigeonhole: any pair with ≤3 differing bits collides in
+    ≥1 band), verify with JVM ``bit_count(xor)``."""
+    s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    bands = s.select(
+        "_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "bucket", F.expr("shiftrightunsigned(simhash, band * 16)").bitwiseAND(F.lit(0xFFFF))
+    )
+    L = bands.select(F.col("_id").alias("a_id"), F.col("simhash").alias("a_sh"), "band", "bucket")
+    Rt = bands.select(F.col("_id").alias("b_id"), F.col("simhash").alias("b_sh"), "band", "bucket")
+    return (
+        L.join(Rt, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------------------
+# n-gram jaccard join (bucket by rare shingles)
+# ------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    max_shingles_per_doc: int = 32,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 sampled shingle → exact Jaccard verify.
+    Sampling keeps the inverted index bounded (documented recall
+    tradeoff vs full index; exact verify keeps precision 1.0)."""
+
+    @F.pandas_udf("array<long>")
+    def sample_shingles(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.to_numpy(object):
+            if t is None:
+                out.append(None)
+            else:
+                sh = _shingle_hashes(t, shingle_k)
+                # deterministic sample: smallest-k shingle hashes
+                out.append(np.sort(sh)[:max_shingles_per_doc].astype(np.int64).tolist())
+        return pd.Series(out, index=texts.index)
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    inv = base.withColumn("sh", F.explode(sample_shingles(F.col("_txt"))))
+    L = inv.select(F.col("_id").alias("a_id"), F.col("_txt").alias("a_txt"), "sh")
+    Rt = inv.select(F.col("_id").alias("b_id"), F.col("_txt").alias("b_txt"), "sh")
+    pairs = (
+        L.join(Rt, "sh")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_txt", "b_txt")
+        .distinct()
+    )
+
+    @F.pandas_udf("double")
+    def jac(a_txt: pd.Series, b_txt: pd.Series) -> pd.Series:
+        out = np.zeros(len(a_txt))
+        av, bv = a_txt.to_numpy(object), b_txt.to_numpy(object)
+        for i in range(len(av)):
+            sa = _shingle_hashes(av[i], shingle_k)
+            sb = _shingle_hashes(bv[i], shingle_k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            out[i] = inter / union if union else 1.0
+        return pd.Series(out, index=a_txt.index)
+
+    return (
+        pairs.withColumn("jaccard", jac(F.col("a_txt"), F.col("b_txt")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+# ------------------------------------------------------------------
+# embedding cosine near-dup
+# ------------------------------------------------------------------
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: random-hyperplane LSH bucket join
+    (+1-bit multiprobe via band split) then exact cosine verify.
+
+    For cos θ ≥ 0.95, collision prob per plane ≈ 1 − θ/π ≈ 0.90; two
+    6-bit bands give ≥ ~75% recall per band pair (documented: LSH recall
+    is probabilistic; the exact variant below is the ground truth)."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    rng = np.random.Generator(np.random.PCG64(seed))
+    H = rng.standard_normal((planes, dim))
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        bits = (mat @ H.T) > 0
+        vals = np.zeros(len(mat), dtype=np.int64)
+        for i in range(planes):
+            vals |= bits[:, i].astype(np.int64) << i
+        return pd.Series(vals, index=vecs.index)
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).withColumn(
+        "sig", sig(F.col("_v"))
+    )
+    half = planes // 2
+    banded = base.select(
+        "_id", "_v",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.col("sig").bitwiseAND(F.lit((1 << half) - 1)).alias("bucket")),
+                F.struct(F.lit(1).alias("band"), F.shiftrightunsigned(F.col("sig"), half).alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("_id", "_v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    L = banded.select(F.col("_id").alias("a_id"), F.col("_v").alias("a_v"), "band", "bucket")
+    Rt = banded.select(F.col("_id").alias("b_id"), F.col("_v").alias("b_v"), "band", "bucket")
+    pairs = (
+        L.join(Rt, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_v", "b_v")
+        .distinct()
+    )
+
+    @F.pandas_udf("double")
+    def cos(a_v: pd.Series, b_v: pd.Series) -> pd.Series:
+        A = np.array(a_v.tolist(), dtype=np.float64)
+        B = np.array(b_v.tolist(), dtype=np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        den = np.where(den == 0, 1.0, den)
+        return pd.Series(num / den, index=a_v.index)
+
+    return (
+        pairs.withColumn("cosine", cos(F.col("a_v"), F.col("b_v")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    )
+
+
+# ------------------------------------------------------------------
+# connected components → duplicate clusters
+# ------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Label propagation over (a_id, b_id) edges: each node converges to
+    the minimum id in its component. Iterative DataFrame joins (small
+    diameter in dedup graphs); returns (id, component)."""
+    edges = pairs.select("a_id", "b_id")
+    sym = edges.union(edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
+    labels = (
+        sym.select(F.col("a_id").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.a_id == labels.id)
+            .select(F.col("b_id").alias("id"), "component")
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .union(neigh)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: exact brute-force cosine top-k (vectorized numpy matmul inside
+Arrow batches against a broadcast query matrix). Scale path: IVF-style
+coarse quantization — assign every vector to its nearest of K centroids
+(one cheap pass), search only the ``nprobe`` closest centroid partitions
+per query. Both deterministic (fixed seeds, ties by vec_id).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to one query vector.
+
+    Per-batch numpy matmul (Arrow → (B, d) matrix → scores), then a
+    global top-k: per-partition pre-top-k via window would shuffle all
+    rows; instead scores are computed for all rows (cheap) and Spark's
+    ``orderBy + limit`` does a distributed TakeOrdered (no full sort
+    materialization)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    @F.pandas_udf("double")
+    def score(vecs: pd.Series) -> pd.Series:
+        mat = _as_matrix(vecs)
+        norms = np.linalg.norm(mat, axis=1)
+        norms = np.where(norms == 0, 1.0, norms)
+        return pd.Series((mat @ qn) / norms, index=vecs.index)
+
+    return (
+        df.withColumn("cosine", score(F.col(vec_col)))
+        .select(id_col, "cosine")
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 42,
+    sample_rows: int = 10_000,
+) -> np.ndarray:
+    """Tiny driver-side Lloyd's k-means on a deterministic sample — the
+    coarse quantizer for IVF. Centroids are small (K × d) and broadcast."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.Generator(np.random.PCG64(seed))
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    C = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(axis=1)
+        for j in range(len(C)):
+            pts = sample[assign == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return C
+
+
+def ivf_assign(
+    df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding", out: str = "ivf_cell"
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (the IVF partition key —
+    repartition/bucket by this for locality at scale)."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = _as_matrix(vecs)
+        d2 = ((mat[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        return pd.Series(d2.argmin(axis=1).astype(np.int32), index=vecs.index)
+
+    return df.withColumn(out, assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    df_assigned: DataFrame,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Approximate top-k: scan only the ``nprobe`` centroid cells nearest
+    to the query (partition pruning on the IVF key), exact cosine within.
+    Recall < 1 by design; ``cosine_topk`` is the exact baseline."""
+    q = np.asarray(query, dtype=np.float64)
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probe = np.argsort(d2, kind="stable")[:nprobe].tolist()
+    pruned = df_assigned.filter(F.col(cell_col).isin([int(p) for p in probe]))
+    return cosine_topk(pruned, q, k, id_col, vec_col)
+
+
+def pairwise_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    c_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch kNN: top-k corpus vectors per query vector (broadcast the
+    smaller query matrix; one pass over the corpus, numpy matmul per
+    Arrow batch; per-query top-k via window)."""
+    qrows = queries.select(q_id, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
+
+    @F.pandas_udf("array<struct<q:long,s:double>>")
+    def scores(vecs: pd.Series) -> pd.Series:
+        mat = _as_matrix(vecs)
+        norms = np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        S = (mat / norms) @ Qn.T  # (B, nq)
+        out = [
+            [{"q": int(qids[j]), "s": float(S[i, j])} for j in range(len(qids))]
+            for i in range(len(mat))
+        ]
+        return pd.Series(out, index=vecs.index)
+
+    exploded = (
+        corpus.withColumn("_sc", F.explode(scores(F.col(vec_col))))
+        .select(
+            F.col("_sc.q").alias(q_id),
+            F.col(c_id),
+            F.col("_sc.s").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
+    return exploded.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

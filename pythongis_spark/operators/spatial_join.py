@@ -179,6 +179,7 @@ def point_in_polygon_join(
     salt_threshold: int = DEFAULT_SALT_THRESHOLD,
     max_salt: int = DEFAULT_MAX_SALT,
     how: str = "join",
+    build_rows: int | None = None,
 ) -> DataFrame:
     """Tag each point with every polygon containing it — the reference's
     intersects/within spatial join for the point-left case
@@ -208,7 +209,9 @@ def point_in_polygon_join(
     probe = points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
     probe = probe.withColumn("cell", IU.point_cell_expr(F.col(lon), F.col(lat), z))
 
-    build_count = build.count()
+    # planning statistic: an explicit hint avoids an extra job when the
+    # caller knows the build side (dimension tables, repeated joins)
+    build_count = build_rows if build_rows is not None else build.count()
     if build_count <= broadcast_rows:
         cand = probe.join(F.broadcast(build), "cell", "inner")
     else:

@@ -1,0 +1,166 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Beyond the reference's scope (it has no text ops) — these are the
+training-data-pipeline operators the engine needs at 100 TB. Everything
+that can stay JVM-side does (regexp_count / split / xxhash64 in
+whole-stage codegen); only the winnowing fingerprint uses a pandas UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny built-in stopword profiles for the n-gram/stopword language
+# heuristic (deterministic, dependency-free)
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "pour", "une"],
+    "es": ["el", "la", "los", "que", "de", "en", "es", "por", "con", "una"],
+}
+
+
+def _word_hits(text: Column, words: list[str]) -> Column:
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(text, F.lit(pat))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-profile language ID: count profile-word hits per language
+    (JVM regexp), pick argmax; ties and zero-hit rows → 'und'."""
+    hit_cols = [
+        _word_hits(F.col(text_col), words).alias(f"_h_{lang}")
+        for lang, words in LANG_PROFILES.items()
+    ]
+    tmp = df.select("*", *hit_cols)
+    best = None
+    best_n = None
+    for lang in LANG_PROFILES:
+        n = F.col(f"_h_{lang}")
+        if best is None:
+            best, best_n = F.lit(lang), n
+        else:
+            cond = n > best_n
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_n = F.when(cond, n).otherwise(best_n)
+    out_df = tmp.withColumn(out, F.when(best_n > 0, best).otherwise(F.lit("und")))
+    return out_df.drop(*[f"_h_{lang}" for lang in LANG_PROFILES])
+
+
+def token_count_exprs(text: Column) -> dict[str, Column]:
+    """Whitespace tokens + a BPE-ish sub-word estimate (word chunks of ≤4
+    chars + punctuation marks), all in codegen."""
+    trimmed = F.trim(text)
+    ws = F.when(F.length(trimmed) == 0, 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+    # BPE-ish: every run of ≤4 word chars is one token; digits and
+    # punctuation tokenize separately (a crude GPT-style regex)
+    bpe = F.regexp_count(text, F.lit(r"[A-Za-z]{1,4}|[0-9]{1,3}|[^\sA-Za-z0-9]"))
+    return {"n_tokens_ws": ws.cast("long"), "n_tokens_bpe": bpe.cast("long")}
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    exprs = token_count_exprs(F.col(text_col))
+    for name, e in exprs.items():
+        df = df.withColumn(name, e)
+    return df
+
+
+def quality_exprs(text: Column) -> dict[str, Column]:
+    """Quality features: length, punctuation/digit/space ratios, stopword
+    ratio, mean word length — the usual pre-training quality filters."""
+    n = F.length(text).cast("double")
+    safe_n = F.greatest(n, F.lit(1.0))
+    punct = F.regexp_count(text, F.lit(r"[^\w\s]")).cast("double")
+    digits = F.regexp_count(text, F.lit(r"[0-9]")).cast("double")
+    spaces = F.regexp_count(text, F.lit(r"\s")).cast("double")
+    stop = _word_hits(text, LANG_PROFILES["en"]).cast("double")
+    words = F.when(F.length(F.trim(text)) == 0, 0).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    ).cast("double")
+    safe_w = F.greatest(words, F.lit(1.0))
+    return {
+        "n_chars_q": n.cast("long"),
+        "punct_ratio": punct / safe_n,
+        "digit_ratio": digits / safe_n,
+        "space_ratio": spaces / safe_n,
+        "stopword_ratio": stop / safe_w,
+        "mean_word_len": (n - spaces) / safe_w,
+    }
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    for name, e in quality_exprs(F.col(text_col)).items():
+        df = df.withColumn(name, e)
+    return df
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out: str = "quality") -> DataFrame:
+    """Single scalar quality score in [0, 1]: penalize extreme ratios,
+    reward stopword presence and sane word lengths (deterministic
+    hand-tuned blend; JVM-side)."""
+    q = quality_exprs(F.col(text_col))
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), q["punct_ratio"] * 2)
+        * F.lit(0.25)
+        - F.least(F.lit(1.0), q["digit_ratio"] * 4) * F.lit(0.25)
+    ) * (
+        F.lit(0.5)
+        + F.least(F.lit(0.5), q["stopword_ratio"])
+    )
+    return df.withColumn(out, F.greatest(F.lit(0.0), F.least(F.lit(1.0), score)))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
+    """64-bit document fingerprint: xxhash64 of the normalized text
+    (lowercase, alnum+space only, squeezed) — exact-dup detection key,
+    fully JVM-side."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""),
+        r"\s+",
+        " ",
+    )
+    return df.withColumn(out, F.xxhash64(F.trim(norm)))
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 5, window: int = 4, out: str = "fps"
+) -> DataFrame:
+    """Winnowing fingerprint set (Schleimer et al. 2003): rolling hash of
+    k-grams, per-window minimum → array of selected hashes. Near-dup /
+    containment detection key set; numpy-vectorized pandas UDF."""
+
+    @F.pandas_udf("array<long>")
+    def winnow(texts: pd.Series) -> pd.Series:
+        out_rows = []
+        B, M = np.uint64(1000003), np.uint64((1 << 61) - 1)
+        for t in texts.to_numpy(object):
+            if t is None:
+                out_rows.append(None)
+                continue
+            s = "".join(ch for ch in t.lower() if ch.isalnum() or ch == " ")
+            data = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+            n = len(data)
+            if n < k:
+                out_rows.append([])
+                continue
+            # polynomial rolling hash of all k-grams, vectorized
+            h = np.zeros(n - k + 1, dtype=np.uint64)
+            for j in range(k):
+                h = (h * B + data[j : n - k + 1 + j].astype(np.uint64)) & M
+            if len(h) <= window:
+                sel = {int(h.min())}
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, window)
+                sel = set(win.min(axis=1).astype(np.int64).tolist())
+            out_rows.append(sorted(int(v) for v in sel))
+        return pd.Series(out_rows, index=texts.index)
+
+    return df.withColumn(out, winnow(F.col(text_col)))

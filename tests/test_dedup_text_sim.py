@@ -1,0 +1,176 @@
+"""Dedup / text-analysis / similarity operator tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pythongis_spark.operators import dedup as D
+from pythongis_spark.operators import similarity as S
+from pythongis_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Synthetic corpus with planted duplicate clusters."""
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs far away home",
+        "a completely different sentence about spark dataframes and shuffles",
+        "der schnelle braune fuchs springt ueber den faulen hund und rennt",
+        "le renard brun rapide saute par dessus le chien paresseux et court",
+    ]
+    rows = []
+    did = 0
+    for i, t in enumerate(base):
+        for rep in range(3):  # 3 near-identical copies (tiny suffix change)
+            suffix = "" if rep == 0 else f" extra{rep}"
+            rows.append(dict(doc_id=did, text=t + suffix, cluster=i))
+            did += 1
+    for j in range(20):  # unique noise docs
+        rows.append(
+            dict(
+                doc_id=did,
+                text=" ".join(f"tok{j}_{n}" for n in range(30)),
+                cluster=-1,
+            )
+        )
+        did += 1
+    # one exact duplicate pair
+    rows.append(dict(doc_id=did, text=rows[0]["text"], cluster=0))
+    return spark.createDataFrame(pd.DataFrame(rows)).cache()
+
+
+def test_dedup_exact(spark, docs):
+    out = D.dedup_exact(docs, ["text"], "doc_id").toPandas()
+    dups = out[out.dup_count > 1]
+    assert len(dups) == 1
+    assert dups.iloc[0]["keeper_id"] == 0
+    rows = D.dedup_exact_rows(docs, ["text"], "doc_id")
+    assert rows.count() == docs.count() - 1
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", threshold=0.6).toPandas()
+    clusters = docs.select("doc_id", "cluster").toPandas().set_index("doc_id")["cluster"]
+    # every planted same-cluster pair recovered (0,1,2), (3,4,5)... incl exact dup
+    found = {(a, b) for a, b in zip(pairs.a_id, pairs.b_id)}
+    for c in range(4):
+        ids = sorted(clusters[clusters == c].index)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                assert (ids[i], ids[j]) in found, (c, ids[i], ids[j])
+    # no cross-cluster false positives at this threshold
+    for a, b in found:
+        assert clusters[a] == clusters[b] or {clusters[a], clusters[b]} == {0}
+
+
+def test_simhash_near_dup(spark, docs):
+    pairs = D.simhash_near_dup_pairs(docs, "doc_id", max_hamming=6).toPandas()
+    clusters = docs.select("doc_id", "cluster").toPandas().set_index("doc_id")["cluster"]
+    found = {(a, b) for a, b in zip(pairs.a_id, pairs.b_id)}
+    assert (0, 32) in found  # exact dup pair has hamming 0
+    for a, b in found:
+        assert clusters[a] == clusters[b]
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = D.ngram_jaccard_pairs(docs, "doc_id", threshold=0.6).toPandas()
+    assert len(pairs) > 0
+    clusters = docs.select("doc_id", "cluster").toPandas().set_index("doc_id")["cluster"]
+    for a, b, j in zip(pairs.a_id, pairs.b_id, pairs.jaccard):
+        assert clusters[a] == clusters[b]
+        assert 0.6 <= j <= 1.0
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a_id": [1, 2, 10, 11], "b_id": [2, 3, 11, 12]})
+    )
+    cc = D.connected_components(pairs).toPandas().set_index("id")["component"]
+    assert cc[1] == cc[2] == cc[3] == 1
+    assert cc[10] == cc[11] == cc[12] == 10
+
+
+def test_embedding_neardup_with_planted(spark):
+    rng = np.random.Generator(np.random.PCG64(0))
+    base = rng.standard_normal((50, 16))
+    vecs = [v / np.linalg.norm(v) for v in base]
+    # plant near-dups: ids 50..54 are tiny perturbations of 0..4
+    for i in range(5):
+        v = base[i] + rng.standard_normal(16) * 0.01
+        vecs.append(v / np.linalg.norm(v))
+    pdf = pd.DataFrame(
+        {"vec_id": range(55), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    pairs = D.embedding_neardup_pairs(df, threshold=0.98, planes=8).toPandas()
+    found = {(a, b) for a, b in zip(pairs.a_id, pairs.b_id)}
+    hits = sum((i, 50 + i) in found for i in range(5))
+    assert hits >= 4  # LSH recall is probabilistic; ≥4/5 with 2 bands
+
+
+def test_langid(spark, docs):
+    out = TX.lang_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "lang_pred"] == "en"
+    assert out.loc[6, "lang_pred"] == "de"
+    assert out.loc[9, "lang_pred"] == "fr"
+    assert out.loc[12 + 12, "lang_pred"] == "und"  # noise doc
+
+
+def test_token_counts_and_quality(spark, docs):
+    out = TX.with_token_counts(docs).toPandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens_ws"] == len(
+        "the quick brown fox jumps over the lazy dog and runs far away home".split()
+    )
+    q = TX.quality_score(docs).toPandas()
+    assert ((0 <= q["quality"]) & (q["quality"] <= 1)).all()
+    en = q[q.doc_id == 0]["quality"].iloc[0]
+    noise = q[q.doc_id == 20]["quality"].iloc[0]
+    assert en > noise  # stopword-rich english beats tok_noise
+
+
+def test_fingerprint_and_winnow(spark, docs):
+    fp = TX.fingerprint(docs).toPandas()
+    byid = fp.set_index("doc_id")["fp"]
+    assert byid[0] == byid[32]  # exact dup (last row) shares fingerprint
+    assert byid[0] != byid[1]
+    wf = TX.winnow_fingerprints(docs.limit(5)).toPandas()
+    assert all(len(r) > 0 for r in wf["fps"])
+
+
+def test_cosine_topk_and_ivf(spark):
+    rng = np.random.Generator(np.random.PCG64(1))
+    M = rng.standard_normal((300, 16))
+    pdf = pd.DataFrame(
+        {"vec_id": range(300), "embedding": [list(map(float, v)) for v in M]}
+    )
+    df = spark.createDataFrame(pdf).cache()
+    q = M[7]
+    got = S.cosine_topk(df, q, k=5).toPandas()
+    # numpy oracle
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    scores = Mn @ (q / np.linalg.norm(q))
+    expect = np.argsort(-scores, kind="stable")[:5].tolist()
+    assert got["vec_id"].tolist() == expect
+    assert got["vec_id"].iloc[0] == 7
+
+    # IVF path: recall of exact top-1 with generous nprobe
+    C = S.kmeans_centroids(df, n_centroids=8, iters=3)
+    assigned = S.ivf_assign(df, C).cache()
+    approx = S.ivf_topk(assigned, C, q, k=5, nprobe=4).toPandas()
+    assert 7 in approx["vec_id"].tolist()
+
+
+def test_pairwise_topk_join(spark):
+    rng = np.random.Generator(np.random.PCG64(2))
+    M = rng.standard_normal((100, 8))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(100), "embedding": [list(map(float, v)) for v in M]})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame({"q_id": [0, 1], "embedding": [list(map(float, M[3])), list(map(float, M[50]))]})
+    )
+    out = S.pairwise_topk_join(queries, corpus, k=3).toPandas()
+    assert len(out) == 6
+    top1 = out[out.rk == 1].set_index("q_id")["vec_id"]
+    assert top1[0] == 3 and top1[1] == 50

@@ -1,0 +1,109 @@
+"""Plan audit: print .explain('formatted') of the flagship plans and
+assert the physical properties we designed for:
+
+* parquet scans show ReadSchema pruned to used columns (+ PushedFilters
+  where applicable);
+* the pip spatial join's candidate join is a BroadcastHashJoin for the
+  small zone dim (no shuffle of the probe side);
+* the quadkey tile expression compiles into WholeStageCodegen (no Python
+  in the tile-assignment path);
+* groupBy aggregates are partial+final HashAggregate pairs.
+
+Usage: python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+
+def fmt(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, plan: str, must: list[str], must_not: list[str] = ()):  # noqa
+    ok = True
+    for pat in must:
+        if not re.search(pat, plan):
+            print(f"  MISSING [{pat}]")
+            ok = False
+    for pat in must_not:
+        if re.search(pat, plan):
+            print(f"  UNEXPECTED [{pat}]")
+            ok = False
+    print(f"{name}: {'OK' if ok else 'PLAN REGRESSION'}")
+    return ok
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from pythongis_spark import fixtures as FX
+    from pythongis_spark.index import udfs as IU
+    from pythongis_spark.operators.spatial_join import point_in_polygon_join
+    from pythongis_spark.session import get_spark
+
+    spark = get_spark(app="plans", cores=8)
+    failures = 0
+
+    # 1. pip spatial join: broadcast candidate join, pruned parquet scan
+    pts = FX.events_points(spark, sf)
+    zones = FX.oracle_zones(spark)
+    pip = point_in_polygon_join(pts, zones, point_id="event_id", z=6, build_rows=0)
+    plan = fmt(pip)
+    print(plan[:2000])
+    failures += not check(
+        "pip_join",
+        plan,
+        must=[r"BroadcastHashJoin", r"ReadSchema: struct<event_id:bigint"],
+        must_not=[r"SortMergeJoin"],
+    )
+
+    # 2. tile assignment: pure codegen, no python eval
+    tiles = pts.select(
+        "event_id", IU.point_cell_expr(F.col("lon"), F.col("lat"), 8).alias("tile")
+    )
+    plan = fmt(tiles)
+    failures += not check(
+        "tile_assign",
+        plan,
+        must=[r"codegen id"],  # '* Project [codegen id: N]' = whole-stage codegen
+        must_not=[r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+
+    # 3. tpch q1: partial+final hash aggregate, date filter pushed
+    q1 = E.queries()["tpch_q1"](spark, sf)
+    plan = fmt(q1)
+    failures += not check(
+        "tpch_q1",
+        plan,
+        must=[r"HashAggregate", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"],
+    )
+
+    # 4. moving window: single shuffle on user_id
+    mw = E.queries()["moving_window_events"](spark, sf)
+    plan = fmt(mw)
+    failures += not check(
+        "moving_window", plan, must=[r"Window", r"hashpartitioning\(user_id"]
+    )
+
+    # 5. zonal stats: broadcast of zone cells, single agg shuffle
+    z = E.queries()["zonal_stats_raster"](spark, sf)
+    plan = fmt(z)
+    failures += not check("zonal_stats", plan, must=[r"BroadcastHashJoin", r"HashAggregate"])
+
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
