@@ -32,11 +32,15 @@ TILE_Z = 6
 
 
 def _tagged_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → deterministic points → pip join onto the 60 oracle zones."""
+    """events → deterministic points → pip join onto the 60 oracle zones.
+
+    Planner hints: the zone layer is a known-tiny dimension (z=6 keeps
+    candidates ≈ 1.3 per point; build_rows=0 skips the sizing job and
+    forces broadcast)."""
     pts = FX.events_points(spark, sf_dir)
     zones = FX.oracle_zones(spark)
     return point_in_polygon_join(
-        pts, zones, lon="lon", lat="lat", point_id="event_id"
+        pts, zones, lon="lon", lat="lat", point_id="event_id", z=6, build_rows=0
     )
 
 
@@ -453,8 +457,26 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.geometry.projections import reproject_points
+
+    pts = FX.events_points(spark, sf_dir)
+    return reproject_points(pts, to="EPSG:3857").select("event_id", "x_m", "y_m")
+
+
+def _q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.algebra import conditional, morphology
+
+    cells = FX.raster_cells(spark, 360, 180, 1)
+    mask = conditional(cells, "val > 50").filter(F.col("val").isNotNull())
+    out = morphology(mask.filter(F.col("val") > 0), "dilate", 1)
+    return out.select("x", "y", "val")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "webmercator_points": _q_webmercator,
+        "morphology_dilate": _q_morphology,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "token_counts_docs": _q_token_counts,
         "quality_docs": _q_quality_docs,
@@ -524,6 +546,23 @@ def oracle_sql() -> dict[str, str]:
     en_stop = r"(?i)\b(the|and|of|to|in|is|that|with|for|was)\b"
     bpe_pat = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^\sA-Za-z0-9]"
     return {
+        "webmercator_points": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id,
+                   RADIANS(lon) * 6378137.0 AS x_m,
+                   LN(TAN(PI() / 4 + RADIANS(GREATEST(-85.05112877980659, LEAST(85.05112877980659, lat))) / 2)) * 6378137.0 AS y_m
+            FROM pts
+        """,
+        "morphology_dilate": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)},
+            mask AS (
+              SELECT x, y FROM raster WHERE val IS NOT NULL AND val > 50
+            ),
+            offs AS (SELECT CAST(range AS INTEGER) - 1 AS o FROM range(3))
+            SELECT m.x + ox.o AS x, m.y + oy.o AS y, MAX(1.0) AS val
+            FROM mask m, offs ox, offs oy
+            GROUP BY 1, 2
+        """,
         "dedup_exact_docs": """
             SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
             FROM documents GROUP BY text

@@ -69,8 +69,17 @@ def main():
     from pythongis_spark.session import get_spark
 
     spark = get_spark(app="bench", cores=CPUS, shuffle_partitions=CPUS)
-    # warm the JVM/Arrow paths so per-query numbers reflect steady state
+    # warm the JVM + the python UDF workers (first pandas-UDF execution
+    # pays ~10s of worker spawn + imports) so per-query numbers reflect
+    # steady state
     spark.range(1000).count()
+    from pyspark.sql import functions as F
+
+    from pythongis_spark.geometry.udfs import st_point
+
+    spark.range(CPUS * 4).select(
+        st_point(F.col("id").cast("double"), F.col("id").cast("double"))
+    ).count()
 
     import __spark_entry__ as entrymod
 

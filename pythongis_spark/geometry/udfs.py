@@ -139,6 +139,32 @@ def st_dump_points(geom: pd.Series) -> pd.Series:
     return geom.map(conv)
 
 
+@F.pandas_udf(T.BinaryType())
+def _buffer_points_udf(lon: pd.Series, lat: pd.Series, radius: pd.Series) -> pd.Series:
+    """Planar circular buffer polygons around points (32-gon), vectorized —
+    the point case of the reference's planar buffer
+    (``pythongis/vector/manager.py:726-780``); polygon offsetting needs
+    GEOS-grade boolean ops and is out of scope (documented)."""
+    n = 32
+    ang = np.linspace(0.0, 2 * np.pi, n, endpoint=False)
+    ca, sa = np.cos(ang), np.sin(ang)
+    out = []
+    lons = lon.to_numpy(np.float64)
+    lats = lat.to_numpy(np.float64)
+    rads = radius.to_numpy(np.float64)
+    for i in range(len(lons)):
+        ring = np.stack(
+            [lons[i] + rads[i] * ca, lats[i] + rads[i] * sa], axis=1
+        )
+        ring = np.vstack([ring, ring[:1]])
+        out.append(W.wkb_polygon(ring))
+    return pd.Series(out, index=lon.index)
+
+
+def st_buffer_points(lon, lat, radius):
+    return _buffer_points_udf(lon, lat, radius)
+
+
 def with_point_geom(df, lon_col: str, lat_col: str, out: str = "geom"):
     """Attach a Point WKB column built from lon/lat columns."""
     return df.withColumn(out, st_point(F.col(lon_col), F.col(lat_col)))

@@ -320,6 +320,21 @@ def duplicates(
     return aggregate(df, keys, fieldmapping or [], order_col)
 
 
+def split_by(df: DataFrame, key: str, max_groups: int = 1000) -> dict:
+    """Split a table into one DataFrame per distinct key value —
+    reference ``split`` (``pythongis/vector/manager.py:501-534``).
+
+    Returns {value: DataFrame}. Driver-side distinct is bounded by
+    ``max_groups``; at scale prefer ``df.write.partitionBy(key)`` which
+    is the same split materialized by the writer without a collect."""
+    values = [r[0] for r in df.select(key).distinct().limit(max_groups + 1).collect()]
+    if len(values) > max_groups:
+        raise ValueError(
+            f"more than {max_groups} groups; use df.write.partitionBy({key!r})"
+        )
+    return {v: df.filter(F.col(key) == v) for v in values}
+
+
 def field_values(df: DataFrame, col: str) -> DataFrame:
     """Sorted distinct (``pythongis/vector/data.py:826``)."""
     return df.select(col).distinct().orderBy(col)

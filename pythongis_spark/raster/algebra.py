@@ -155,6 +155,50 @@ def upscale(df: DataFrame, k: int, stat: str = "sum") -> DataFrame:
     )
 
 
+def morphology(df: DataFrame, op: str = "dilate", size: int = 1) -> DataFrame:
+    """Grayscale morphology on a cell table — reference uses
+    PIL.ImageMorph on binary masks (``pythongis/raster/analyzer.py:616-631``).
+
+    Dilation = max (erosion = min) over the (2*size+1)^2 neighborhood,
+    expressed as neighbor-offset explosion + groupBy — pure Catalyst, no
+    halo exchange needed (the shuffle IS the halo). 'edge' = dilate minus
+    erode > 0 mask."""
+    offs = F.sequence(F.lit(-size), F.lit(size))
+    spread = (
+        df.filter(F.col("val").isNotNull())
+        .withColumn("_dx", F.explode(offs))
+        .withColumn("_dy", F.explode(offs))
+        .select(
+            (F.col("x") + F.col("_dx")).alias("x"),
+            (F.col("y") + F.col("_dy")).alias("y"),
+            "band",
+            "val",
+        )
+    )
+    if op == "dilate":
+        return spread.groupBy("x", "y", "band").agg(F.max("val").alias("val"))
+    if op == "erode":
+        # erosion: min over the neighborhood, but only where the full
+        # window exists in the input (missing neighbor = background 0)
+        n_window = (2 * size + 1) ** 2
+        return (
+            spread.groupBy("x", "y", "band")
+            .agg(F.min("val").alias("_mn"), F.count("*").alias("_n"))
+            .select(
+                "x", "y", "band",
+                F.when(F.col("_n") == n_window, F.col("_mn")).otherwise(F.lit(0.0)).alias("val"),
+            )
+        )
+    if op == "edge":
+        d = morphology(df, "dilate", size).withColumnRenamed("val", "_d")
+        e = morphology(df, "erode", size).withColumnRenamed("val", "_e")
+        return d.join(e, ["x", "y", "band"], "left").select(
+            "x", "y", "band",
+            (F.col("_d") - F.coalesce(F.col("_e"), F.lit(0.0)) > 0).cast("double").alias("val"),
+        )
+    raise ValueError(f"unknown morphology op {op!r}")
+
+
 def sequence_interpolate(r1: DataFrame, r2: DataFrame, t: float) -> DataFrame:
     """Linear interpolation between two same-grid rasters at fraction t —
     ``pythongis/raster/manager.py:65-160``."""

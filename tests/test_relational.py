@@ -155,3 +155,12 @@ def test_dissolve_union_geoms(spark):
     t, parts = decode_wkb(bytes(out.loc["a", "geom"]))
     assert t == "MultiPoint" and len(parts) == 2
     assert out.loc["a", "sv"] == 3.0
+
+
+def test_split_by(spark):
+    pdf = pd.DataFrame({"k": ["a", "b", "a", "c"], "v": [1, 2, 3, 4]})
+    parts = __import__("pythongis_spark.operators.relational", fromlist=["split_by"]).split_by(
+        spark.createDataFrame(pdf), "k"
+    )
+    assert set(parts) == {"a", "b", "c"}
+    assert parts["a"].count() == 2
