@@ -473,8 +473,164 @@ def _q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", "y", "val")
 
 
+def _q_pip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rows as pip_join_rows, but forced through the salted shuffle
+    path (broadcast disabled, aggressive salting) — proves the explicit
+    skew machinery yields the identical result set under the driver gate."""
+    pts = FX.events_points(spark, sf_dir)
+    zones = FX.oracle_zones(spark)
+    out = point_in_polygon_join(
+        pts, zones, point_id="event_id", z=6,
+        broadcast_rows=0, salt_threshold=100, max_salt=8,
+    )
+    return out.select("event_id", "zone_id", "name", "category")
+
+
+def _q_knn_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN through the cell-grid candidate path (targets big enough to
+    skip the brute-force shortcut)."""
+    from pythongis_spark.operators.knn import knn_join
+
+    pts = FX.events_points(spark, sf_dir)
+    lon, lat = FX.derived_lonlat_cols("c_custkey")
+    tgts = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", lon, lat)
+    got = knn_join(
+        pts, tgts, 3, point_id="event_id", target_id="c_custkey",
+        broadcast_targets_rows=10**9,
+    )
+    return got.select("event_id", "c_custkey", "knn_rank", "dist")
+
+
+def _q_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry dedup: coarse lattice coordinates collide across events —
+    groupBy WKB geometry (+ lon/lat carried for the oracle)."""
+    from pythongis_spark.geometry.udfs import st_point
+    from pythongis_spark.operators.relational import duplicates
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        (F.pmod(F.col("event_id"), 97).cast("double")).alias("lon"),
+        (F.pmod(F.col("event_id"), 53).cast("double")).alias("lat"),
+    ).withColumn("geom", st_point(F.col("lon"), F.col("lat")))
+    out = duplicates(
+        pts, "geom", subkey=["lon", "lat"],
+        fieldmapping=[("dup_count", "event_id", "count"), ("keeper", "event_id", "min")],
+    )
+    return out.select("lon", "lat", "dup_count", "keeper")
+
+
+def _q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.relational import describe
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return describe(cust).select("field", "valid", "missing")
+
+
+def _q_field_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.relational import field_values
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return field_values(cust, "c_mktsegment")
+
+
+def _q_seq_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.algebra import band, sequence_interpolate
+
+    cells = FX.raster_cells(spark, 360, 180, 2)
+    out = sequence_interpolate(band(cells, 0), band(cells, 1), 0.25)
+    return out.select("x", "y", "val")
+
+
+def _q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.algebra import band, mosaic
+
+    r1 = band(FX.raster_cells(spark, 360, 180, 1), 0)
+    r2 = r1.filter(F.col("x") < 180).withColumn("val", F.col("val") * 2)
+    return mosaic([r1, r2], "last").select("x", "y", "val")
+
+
+def _q_clip_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.algebra import band
+    from pythongis_spark.raster.zonal import clip_raster
+
+    r = band(FX.raster_cells(spark, 360, 180, 1), 0)
+    # mask independent of val so the semi join does real work
+    mask = r.filter(F.pmod(F.col("x") * 7 + F.col("y") * 11, F.lit(5)) == 0)
+    return clip_raster(r, mask).select("x", "y", "val")
+
+
+def _q_roll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.algebra import band
+    from pythongis_spark.raster.model import roll
+
+    r = band(FX.raster_cells(spark, 360, 180, 1), 0)
+    return roll(r, _rd(), 5, 3).select("x", "y", "val")
+
+
+def _q_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.algebra import band
+    from pythongis_spark.raster.model import crop
+
+    r = band(FX.raster_cells(spark, 360, 180, 1), 0)
+    return crop(r, _rd(), (-50.0, -20.0, 40.0, 60.0)).select("x", "y", "val")
+
+
+def _q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.zonal import vectorize_cells
+
+    cells = FX.raster_cells(spark, 360, 180, 1)
+    return vectorize_cells(cells, _rd()).select("x", "y", "val", "lon", "lat")
+
+
+def _rd_coarse():
+    from pythongis_spark.raster.model import RasterDef
+
+    return RasterDef(36, 18, (10.0, 0.0, -180.0, 0.0, -10.0, 90.0))
+
+
+def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.zonal import interpolate_idw
+
+    pts = FX.events_points(spark, sf_dir).withColumn(
+        "v", F.col("event_id").cast("double")
+    )
+    out = interpolate_idw(pts, _rd_coarse(), "v", exact=True)
+    return out.select("x", "y", "val")
+
+
+def _q_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.zonal import density_smooth
+
+    pts = FX.events_points(spark, sf_dir)
+    out = density_smooth(pts, _rd_coarse(), None, radius_cells=2, exact=True)
+    return out.select("x", "y", "val")
+
+
+def _q_disperse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.raster.zonal import disperse
+
+    zones = FX.oracle_zones(spark)
+    out = disperse(zones, _rd(), "pop")
+    return out.select("x", "y", "val")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "pip_join_salted": _q_pip_salted,
+        "knn_grid_path": _q_knn_grid,
+        "duplicates_geom": _q_duplicates,
+        "describe_customer": _q_describe,
+        "field_values_segment": _q_field_values,
+        "seq_interpolate": _q_seq_interp,
+        "mosaic_last_wins": _q_mosaic,
+        "clip_raster_semi": _q_clip_raster,
+        "roll_raster": _q_roll,
+        "crop_raster": _q_crop,
+        "vectorize_cells": _q_vectorize,
+        "idw_grid": _q_idw,
+        "density_events": _q_density,
+        "disperse_zone_pop": _q_disperse,
         "webmercator_points": _q_webmercator,
         "morphology_dilate": _q_morphology,
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -545,7 +701,140 @@ def oracle_sql() -> dict[str, str]:
     cell_zone = FX.zone_id_sql("(-180.0 + (r.x + 0.5))", "(90.0 - (r.y + 0.5))")
     en_stop = r"(?i)\b(the|and|of|to|in|is|that|with|for|was)\b"
     bpe_pat = r"[A-Za-z]{1,4}|[0-9]{1,3}|[^\sA-Za-z0-9]"
+    lon97 = "CAST(event_id % 97 AS DOUBLE)"
+    lat53 = "CAST(event_id % 53 AS DOUBLE)"
+    cust_lon, cust_lat = FX.derived_lonlat_sql("c_custkey")
+    knn2_dist = (
+        "sqrt((p.lon - c.lon) * (p.lon - c.lon) + (p.lat - c.lat) * (p.lat - c.lat))"
+    )
     return {
+        "pip_join_salted": f"""
+            WITH {_PTS_CTE}, {FX.ZONES_CTE_SQL}
+            SELECT p.event_id, z.zone_id, z.name, z.category
+            FROM pts p JOIN zones z ON z.zone_id = {zid}
+        """,
+        "knn_grid_path": f"""
+            WITH {_PTS_CTE},
+            cust AS (
+              SELECT c_custkey, {cust_lon} AS lon, {cust_lat} AS lat FROM customer
+            )
+            SELECT event_id, c_custkey, knn_rank, dist FROM (
+              SELECT p.event_id, c.c_custkey,
+                     {knn2_dist} AS dist,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY p.event_id ORDER BY {knn2_dist}, c.c_custkey
+                     ) AS knn_rank
+              FROM pts p CROSS JOIN cust c
+            ) WHERE knn_rank <= 3
+        """,
+        "duplicates_geom": f"""
+            SELECT {lon97} AS lon, {lat53} AS lat,
+                   COUNT(event_id) AS dup_count,
+                   CAST(MIN(event_id) AS BIGINT) AS keeper
+            FROM events GROUP BY 1, 2
+        """,
+        "describe_customer": """
+            SELECT 'c_custkey' AS field, COUNT(c_custkey) AS valid, COUNT(*) - COUNT(c_custkey) AS missing FROM customer
+            UNION ALL SELECT 'c_name', COUNT(c_name), COUNT(*) - COUNT(c_name) FROM customer
+            UNION ALL SELECT 'c_nationkey', COUNT(c_nationkey), COUNT(*) - COUNT(c_nationkey) FROM customer
+            UNION ALL SELECT 'c_acctbal', COUNT(c_acctbal), COUNT(*) - COUNT(c_acctbal) FROM customer
+            UNION ALL SELECT 'c_mktsegment', COUNT(c_mktsegment), COUNT(*) - COUNT(c_mktsegment) FROM customer
+        """,
+        "field_values_segment": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        "seq_interpolate": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 2)}
+            SELECT a.x, a.y, a.val + (b.val - a.val) * 0.25 AS val
+            FROM (SELECT * FROM raster WHERE band = 0) a
+            JOIN (SELECT * FROM raster WHERE band = 1) b USING (x, y)
+        """,
+        "mosaic_last_wins": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)}
+            SELECT x, y,
+                   CASE WHEN x < 180 AND val IS NOT NULL THEN val * 2 ELSE val END AS val
+            FROM raster WHERE band = 0
+        """,
+        "clip_raster_semi": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)}
+            SELECT r.x, r.y, r.val FROM raster r
+            WHERE r.band = 0 AND EXISTS (
+              SELECT 1 FROM raster m
+              WHERE m.band = 0 AND m.x = r.x AND m.y = r.y
+                AND (m.x * 7 + m.y * 11) % 5 = 0 AND m.val IS NOT NULL
+            )
+        """,
+        "roll_raster": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)}
+            SELECT CAST((x + 5) % 360 AS INTEGER) AS x,
+                   CAST((y + 3) % 180 AS INTEGER) AS y, val
+            FROM raster WHERE band = 0
+        """,
+        "crop_raster": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)}
+            SELECT x, y, val FROM raster
+            WHERE band = 0 AND x BETWEEN 130 AND 220 AND y BETWEEN 30 AND 110
+        """,
+        "vectorize_cells": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)}
+            SELECT x, y, val,
+                   -180.0 + (x + 0.5) AS lon,
+                   90.0 - (y + 0.5) AS lat
+            FROM raster WHERE band = 0 AND val IS NOT NULL
+        """,
+        "idw_grid": f"""
+            WITH {_PTS_CTE},
+            known AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 10.0) AS INTEGER) AS px,
+                     CAST(FLOOR((90.0 - lat) / 10.0) AS INTEGER) AS py,
+                     AVG(CAST(event_id AS DOUBLE)) AS pval
+              FROM pts GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT CAST(i % 36 AS INTEGER) AS x, CAST(FLOOR(i / 36) AS INTEGER) AS y
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(648))
+            ),
+            cand AS (
+              SELECT g.x, g.y, k.pval,
+                     CAST((g.x - k.px) * (g.x - k.px) + (g.y - k.py) * (g.y - k.py) AS DOUBLE) AS d2
+              FROM grid g CROSS JOIN known k
+            )
+            SELECT x, y,
+                   COALESCE(
+                     MAX(CASE WHEN d2 = 0 THEN pval END),
+                     CAST(SUM(CAST((1.0 / d2) * pval AS DECIMAL(38,18))) FILTER (WHERE d2 > 0) AS DOUBLE)
+                     / CAST(SUM(CAST(1.0 / d2 AS DECIMAL(38,18))) FILTER (WHERE d2 > 0) AS DOUBLE)
+                   ) AS val
+            FROM cand GROUP BY x, y
+        """,
+        "density_events": f"""
+            WITH {_PTS_CTE},
+            binned AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 10.0) AS INTEGER) AS x,
+                     CAST(FLOOR((90.0 - lat) / 10.0) AS INTEGER) AS y,
+                     SUM(1.0) AS v
+              FROM pts GROUP BY 1, 2
+            ),
+            offs AS (SELECT CAST(range AS INTEGER) - 2 AS o FROM range(5)),
+            spread AS (
+              SELECT b.x + ox.o AS x, b.y + oy.o AS y,
+                     b.v * (1.0 - SQRT(CAST(ox.o * ox.o + oy.o * oy.o AS DOUBLE)) / 2) AS w
+              FROM binned b, offs ox, offs oy
+              WHERE SQRT(CAST(ox.o * ox.o + oy.o * oy.o AS DOUBLE)) <= 2
+            )
+            SELECT x, y, CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS val
+            FROM spread
+            WHERE x >= 0 AND x < 36 AND y >= 0 AND y < 18
+            GROUP BY x, y
+        """,
+        "disperse_zone_pop": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)}, {FX.ZONES_CTE_SQL}
+            SELECT r.x, r.y,
+                   (CAST(z.pop AS DOUBLE) * 1.0) / 1080.0 AS val
+            FROM raster r
+            JOIN zones z ON z.zone_id = {FX.zone_id_sql("(-180.0 + (r.x + 0.5))", "(90.0 - (r.y + 0.5))")}
+            WHERE r.band = 0
+        """,
         "webmercator_points": f"""
             WITH {_PTS_CTE}
             SELECT event_id,

@@ -145,6 +145,65 @@ def closest_point(
     )
 
 
+def snap_points(
+    points: DataFrame,
+    targets: DataFrame,
+    tolerance: float,
+    *,
+    point_id: str,
+    lon: str = "lon",
+    lat: str = "lat",
+    target_geom: str = "geom",
+) -> DataFrame:
+    """Snap point coordinates to the nearest *vertex* of the target layer
+    within ``tolerance`` — the point case of the reference's snap
+    (``pythongis/vector/manager.py:622-648``; its farthest-first repeat
+    order only matters for mutating shared vertices, which our immutable
+    columns don't have).
+
+    Output: point columns with lon/lat replaced where snapped, plus
+    ``snapped`` boolean. Scales as a distance join on target vertices.
+    """
+    from pythongis_spark.geometry.udfs import st_dump_points
+    from pythongis_spark.operators.knn import knn_join
+
+    # explode target vertices -> (vlon, vlat) point table
+    verts = (
+        targets.select(F.explode(st_dump_points(F.col(target_geom))).alias("_vp"))
+        .select("_vp")
+        .distinct()
+    )
+
+    @F.pandas_udf("struct<vlon:double,vlat:double>")
+    def unpack(blobs: pd.Series) -> pd.DataFrame:
+        xs = np.full(len(blobs), np.nan)
+        ys = np.full(len(blobs), np.nan)
+        for i, b in enumerate(blobs.to_numpy(object)):
+            t, coords = W.decode_wkb(bytes(b))
+            xs[i], ys[i] = coords[0]
+        return pd.DataFrame({"vlon": xs, "vlat": ys}, index=blobs.index)
+
+    vert_pts = (
+        verts.withColumn("_c", unpack(F.col("_vp")))
+        .select(F.col("_c.vlon").alias("vlon"), F.col("_c.vlat").alias("vlat"))
+        .distinct()
+        .withColumn("vid", F.monotonically_increasing_id())
+    )
+    nearest = knn_join(
+        points, vert_pts, 1,
+        point_id=point_id, target_id="vid", t_lon="vlon", t_lat="vlat",
+        lon=lon, lat=lat,
+    ).join(vert_pts, "vid")
+    snapped = nearest.withColumn("snapped", F.col("dist") <= tolerance)
+    out_cols = [c for c in points.columns if c not in (lon, lat)]
+    return snapped.select(
+        *out_cols,
+        F.when(F.col("snapped"), F.col("vlon")).otherwise(F.col(lon)).alias(lon),
+        F.when(F.col("snapped"), F.col("vlat")).otherwise(F.col(lat)).alias(lat),
+        "snapped",
+    )
+
+
 def connect(
     frompoints: DataFrame,
     topoints: DataFrame,

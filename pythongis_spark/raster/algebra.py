@@ -201,10 +201,12 @@ def morphology(df: DataFrame, op: str = "dilate", size: int = 1) -> DataFrame:
 
 def sequence_interpolate(r1: DataFrame, r2: DataFrame, t: float) -> DataFrame:
     """Linear interpolation between two same-grid rasters at fraction t —
-    ``pythongis/raster/manager.py:65-160``."""
-    a = r1.select("x", "y", "band", F.col("val").alias("v1"))
-    b = r2.select("x", "y", "band", F.col("val").alias("v2"))
-    return a.join(b, ["x", "y", "band"]).select(
-        "x", "y", "band",
+    ``pythongis/raster/manager.py:65-160``. The inputs are two *rasters*
+    (e.g. different bands or years), so the join key is the grid position
+    only."""
+    a = r1.select("x", "y", F.col("val").alias("v1"))
+    b = r2.select("x", "y", F.col("val").alias("v2"))
+    return a.join(b, ["x", "y"]).select(
+        "x", "y",
         (F.col("v1") + (F.col("v2") - F.col("v1")) * F.lit(float(t))).alias("val"),
     )

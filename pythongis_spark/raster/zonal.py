@@ -210,6 +210,7 @@ def interpolate_idw(
     lon: str = "lon",
     lat: str = "lat",
     sensitivity: float = 2.0,
+    exact: bool = False,
 ) -> DataFrame:
     """Inverse-distance-weighted interpolation of points onto the grid
     (``pythongis/raster/analyzer.py:150-267``): exact at known cells;
@@ -239,14 +240,28 @@ def interpolate_idw(
     dx = F.col("x") - F.col("px")
     dy = F.col("y") - F.col("py")
     d2 = (dx * dx + dy * dy).cast("double")
-    wgt = F.when(d2 == 0, None).otherwise(F.pow(F.sqrt(d2), F.lit(-float(sensitivity))))
+    if sensitivity == 2.0:
+        # exact reciprocal (pow(x,-1) is not guaranteed == 1/x in IEEE)
+        wgt = F.when(d2 == 0, None).otherwise(F.lit(1.0) / d2)
+    else:
+        wgt = F.when(d2 == 0, None).otherwise(
+            F.pow(F.sqrt(d2), F.lit(-float(sensitivity)))
+        )
+    # exact=True: decimal accumulation — order-independent bit-identical
+    # sums (used by the DuckDB oracle gate); default double sums
+    if exact:
+        num = F.sum((F.col("_w") * F.col("pval")).cast("decimal(38,18)"))
+        den = F.sum(F.col("_w").cast("decimal(38,18)"))
+        idw = (num.cast("double") / den.cast("double")).alias("_idw")
+    else:
+        idw = (F.sum(F.col("_w") * F.col("pval")) / F.sum("_w")).alias("_idw")
     agg = (
         cand.withColumn("_w", wgt)
         .withColumn("_exact", F.when(d2 == 0, F.col("pval")))
         .groupBy("x", "y")
         .agg(
             F.first("_exact", ignorenulls=True).alias("_ex"),
-            (F.sum(F.col("_w") * F.col("pval")) / F.sum("_w")).alias("_idw"),
+            idw,
         )
     )
     return agg.select(
@@ -262,6 +277,7 @@ def density_smooth(
     radius_cells: int,
     lon: str = "lon",
     lat: str = "lat",
+    exact: bool = False,
 ) -> DataFrame:
     """Radial kernel smoothing / point density
     (``pythongis/raster/analyzer.py:269-434``): bin points per cell, then
@@ -290,7 +306,12 @@ def density_smooth(
         )
         .filter(in_grid(rd, F.col("x"), F.col("y")))
     )
-    return spread.groupBy("x", "y").agg(F.sum("w").alias("val")).withColumn(
+    agg = (
+        F.sum(F.col("w").cast("decimal(38,18)")).cast("double")
+        if exact
+        else F.sum("w")
+    )
+    return spread.groupBy("x", "y").agg(agg.alias("val")).withColumn(
         "band", F.lit(0).cast("int")
     ).select("x", "y", "band", "val")
 
@@ -306,10 +327,16 @@ def disperse(
     cells proportional to a weight raster; overlaps add
     (``pythongis/raster/analyzer.py:436-476``)."""
     cover = _cover_cells_udf(rd)
-    feat_cells = vector.select(
+    # _fid must be assigned BEFORE the explode: inside the same select,
+    # monotonically_increasing_id() would be evaluated per exploded row
+    # (one "feature" per cell), silently breaking the per-feature shares
+    feats = vector.select(
         F.monotonically_increasing_id().alias("_fid"),
         F.col(valuekey).cast("double").alias("_v"),
-        F.explode(cover(F.col(geom))).alias("_cov"),
+        F.col(geom).alias("_g"),
+    )
+    feat_cells = feats.select(
+        "_fid", "_v", F.explode(cover(F.col("_g"))).alias("_cov")
     ).select("_fid", "_v", F.col("_cov.x").alias("x"), F.col("_cov.y").alias("y"))
     if weight_cells is not None:
         wdf = weight_cells.select("x", "y", F.col("val").alias("_w"))

@@ -62,3 +62,20 @@ def test_connect_cross_no_key(spark):
     assert out.count() == 2
     t, coords = W.decode_wkb(bytes(out.toPandas().iloc[0]["geom"]))
     assert len(coords) == 2
+
+
+def test_snap_points(spark):
+    from pythongis_spark.operators.analyzer import snap_points
+
+    ring = np.array([[10.0, 10], [20, 10], [20, 20], [10, 20], [10, 10]])
+    targets = spark.createDataFrame(
+        pd.DataFrame({"t_id": [1], "geom": [W.wkb_polygon(ring)]})
+    )
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {"p_id": [1, 2], "lon": [10.3, 50.0], "lat": [10.2, 50.0]}
+        )
+    )
+    out = snap_points(pts, targets, 1.0, point_id="p_id").toPandas().set_index("p_id")
+    assert out.loc[1, "snapped"] and out.loc[1, "lon"] == 10.0 and out.loc[1, "lat"] == 10.0
+    assert not out.loc[2, "snapped"] and out.loc[2, "lon"] == 50.0
