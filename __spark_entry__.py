@@ -622,8 +622,40 @@ def _q_disperse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", "y", "val")
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.relational import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessionize(ev, "user_id", "ts", gap_seconds=3600, order_tiebreak="event_id")
+    return out.select("event_id", "user_id", "session_id")
+
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.dedup import connected_components, minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", threshold=0.5)
+    return connected_components(pairs)
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.images.multimodal import audio_df, audio_features
+
+    return audio_features(audio_df(spark, 100))
+
+
+def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.images.multimodal import sample_frames, video_df
+
+    return sample_frames(video_df(spark, 50), every=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "sessionize_events": _q_sessionize,
+        "dedup_clusters_docs": _q_dedup_clusters,
+        "audio_features": _q_audio_features,
+        "video_frame_sample": _q_video_frames,
         "pip_join_salted": _q_pip_salted,
         "knn_grid_path": _q_knn_grid,
         "duplicates_geom": _q_duplicates,
@@ -715,6 +747,18 @@ def oracle_sql() -> dict[str, str]:
         "sqrt((p.lon - c.lon) * (p.lon - c.lon) + (p.lat - c.lat) * (p.lat - c.lat))"
     )
     return {
+        "sessionize_events": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CASE WHEN prev IS NULL
+                            OR EPOCH(ts) - EPOCH(prev) > 3600 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+        """,
         "pip_join_salted": f"""
             WITH {_PTS_CTE}, {FX.ZONES_CTE_SQL}
             SELECT p.event_id, z.zone_id, z.name, z.category

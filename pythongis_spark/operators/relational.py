@@ -234,6 +234,32 @@ def moving_window(
     return out
 
 
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 3600,
+    order_tiebreak: str | None = None,
+    out: str = "session_id",
+) -> DataFrame:
+    """Sessionization: per user, a new session starts when the gap to the
+    previous event exceeds ``gap_seconds`` (lag + running sum — the batch
+    form; streaming would use ``session_window``). Beyond the reference's
+    scope; standard training-data/event-pipeline operator."""
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev) > gap_seconds),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        out,
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def compute_grouped(df: DataFrame, out: str, col: str, stat: str, by: str | list[str]) -> DataFrame:
     """``compute(field, value, by=, stat=)`` — group aggregate broadcast to
     every member row (``pythongis/vector/data.py:627-636``) as an
