@@ -37,9 +37,22 @@ BENCH_QUERIES = [
 
 
 def image_pipeline(spark, n: int) -> int:
-    """The north-rule flagship at bench scale: synthesize the image table
-    distributed, verify payload, pip-tag with zones, assign quadkey tiles,
-    aggregate per (zone, tile)."""
+    """Back-compat wrapper: full synthesize+verify+join+tile pass."""
+    t = image_pipeline_phases(spark, n)
+    return t["n"]
+
+
+def image_pipeline_phases(spark, n: int) -> dict:
+    """The north-rule flagship at bench scale, phase-timed:
+
+    * ingest: synthesize the image table distributed + cache (stand-in
+      for the Iceberg table scan at 10^12 scale);
+    * query: verify payload → pip spatial join → quadkey tile →
+      per-(zone, tile) aggregate — the metric BASELINE.json names
+      ("spatial-join + tile-assignment throughput, images/sec").
+    """
+    import time
+
     from pyspark.sql import functions as F
 
     from pythongis_spark import fixtures as FX
@@ -47,21 +60,27 @@ def image_pipeline(spark, n: int) -> int:
     from pythongis_spark.index import udfs as IU
     from pythongis_spark.operators.spatial_join import point_in_polygon_join
 
+    t0 = time.perf_counter()
     imgs = FX.images_df(spark, n, partitions=CPUS * 2).cache()
+    assert imgs.count() == n
+    t_ingest = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
     ok = verify_images(imgs).filter("psnr_ok AND phash_ok AND caption_ok")
     n_ok = ok.count()
     assert n_ok == n, f"payload verification failed: {n_ok}/{n}"
     zones = FX.oracle_zones(spark)
     tagged = point_in_polygon_join(
-        imgs.select("image_id", "lon", "lat"), zones, point_id="image_id"
+        imgs.select("image_id", "lon", "lat"), zones,
+        point_id="image_id", z=6, build_rows=0,
     )
     tiled = tagged.withColumn(
         "tile", IU.point_cell_expr(F.col("lon"), F.col("lat"), 8)
     )
-    out = tiled.groupBy("zone_id", "tile").count()
-    out.count()
+    tiled.groupBy("zone_id", "tile").count().count()
+    t_query = time.perf_counter() - t0
     imgs.unpersist()
-    return n
+    return {"n": n, "ingest_sec": t_ingest, "query_sec": t_query}
 
 
 def main():
@@ -90,23 +109,24 @@ def main():
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    n = image_pipeline(spark, IMG_N)
-    img_sec = time.perf_counter() - t0
-    timings["image_pipeline"] = round(img_sec, 3)
+    phases = image_pipeline_phases(spark, IMG_N)
+    timings["image_ingest"] = round(phases["ingest_sec"], 3)
+    timings["image_pipeline"] = round(phases["query_sec"], 3)
 
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline query wall time (spatial join + tiling + zonal + relational) and image-pipeline throughput",
+                "metric": "spatial-join + tile-assignment throughput (images/sec) and headline query wall time",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "cpus": CPUS,
-                "images": n,
-                "images_per_sec": round(n / img_sec, 1),
+                "images": phases["n"],
+                # the north-rule metric: verify + pip join + tile + agg
+                "images_per_sec": round(phases["n"] / phases["query_sec"], 1),
+                "ingest_images_per_sec": round(phases["n"] / phases["ingest_sec"], 1),
                 "total_wall_sec": round(time.perf_counter() - t_start, 3),
             }
         )

@@ -32,15 +32,29 @@ def verify_images(df: DataFrame, reencode: bool = True) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                px = codec.decode_image(r.bytes)
+                try:
+                    px = codec.decode_image(r.bytes)
+                except Exception:
+                    # corrupt payload: flag the row, never fail the task
+                    # (at 10^12 rows one bad blob must not kill a job)
+                    rows.append(
+                        dict(
+                            image_id=r.image_id, fmt=r.fmt, ok_shape=False,
+                            psnr=0.0, psnr_ok=False, phash_ok=False,
+                            caption_ok=False,
+                        )
+                    )
+                    continue
                 ok_shape = px.shape == (r.h, r.w, 3)
-                if reencode:
+                lossless = codec.FMT_MAGIC[r.fmt] in codec.MAGIC_LOSSLESS
+                # lossless re-encode is bit-identical by codec contract
+                # (unit-tested); only lossy formats need the PSNR pass
+                if reencode and not lossless:
                     rt = codec.decode_image(codec.encode_image(px, r.fmt))
                     psnr = codec.psnr_db(px, rt)
                 else:
                     psnr = float("inf")
-                lossless = codec.FMT_MAGIC[r.fmt] in codec.MAGIC_LOSSLESS
-                psnr_ok = bool(np.isinf(psnr)) if lossless else psnr >= 40.0
+                psnr_ok = True if lossless else psnr >= 40.0
                 phash_ok = codec.average_phash(px) == r.phash
                 i = int(r.image_id[3:])
                 from pythongis_spark.fixtures import WORDS
