@@ -37,8 +37,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TABLE = os.environ.get("SPARK_GRAFT_SCALE_TABLE", "/tmp/scale_images")
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_SCALE_N", "360000"))
 LEVELS = (
-    int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2")),
-    int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8")),
+    int(os.environ.get("SPARK_GRAFT_SCALE_LO", "1")),
+    int(os.environ.get("SPARK_GRAFT_SCALE_HI", "4")),
 )
 
 WRITE_CHILD = r"""
