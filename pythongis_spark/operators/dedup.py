@@ -120,24 +120,32 @@ def minhash_lsh_pairs(
     Output: (a_id, b_id, jaccard)."""
     assert num_perm % bands == 0
     r = num_perm // bands
+    # Scale contract: the text column must NOT ride through the ×bands
+    # explode / bucket shuffle / pair distinct — at corpus scale that
+    # shuffles the whole corpus ~bands times. Band-join on ids only,
+    # distinct the id pairs, then join the text back exactly once per
+    # side for the exact-Jaccard verify.
     sigs = minhash_signatures(df, text_col, num_perm, shingle_k).select(
-        F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"), "sig"
+        F.col(id_col).alias("_id"), "sig"
     )
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sigs.select("_id", "_txt", "sig", band_idx).withColumn(
+    banded = sigs.select("_id", "sig", band_idx).withColumn(
         "bucket", F.xxhash64(F.slice("sig", F.col("band") * r + 1, r), F.col("band"))
     )
-    L = banded.select(
-        F.col("_id").alias("a_id"), F.col("_txt").alias("a_txt"), "band", "bucket"
-    )
-    Rt = banded.select(
-        F.col("_id").alias("b_id"), F.col("_txt").alias("b_txt"), "band", "bucket"
-    )
-    pairs = (
+    L = banded.select(F.col("_id").alias("a_id"), "band", "bucket")
+    Rt = banded.select(F.col("_id").alias("b_id"), "band", "bucket")
+    pair_ids = (
         L.join(Rt, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_txt", "b_txt")
+        .select("a_id", "b_id")
         .distinct()
+    )
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
+    pairs = (
+        pair_ids.join(texts, pair_ids.a_id == texts._tid)
+        .select("a_id", "b_id", F.col("_txt").alias("a_txt"))
+        .join(texts, F.col("b_id") == texts._tid)
+        .select("a_id", "b_id", "a_txt", F.col("_txt").alias("b_txt"))
     )
 
     @F.pandas_udf("double")
@@ -250,15 +258,26 @@ def ngram_jaccard_pairs(
                 out.append(np.sort(sh)[:max_shingles_per_doc].astype(np.int64).tolist())
         return pd.Series(out, index=texts.index)
 
+    # Inverted index carries (id, shingle-hash) only — never the text
+    # (the ×max_shingles explode would otherwise duplicate the corpus
+    # 32×  through the shuffle). Text joins back once per side for the
+    # exact verify.
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
-    inv = base.withColumn("sh", F.explode(sample_shingles(F.col("_txt"))))
-    L = inv.select(F.col("_id").alias("a_id"), F.col("_txt").alias("a_txt"), "sh")
-    Rt = inv.select(F.col("_id").alias("b_id"), F.col("_txt").alias("b_txt"), "sh")
-    pairs = (
+    inv = base.select("_id", F.explode(sample_shingles(F.col("_txt"))).alias("sh"))
+    L = inv.select(F.col("_id").alias("a_id"), "sh")
+    Rt = inv.select(F.col("_id").alias("b_id"), "sh")
+    pair_ids = (
         L.join(Rt, "sh")
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_txt", "b_txt")
+        .select("a_id", "b_id")
         .distinct()
+    )
+    texts = base.select(F.col("_id").alias("_tid"), "_txt")
+    pairs = (
+        pair_ids.join(texts, pair_ids.a_id == texts._tid)
+        .select("a_id", "b_id", F.col("_txt").alias("a_txt"))
+        .join(texts, F.col("b_id") == texts._tid)
+        .select("a_id", "b_id", "a_txt", F.col("_txt").alias("b_txt"))
     )
 
     @F.pandas_udf("double")
@@ -324,14 +343,21 @@ def embedding_neardup_pairs(
                 F.struct(F.lit(1).alias("band"), F.shiftrightunsigned(F.col("sig"), half).alias("bucket")),
             )
         ).alias("bb"),
-    ).select("_id", "_v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    L = banded.select(F.col("_id").alias("a_id"), F.col("_v").alias("a_v"), "band", "bucket")
-    Rt = banded.select(F.col("_id").alias("b_id"), F.col("_v").alias("b_v"), "band", "bucket")
-    pairs = (
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    L = banded.select(F.col("_id").alias("a_id"), "band", "bucket")
+    Rt = banded.select(F.col("_id").alias("b_id"), "band", "bucket")
+    pair_ids = (
         L.join(Rt, ["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_v", "b_v")
+        .select("a_id", "b_id")
         .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    pairs = (
+        pair_ids.join(vecs, pair_ids.a_id == vecs._vid)
+        .select("a_id", "b_id", F.col("_v").alias("a_v"))
+        .join(vecs, F.col("b_id") == vecs._vid)
+        .select("a_id", "b_id", "a_v", F.col("_v").alias("b_v"))
     )
 
     @F.pandas_udf("double")
@@ -354,38 +380,91 @@ def embedding_neardup_pairs(
 # connected components → duplicate clusters
 # ------------------------------------------------------------------
 
-def connected_components(
-    pairs: DataFrame, max_iter: int = 10
-) -> DataFrame:
-    """Label propagation over (a_id, b_id) edges: each node converges to
-    the minimum id in its component. Iterative DataFrame joins (small
-    diameter in dedup graphs); returns (id, component)."""
-    edges = pairs.select("a_id", "b_id")
-    sym = edges.union(edges.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
-    labels = (
-        sym.select(F.col("a_id").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): for every node u, connect each strictly
+    larger neighbour to min(Γ(u) ∪ {u})."""
+    sym = edges.union(
+        edges.select(F.col("u").alias("v"), F.col("v").alias("u")).select("u", "v")
     )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.least("mv", "u").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge large→small, then per node u
+    connect every neighbour (and u itself) to the minimum."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    j = oriented.join(mins, "u")
+    to_min = j.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edge = mins.select(F.col("u"), F.col("m").alias("v"))
+    return to_min.union(self_edge).distinct()
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over (a_id, b_id) edges via alternating
+    large-star / small-star rounds — O(log n) rounds regardless of
+    component diameter (min-label propagation is O(diameter), which
+    silently truncates long transitive near-dup chains).
+
+    Convergence is detected with a cheap (count, hash-sum) checksum of
+    the edge set per round; superseded cached edge sets are unpersisted.
+    Raises RuntimeError if the edge set is still moving after
+    ``max_iter`` rounds rather than returning wrong labels silently.
+    Returns (id, component) with component = min id in the component.
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _checksum(e: DataFrame):
+        # bit_xor is order-independent and cannot overflow (unlike sum
+        # of hashes under ANSI arithmetic); edge sets are distinct so
+        # duplicate-cancellation is not a concern.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    # Each round references the previous edge set several times (unions +
+    # self-joins), so without lineage truncation the logical plan grows
+    # exponentially and Catalyst analysis dominates. localCheckpoint
+    # materializes each round and cuts the lineage (on a real cluster a
+    # reliable checkpoint dir would make this restart-safe too).
+    edges = edges.localCheckpoint(eager=True)
+    prev_sum = _checksum(edges)
+    if prev_sum[0] == 0:
+        return edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    converged = False
     for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym.a_id == labels.id)
-            .select(F.col("b_id").alias("id"), "component")
-        )
-        new_labels = (
-            labels.select("id", "component")
-            .union(neigh)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels.cache()
-        if changed == 0:
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur_sum = _checksum(nxt)
+        edges = nxt
+        if cur_sum == prev_sum:
+            converged = True
             break
+        prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds"
+        )
+    # At convergence every edge points node → component root (the min id);
+    # roots themselves appear only on the v side.
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("component")).union(
+        edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
+    ).distinct()
     return labels

@@ -82,13 +82,19 @@ def ref_aggreg(rows, fieldmapping):
         elif stat == "last":
             out[outfield] = values[-1]
         elif stat == "majority":
+            # reference groups over sorted(seq) (vector/manager.py majority
+            # path), so count ties resolve to the smallest value. Building
+            # counts from sorted(values) makes dict order = value order, and
+            # max/min return the first (= smallest) value on tied counts —
+            # matching both the reference and the Spark implementation's
+            # (count desc, value asc) ordering.
             counts: dict = {}
-            for v in values:
+            for v in sorted(values):
                 counts[v] = counts.get(v, 0) + 1
             out[outfield] = max(counts.items(), key=lambda kv: kv[1])[0]
         elif stat == "minority":
             counts = {}
-            for v in values:
+            for v in sorted(values):
                 counts[v] = counts.get(v, 0) + 1
             out[outfield] = min(counts.items(), key=lambda kv: kv[1])[0]
         elif stat.endswith("concat"):

@@ -91,6 +91,31 @@ def test_connected_components(spark):
     assert cc[10] == cc[11] == cc[12] == 10
 
 
+def test_connected_components_long_chain(spark):
+    # Diameter-40 chain: min-label propagation with a 10-round cap would
+    # silently mislabel this; large-star/small-star converges in O(log n).
+    n = 40
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a_id": list(range(n)), "b_id": list(range(1, n + 1))})
+    )
+    cc = D.connected_components(pairs).toPandas().set_index("id")["component"]
+    assert len(cc) == n + 1
+    assert (cc == 0).all()
+
+
+def test_lsh_joins_shuffle_ids_only(spark, docs):
+    # Scale guard: the candidate-pair plan before the Jaccard verify must
+    # not carry the text payload through the band/bucket exchange.
+    df = D.minhash_lsh_pairs(docs, "doc_id")
+    txt = df._jdf.queryExecution().optimizedPlan().toString()
+    # text appears only below the two final text-rejoin joins (for the
+    # verify), never alongside band/bucket columns.
+    for line in txt.splitlines():
+        low = line.lower()
+        if "bucket" in low and "band" in low:
+            assert "text" not in low, line
+
+
 def test_embedding_neardup_with_planted(spark):
     rng = np.random.Generator(np.random.PCG64(0))
     base = rng.standard_normal((50, 16))

@@ -98,4 +98,7 @@ def test_haversine_symmetry_triangle(lon1, lat1, lon2, lat2):
     d21 = float(geodesy.haversine_m(lon2, lat2, lon1, lat1))
     assert abs(d12 - d21) < 1e-6
     assert d12 >= 0
-    assert d12 <= 2.001e7  # no distance exceeds half the circumference
+    # no distance exceeds half the circumference: pi * 6371008.8 m =
+    # 2.00151e7, so the bound must sit above that (2.001e7 was flaky
+    # for near-antipodal pairs).
+    assert d12 <= 2.002e7
