@@ -221,6 +221,32 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(li, "l_quantity", bins=10)
 
 
+def _q_classify_equal_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-interval break table (classypie breaks.py:23): k+1 break
+    values from the global min/max — the driver-checkable form of the
+    breaks API (the assignment itself is a codegen when-ladder)."""
+    from pythongis_spark.operators.classify import class_breaks
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    brks = class_breaks(cust, "c_acctbal", "equal", 5)
+    return spark.createDataFrame(
+        [(i, float(b)) for i, b in enumerate(brks)], "i INT, brk DOUBLE"
+    )
+
+
+def _q_classify_quantile_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile break table with the reference's order-statistic
+    interpolation (breaks.py:106), computed by exact distributed
+    rank-select — no global sort."""
+    from pythongis_spark.operators.classify import class_breaks
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    brks = class_breaks(cust, "c_acctbal", "quantile", 4)
+    return spark.createDataFrame(
+        [(i, float(b)) for i, b in enumerate(brks)], "i INT, brk DOUBLE"
+    )
+
+
 def _q_tab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.operators.relational import tab
 
@@ -698,6 +724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_orders_collapse": _q_join_orders_collapse,
         "moving_window_events": _q_moving_window,
         "classify_quantile": _q_classify_quantile,
+        "classify_equal_breaks": _q_classify_equal_breaks,
+        "classify_quantile_breaks": _q_classify_quantile_breaks,
         "histogram_quantity": _q_histogram,
         "tab_orderpriority": _q_tab,
         "merge_union_byname": _q_merge_byname,
@@ -1035,6 +1063,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal,
                    CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS class
             FROM customer
+        """,
+        "classify_equal_breaks": """
+            WITH mm AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer),
+            ii AS (SELECT UNNEST(range(6)) AS i)
+            SELECT CAST(ii.i AS INTEGER) AS i,
+                   CASE WHEN ii.i = 5 THEN mm.hi
+                        ELSE mm.lo + ii.i * ((mm.hi - mm.lo) / 5) END AS brk
+            FROM ii, mm
+        """,
+        "classify_quantile_breaks": """
+            WITH s AS (SELECT c_acctbal AS v,
+                              ROW_NUMBER() OVER (ORDER BY c_acctbal) AS rn
+                       FROM customer),
+            n AS (SELECT COUNT(*) AS n FROM customer),
+            idx AS (
+              SELECT ii.i AS i,
+                     (CAST(ii.i AS DOUBLE) / 4) * n.n AS a,
+                     CAST(TRUNC((CAST(ii.i AS DOUBLE) / 4) * n.n) AS BIGINT) AS aa
+              FROM (SELECT UNNEST(range(4)) AS i) ii, n
+            )
+            SELECT CAST(idx.i AS INTEGER) AS i,
+                   (1 - (idx.a - idx.aa)) * s1.v + (idx.a - idx.aa) * s2.v AS brk
+            FROM idx
+            JOIN s s1 ON s1.rn = idx.aa + 1
+            JOIN s s2 ON s2.rn = idx.aa + 2
+            UNION ALL
+            SELECT 4 AS i, (SELECT v FROM s, n WHERE s.rn = n.n) AS brk
         """,
         "histogram_quantity": """
             WITH mm AS (SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi FROM lineitem),

@@ -287,13 +287,16 @@ def classify(
     """Classify values into k buckets — ``classypie`` break algorithms
     (``pythongis/classypie/breaks.py:17-375``).
 
-    quantile → ``ntile`` window (exact, scalable); equal → equal-width
-    intervals from global min/max; unique → ``dense_rank`` of distinct
-    values. Buckets are 1-based like ntile.
+    quantile → exact distributed ntile (range repartition + partition
+    offsets — no single-task global window); equal → equal-width
+    intervals from global min/max; unique → broadcast value→rank map;
+    natural/jenks, pretty, stdev, headtail, log, histogram → break list
+    (see :mod:`.classify`) + find_class when-ladder. Buckets 1-based.
     """
+    from pythongis_spark.operators import classify as C
+
     if algo == "quantile":
-        order = [F.col(col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
-        return df.withColumn(out, F.ntile(k).over(Window.orderBy(*order)))
+        return C.ntile_distributed(df, col, k, out=out, tiebreak=order_tiebreak)
     if algo in ("equal", "equal_interval"):
         mm = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
         lo, hi = mm["lo"], mm["hi"]
@@ -303,7 +306,9 @@ def classify(
         )
         return df.withColumn(out, bucket)
     if algo == "unique":
-        return df.withColumn(out, F.dense_rank().over(Window.orderBy(col)))
+        return C.unique_rank(df, col, out=out)
+    if algo in C._ALGOS:
+        return C.classify_breaks(df, col, algo, k, out=out)
     raise ValueError(f"unknown classification {algo!r}")
 
 

@@ -102,6 +102,18 @@ def main():
     plan = fmt(z)
     failures += not check("zonal_stats", plan, must=[r"BroadcastHashJoin", r"HashAggregate"])
 
+    # 6. classify quantile: the window must be per-range-partition, never
+    # a single-partition global window (SinglePartition feeding Window =
+    # the one-task straggler the distributed rank exists to avoid)
+    cq = E.queries()["classify_quantile"](spark, sf)
+    plan = fmt(cq)
+    failures += not check(
+        "classify_quantile",
+        plan,
+        must=[r"Window", r"rangepartitioning"],
+        must_not=[r"SinglePartition.*\n.*Window|Exchange SinglePartition"],
+    )
+
     sys.exit(1 if failures else 0)
 
 
