@@ -348,6 +348,30 @@ def _q_upscale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", "y", F.col("val").cast("double").alias("val"))
 
 
+def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN grid-to-grid resample (manager.py:560-650): 1-deg global grid
+    onto a 1.5-deg grid — pure Catalyst cell remap, one equi-join."""
+    from pythongis_spark.raster.model import RasterDef, resample
+
+    cells = FX.raster_cells(spark, 360, 180, 1)
+    src = RasterDef(360, 180, (1.0, 0.0, -180.0, 0.0, -1.0, 90.0))
+    dst = RasterDef(240, 120, (1.5, 0.0, -180.0, 0.0, -1.5, 90.0))
+    out = resample(cells, src, dst, "nearest", spark=spark)
+    return out.filter(F.col("band") == 0).select("x", "y", "val")
+
+
+def _q_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """align (manager.py:678-722): off-grid offsets snapped onto the
+    global grid's ticks + NN resample (here an integer cell shift)."""
+    from pythongis_spark.raster.model import RasterDef, align
+
+    cells = FX.raster_cells(spark, 360, 180, 1)
+    src = RasterDef(360, 180, (1.0, 0.0, -180.25, 0.0, -1.0, 90.25))
+    ref = RasterDef(360, 180, (1.0, 0.0, -180.0, 0.0, -1.0, 90.0))
+    out, _snapped = align(cells, src, ref)
+    return out.filter(F.col("band") == 0).select("x", "y", "val")
+
+
 def _q_tiled_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.geometry.udfs import st_point
     from pythongis_spark.operators.tiling import tiled_vector
@@ -692,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_raster_semi": _q_clip_raster,
         "roll_raster": _q_roll,
         "crop_raster": _q_crop,
+        "resample_raster": _q_resample,
+        "align_raster": _q_align,
         "vectorize_cells": _q_vectorize,
         "idw_grid": _q_idw,
         "density_events": _q_density,
@@ -853,6 +879,38 @@ def oracle_sql() -> dict[str, str]:
             WITH {FX.raster_cells_cte_sql(360, 180, 1)}
             SELECT x, y, val FROM raster
             WHERE band = 0 AND x BETWEEN 130 AND 220 AND y BETWEEN 30 AND 110
+        """,
+        "resample_raster": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)},
+            tgt AS (
+              SELECT CAST(i % 240 AS INTEGER) AS x,
+                     CAST(FLOOR(i / 240) AS INTEGER) AS y
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range({240 * 120}))
+            ),
+            m AS (
+              SELECT x, y,
+                CAST(FLOOR((((CAST(x AS DOUBLE) + 0.5) * 1.5 + -180.0) - -180.0) / 1.0) AS INTEGER) AS sx,
+                CAST(FLOOR((((CAST(y AS DOUBLE) + 0.5) * -1.5 + 90.0) - 90.0) / -1.0) AS INTEGER) AS sy
+              FROM tgt
+            )
+            SELECT m.x, m.y, r.val
+            FROM m JOIN raster r ON r.x = m.sx AND r.y = m.sy AND r.band = 0
+        """,
+        "align_raster": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)},
+            tgt AS (
+              SELECT CAST(i % 360 AS INTEGER) AS x,
+                     CAST(FLOOR(i / 360) AS INTEGER) AS y
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range({360 * 180}))
+            ),
+            m AS (
+              SELECT x, y,
+                CAST(FLOOR((((CAST(x AS DOUBLE) + 0.5) * 1.0 + -181.0) - -180.25) / 1.0) AS INTEGER) AS sx,
+                CAST(FLOOR((((CAST(y AS DOUBLE) + 0.5) * -1.0 + 91.0) - 90.25) / -1.0) AS INTEGER) AS sy
+              FROM tgt
+            )
+            SELECT m.x, m.y, r.val
+            FROM m JOIN raster r ON r.x = m.sx AND r.y = m.sy AND r.band = 0
         """,
         "vectorize_cells": f"""
             WITH {FX.raster_cells_cte_sql(360, 180, 1)}

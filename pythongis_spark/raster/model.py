@@ -140,3 +140,156 @@ def roll(df: DataFrame, rd: RasterDef, dx: int, dy: int) -> DataFrame:
     return df.withColumn("x", F.pmod(F.col("x") + dx, F.lit(rd.width)).cast("int")).withColumn(
         "y", F.pmod(F.col("y") + dy, F.lit(rd.height)).cast("int")
     )
+
+
+# ------------------------------------------------------------------
+# resample / align (``pythongis/raster/manager.py:560-650, 678-722``)
+# ------------------------------------------------------------------
+
+def _target_grid(spark, dst: RasterDef) -> DataFrame:
+    """All target cells of ``dst`` with their source-lookup geo centers —
+    ``spark.range`` is fully distributed (no driver materialization)."""
+    return spark.range(dst.width * dst.height).select(
+        F.pmod(F.col("id"), dst.width).cast("int").alias("x"),
+        F.floor(F.col("id") / dst.width).cast("int").alias("y"),
+    )
+
+
+def resample(
+    cells: DataFrame,
+    src: RasterDef,
+    dst: RasterDef,
+    method: str = "nearest",
+    spark=None,
+) -> DataFrame:
+    """Grid-to-grid resample of a cell table — the reference's
+    ``resample`` (``raster/manager.py:560-650``, PIL QUAD transform)
+    re-expressed as a target-driven cell remap:
+
+    * nearest: one equi-join — target center → fractional source coord
+      → floor → (sx, sy) lookup. Pure Catalyst, zero Python.
+    * bilinear: explode each target into its 2×2 source neighbourhood
+      with separable weights, equi-join, weighted groupBy (weights
+      renormalized over non-null neighbours, so nodata cells don't
+      bleed — the reference instead pastes nodata through a mask).
+    * bicubic: same shape with the 4×4 cubic-convolution kernel
+      (a = -0.5, the PIL/OpenCV constant).
+
+    Missing source cells simply produce no row (sparse nodata), like
+    every other cell-table operator here. Requires skew-free affines.
+    Returns (x, y, band, val) on the ``dst`` grid.
+    """
+    if src.xskew or src.yskew or dst.xskew or dst.yskew:
+        raise NotImplementedError("skewed affine not supported")
+    spark = spark or cells.sparkSession
+    tgt = _target_grid(spark, dst)
+    gx = (F.col("x") + F.lit(0.5)) * dst.xscale + dst.xoffset
+    gy = (F.col("y") + F.lit(0.5)) * dst.yscale + dst.yoffset
+    u = (gx - src.xoffset) / src.xscale   # fractional source col
+    v = (gy - src.yoffset) / src.yscale   # fractional source row
+
+    if method == "nearest":
+        tgt = tgt.withColumn("sx", F.floor(u).cast("int")).withColumn(
+            "sy", F.floor(v).cast("int")
+        )
+        srcr = cells.select(
+            F.col("x").alias("sx"), F.col("y").alias("sy"), "band", "val"
+        )
+        return tgt.join(srcr, ["sx", "sy"]).select("x", "y", "band", "val")
+
+    if method == "bilinear":
+        uc = u - F.lit(0.5)  # center-based coord: source cell i center at i+0.5
+        vc = v - F.lit(0.5)
+        x0, y0 = F.floor(uc), F.floor(vc)
+        fx, fy = uc - x0, vc - y0
+        xs = F.array(
+            F.struct(x0.cast("int").alias("sx"), (F.lit(1.0) - fx).alias("wx")),
+            F.struct((x0 + 1).cast("int").alias("sx"), fx.alias("wx")),
+        )
+        ys = F.array(
+            F.struct(y0.cast("int").alias("sy"), (F.lit(1.0) - fy).alias("wy")),
+            F.struct((y0 + 1).cast("int").alias("sy"), fy.alias("wy")),
+        )
+    elif method == "bicubic":
+        uc = u - F.lit(0.5)
+        vc = v - F.lit(0.5)
+        x0, y0 = F.floor(uc), F.floor(vc)
+        fx, fy = uc - x0, vc - y0
+
+        def _cubic(t):
+            # cubic convolution kernel, a = -0.5 (Keys 1981)
+            a = -0.5
+            t3 = t * t * t
+            t2 = t * t
+            return F.when(t <= 1.0, (a + 2) * t3 - (a + 3) * t2 + 1).otherwise(
+                a * t3 - 5 * a * t2 + 8 * a * t - 4 * a
+            )
+
+        def _axis(base, frac, name_c, name_w):
+            structs = []
+            for d in (-1, 0, 1, 2):
+                t = F.abs(F.lit(float(d)) - frac)
+                structs.append(
+                    F.struct((base + d).cast("int").alias(name_c), _cubic(t).alias(name_w))
+                )
+            return F.array(*structs)
+
+        xs = _axis(x0, fx, "sx", "wx")
+        ys = _axis(y0, fy, "sy", "wy")
+    else:
+        raise ValueError(f"unknown resample method {method!r}")
+
+    exploded = (
+        tgt.withColumn("xe", F.explode(xs))
+        .withColumn("ye", F.explode(ys))
+        .select(
+            "x", "y",
+            F.col("xe.sx").alias("sx"), F.col("ye.sy").alias("sy"),
+            (F.col("xe.wx") * F.col("ye.wy")).alias("w"),
+        )
+    )
+    srcr = cells.select(F.col("x").alias("sx"), F.col("y").alias("sy"), "band", "val")
+    joined = exploded.join(srcr, ["sx", "sy"])
+    return (
+        joined.groupBy("x", "y", "band")
+        .agg(
+            # try_divide: a target whose only non-null neighbours carry
+            # exactly-zero weight has denominator 0 -> null (nodata),
+            # not an ANSI arithmetic error
+            F.try_divide(
+                F.sum(F.col("w") * F.col("val")),
+                F.sum(F.when(F.col("val").isNotNull(), F.col("w"))),
+            ).alias("val")
+        )
+    )
+
+
+def align(
+    cells: DataFrame, src: RasterDef, ref: RasterDef, method: str = "nearest"
+) -> tuple[DataFrame, RasterDef]:
+    """Snap a raster's offsets onto another grid's scale ticks and
+    resample onto the snapped grid (``raster/manager.py:678-722``).
+
+    The reference's docstring and disabled code snap the offset to the
+    reference grid's ticks; its shipped code calls ``geo_to_cell(...,
+    fraction=True)`` whose round-trip is the identity, degenerating to
+    a same-grid resample. We implement the documented intent with the
+    non-fraction (floor) cell semantics of ``geo_to_cell``. Scales must
+    match, like the reference. Returns (cells', snapped RasterDef).
+    """
+    if not (src.xscale == ref.xscale and src.yscale == ref.yscale):
+        raise ValueError("align requires equal x/y scales")
+    import math as _math
+
+    px = _math.floor((src.xoffset - ref.xoffset) / ref.xscale)
+    py = _math.floor((src.yoffset - ref.yoffset) / ref.yscale)
+    snapped = RasterDef(
+        width=src.width,
+        height=src.height,
+        affine=(
+            src.xscale, 0.0, px * ref.xscale + ref.xoffset,
+            0.0, src.yscale, py * ref.yscale + ref.yoffset,
+        ),
+        nodata=src.nodata,
+    )
+    return resample(cells, src, snapped, method=method), snapped

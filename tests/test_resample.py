@@ -1,0 +1,105 @@
+"""resample/align (reference: pythongis/raster/manager.py:560-650,678-722)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pythongis_spark.raster.model import RasterDef, align, resample
+
+
+def _grid(spark, w, h, valfn):
+    rows = [(x, y, 0, float(valfn(x, y))) for y in range(h) for x in range(w)]
+    return spark.createDataFrame(rows, "x INT, y INT, band INT, val DOUBLE")
+
+
+GLOBAL = RasterDef(8, 4, (1.0, 0.0, -4.0, 0.0, -1.0, 2.0))
+
+
+def test_nearest_identity(spark):
+    cells = _grid(spark, 8, 4, lambda x, y: x * 10 + y)
+    out = resample(cells, GLOBAL, GLOBAL, "nearest").toPandas()
+    src = cells.toPandas()
+    m = out.merge(src, on=["x", "y", "band"], suffixes=("_o", "_s"))
+    assert len(m) == len(src)
+    assert (m["val_o"] == m["val_s"]).all()
+
+
+def test_nearest_downsample_2x(spark):
+    cells = _grid(spark, 8, 4, lambda x, y: x * 10 + y)
+    dst = RasterDef(4, 2, (2.0, 0.0, -4.0, 0.0, -2.0, 2.0))
+    out = resample(cells, GLOBAL, dst, "nearest").toPandas().set_index(["x", "y"])["val"]
+    # target center (x+0.5)*2-4 -> source col floor(2x+1) = 2x+1
+    for tx in range(4):
+        for ty in range(2):
+            assert out[(tx, ty)] == (2 * tx + 1) * 10 + (2 * ty + 1)
+
+
+def test_nearest_upsample_replicates(spark):
+    cells = _grid(spark, 8, 4, lambda x, y: x * 10 + y)
+    dst = RasterDef(16, 8, (0.5, 0.0, -4.0, 0.0, -0.5, 2.0))
+    out = resample(cells, GLOBAL, dst, "nearest").toPandas()
+    assert len(out) == 16 * 8
+    got = out.set_index(["x", "y"])["val"]
+    for tx in range(16):
+        for ty in range(8):
+            assert got[(tx, ty)] == (tx // 2) * 10 + (ty // 2)
+
+
+def test_bilinear_constant_and_ramp(spark):
+    const = _grid(spark, 8, 4, lambda x, y: 7.25)
+    dst = RasterDef(5, 3, (1.6, 0.0, -4.0, 0.0, -4.0 / 3.0, 2.0))
+    out = resample(const, GLOBAL, dst, "bilinear").toPandas()
+    assert np.allclose(out["val"], 7.25)
+    # a linear ramp val = x is reproduced exactly in the interior
+    ramp = _grid(spark, 8, 4, lambda x, y: float(x))
+    out = resample(ramp, GLOBAL, dst, "bilinear").toPandas()
+    for _, r in out.iterrows():
+        u = ((r.x + 0.5) * 1.6 - 4.0 + 4.0) / 1.0 - 0.5  # frac source col
+        if 0.0 <= u <= 7.0:  # interior of the source grid
+            assert r.val == pytest.approx(u, abs=1e-9)
+
+
+def test_bicubic_constant_and_linear(spark):
+    const = _grid(spark, 10, 6, lambda x, y: -3.5)
+    src = RasterDef(10, 6, (1.0, 0.0, 0.0, 0.0, 1.0, 0.0))
+    dst = RasterDef(7, 4, (10.0 / 7.0, 0.0, 0.0, 0.0, 1.5, 0.0))
+    out = resample(const, src, dst, "bicubic").toPandas()
+    # interior cells (full 4x4 neighbourhood) reproduce constants exactly
+    interior = out[(out.x > 0) & (out.x < 6) & (out.y > 0) & (out.y < 3)]
+    assert np.allclose(interior["val"], -3.5)
+    ramp = _grid(spark, 10, 6, lambda x, y: float(y))
+    out = resample(ramp, src, dst, "bicubic").toPandas()
+    for _, r in out.iterrows():
+        v = (r.y + 0.5) * 1.5 - 0.5
+        if 1.0 <= v <= 4.0:  # full kernel support
+            assert r.val == pytest.approx(v, abs=1e-9)
+
+
+def test_bilinear_skips_nodata(spark):
+    cells = _grid(spark, 4, 4, lambda x, y: 5.0)
+    cells = cells.withColumn(
+        "val", F.when((F.col("x") == 1) & (F.col("y") == 1), None).otherwise(F.col("val"))
+    )
+    src = RasterDef(4, 4, (1.0, 0.0, 0.0, 0.0, 1.0, 0.0))
+    out = resample(cells, src, src, "bilinear").toPandas()
+    # renormalized over non-null neighbours -> still 5.0 everywhere
+    assert np.allclose(out["val"].dropna(), 5.0)
+
+
+def test_align_snaps_offsets(spark):
+    src = RasterDef(8, 4, (1.0, 0.0, -3.75, 0.0, -1.0, 1.6))
+    ref = RasterDef(360, 180, (1.0, 0.0, -180.0, 0.0, -1.0, 90.0))
+    cells = _grid(spark, 8, 4, lambda x, y: x + y)
+    out, snapped = align(cells, src, ref)
+    # offsets moved onto integer ticks of the reference grid
+    # px = floor((-3.75+180)/1) = 176 -> -4.0; py = floor((1.6-90)/-1) = 88 -> 2.0
+    assert snapped.xoffset == -4.0 and snapped.yoffset == 2.0
+    assert snapped.width == src.width and snapped.height == src.height
+    assert out.count() > 0
+    # same scales required
+    bad = RasterDef(8, 4, (2.0, 0.0, 0.0, 0.0, -2.0, 0.0))
+    with pytest.raises(ValueError):
+        align(cells, src, bad)
