@@ -221,6 +221,68 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(li, "l_quantity", bins=10)
 
 
+def _shifted_rects(spark: SparkSession):
+    """Deterministic second rectangle set for the general-join oracles:
+    the 60-zone grid shifted by (5.25, 3.5) — dyadic offsets keep every
+    coordinate product exact in IEEE doubles (oracle determinism)."""
+    import pandas as pd
+
+    from pythongis_spark.geometry import wkb as W
+
+    rows = []
+    for z in range(60):
+        x0 = -180.0 + (z % 10) * 36.0 + 5.25
+        y0 = -90.0 + (z // 10) * 30.0 + 3.5
+        x1, y1 = x0 + 36.0, y0 + 30.0
+        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        rows.append(dict(b_id=z, geom=W.wkb_polygon(ring)))
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+_RECTS_B_CTE = """
+rects_b AS (
+  SELECT z AS b_id,
+         -180.0 + (z % 10) * 36.0 + 5.25 AS xmin,
+         -90.0 + CAST(FLOOR(z / 10) AS BIGINT) * 30.0 + 3.5 AS ymin,
+         -180.0 + (z % 10) * 36.0 + 5.25 + 36.0 AS xmax,
+         -90.0 + CAST(FLOOR(z / 10) AS BIGINT) * 30.0 + 3.5 + 30.0 AS ymax
+  FROM (SELECT CAST(range AS BIGINT) AS z FROM range(60))
+)
+"""
+
+
+def _q_spatial_join_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General polygon×polygon intersects join (manager.py:381-431)
+    through the generalized path: cell explode + reference-point dedup +
+    salted shuffle (broadcast disabled to force the scale plan)."""
+    from pythongis_spark.operators.spatial_join import spatial_join
+
+    zones = FX.oracle_zones(spark).select("zone_id", "geom")
+    rects = _shifted_rects(spark)
+    out = spatial_join(
+        zones, rects, "intersects", left_id="zone_id",
+        broadcast_rows=0, salt_threshold=50, max_salt=8,
+    )
+    return out.select("zone_id", "b_id")
+
+
+def _q_spatial_join_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clip='intersection' join (manager.py:208-266): pairwise polygon
+    intersection, validated via the exact shoelace area of the clipped
+    geometry (dyadic coords -> exact doubles both engines)."""
+    from pythongis_spark.geometry.udfs import st_area
+    from pythongis_spark.operators.spatial_join import spatial_join
+
+    zones = FX.oracle_zones(spark).select("zone_id", "geom")
+    rects = _shifted_rects(spark)
+    out = spatial_join(
+        zones, rects, "intersects", left_id="zone_id", clip="intersection"
+    )
+    return out.select(
+        "zone_id", "b_id", st_area(F.col("clip_geom")).alias("clip_area")
+    ).filter(F.col("clip_area") > 0)
+
+
 def _q_classify_equal_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-interval break table (classypie breaks.py:23): k+1 break
     values from the global min/max — the driver-checkable form of the
@@ -752,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_quantile": _q_classify_quantile,
         "classify_equal_breaks": _q_classify_equal_breaks,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
+        "spatial_join_rects": _q_spatial_join_rects,
+        "spatial_join_clip": _q_spatial_join_clip,
         "histogram_quantity": _q_histogram,
         "tab_orderpriority": _q_tab,
         "merge_union_byname": _q_merge_byname,
@@ -1121,6 +1185,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal,
                    CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS class
             FROM customer
+        """,
+        "spatial_join_rects": f"""
+            WITH {FX.ZONES_CTE_SQL}, {_RECTS_B_CTE}
+            SELECT z.zone_id, b.b_id
+            FROM zones z JOIN rects_b b
+              ON z.xmin <= b.xmax AND b.xmin <= z.xmax
+             AND z.ymin <= b.ymax AND b.ymin <= z.ymax
+        """,
+        "spatial_join_clip": f"""
+            WITH {FX.ZONES_CTE_SQL}, {_RECTS_B_CTE}
+            SELECT z.zone_id, b.b_id,
+                   (LEAST(z.xmax, b.xmax) - GREATEST(z.xmin, b.xmin))
+                 * (LEAST(z.ymax, b.ymax) - GREATEST(z.ymin, b.ymin)) AS clip_area
+            FROM zones z JOIN rects_b b
+              ON z.xmin < b.xmax AND b.xmin < z.xmax
+             AND z.ymin < b.ymax AND b.ymin < z.ymax
         """,
         "classify_equal_breaks": """
             WITH mm AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer),

@@ -411,3 +411,427 @@ def _clip_segment(p, q, xmin, ymin, xmax, ymax):
         np.array([p[0] + t0 * dx, p[1] + t0 * dy]),
         np.array([p[0] + t1 * dx, p[1] + t1 * dy]),
     )
+
+
+# ------------------------------------------------- boundary-aware predicates
+
+def points_on_boundary(px: np.ndarray, py: np.ndarray, geom) -> np.ndarray:
+    """True per point when it lies exactly on a ring/line segment of
+    ``geom`` (cross product 0 and inside the segment's bbox) — the
+    boundary-contact test shapely resolves via DE-9IM, needed for
+    within/covers/touches semantics (``pythongis/vector/manager.py:196``
+    routes these to shapely)."""
+    on = np.zeros(len(px), dtype=bool)
+    for seg in _boundary_polylines(geom):
+        a, b = seg[:-1], seg[1:]
+        n_edges = len(a)
+        step = max(1, 4_000_000 // max(len(px), 1))
+        for s in range(0, n_edges, step):
+            a0, b0 = a[s : s + step], b[s : s + step]
+            cross = (b0[None, :, 0] - a0[None, :, 0]) * (py[:, None] - a0[None, :, 1]) - (
+                b0[None, :, 1] - a0[None, :, 1]
+            ) * (px[:, None] - a0[None, :, 0])
+            inbox = (
+                (px[:, None] >= np.minimum(a0[None, :, 0], b0[None, :, 0]))
+                & (px[:, None] <= np.maximum(a0[None, :, 0], b0[None, :, 0]))
+                & (py[:, None] >= np.minimum(a0[None, :, 1], b0[None, :, 1]))
+                & (py[:, None] <= np.maximum(a0[None, :, 1], b0[None, :, 1]))
+            )
+            on |= ((cross == 0) & inbox).any(axis=1)
+    return on
+
+
+def _boundary_polylines(geom):
+    t, payload = geom
+    if t == "LineString":
+        return [payload]
+    if t == "MultiLineString":
+        return list(payload)
+    if t in ("Polygon", "MultiPolygon"):
+        return list(W.iter_rings(geom))
+    return []
+
+
+def _proper_crossing_any(A: np.ndarray, B: np.ndarray) -> bool:
+    """Strictly proper segment crossing (all four orientations nonzero
+    and opposite) — endpoint/collinear contact is NOT a crossing. This
+    is the test within/covers need: boundary contact is admissible,
+    passing through to the other side is not."""
+    a0, a1 = A[:-1], A[1:]
+    b0, b1 = B[:-1], B[1:]
+
+    def cross(o, p, q):
+        return (p[..., 0] - o[..., 0]) * (q[..., 1] - o[..., 1]) - (
+            p[..., 1] - o[..., 1]
+        ) * (q[..., 0] - o[..., 0])
+
+    o1 = cross(a0[:, None], a1[:, None], b0[None, :])
+    o2 = cross(a0[:, None], a1[:, None], b1[None, :])
+    o3 = cross(b0[None, :], b1[None, :], a0[:, None])
+    o4 = cross(b0[None, :], b1[None, :], a1[:, None])
+    return bool(((o1 * o2 < 0) & (o3 * o4 < 0)).any())
+
+
+def _sample_points(geom) -> np.ndarray:
+    """Vertices + segment midpoints — the probe set for interior/exterior
+    classification of lines and rings (midpoints catch segments whose
+    endpoints both sit on the other geometry's boundary)."""
+    pts = [W.all_coords(geom)]
+    for seg in _boundary_polylines(geom):
+        pts.append(0.5 * (seg[:-1] + seg[1:]))
+    return np.vstack(pts)
+
+
+def geom_within_covers(ga, gb, require_interior: bool) -> bool:
+    """Shared core of within/coveredby (a inside b):
+
+    every probe point of a is inside-or-on b, no strictly proper
+    boundary crossing; ``require_interior`` additionally demands ≥1
+    probe point strictly interior (shapely: within requires
+    interior∩interior ≠ ∅, coveredby does not). Known limit vs GEOS: an
+    'a' that exits b and re-enters purely through collinear boundary
+    runs is accepted — not a configuration the lattice fixtures or the
+    reference tests produce."""
+    tb, _ = gb
+    if tb not in ("Polygon", "MultiPolygon"):
+        return False
+    pts = _sample_points(ga)
+    par = points_in_polygon(pts[:, 0], pts[:, 1], gb)
+    onb = points_on_boundary(pts[:, 0], pts[:, 1], gb)
+    if not (par | onb).all():
+        return False
+    if require_interior and not (par & ~onb).any():
+        return False
+    ta, _ = ga
+    if ta in ("Point", "MultiPoint"):
+        return True
+    for A in _boundary_polylines(ga):
+        for B in W.iter_rings(gb):
+            if _proper_crossing_any(A, B):
+                return False
+    return True
+
+
+def geom_crosses(ga, gb) -> bool:
+    """shapely ``crosses``: interiors intersect in a lower dimension.
+    Cases the reference exercises (line×line proper crossing, line×area
+    pass-through); point×* and area×area are False by definition."""
+    ta, tb = ga[0], gb[0]
+    line_a = ta in ("LineString", "MultiLineString")
+    line_b = tb in ("LineString", "MultiLineString")
+    poly_a = ta in ("Polygon", "MultiPolygon")
+    poly_b = tb in ("Polygon", "MultiPolygon")
+    if line_a and line_b:
+        for A in _boundary_polylines(ga):
+            for B in _boundary_polylines(gb):
+                if _proper_crossing_any(A, B):
+                    return True
+        return False
+    if line_a and poly_b:
+        return _line_crosses_poly(ga, gb)
+    if poly_a and line_b:
+        return _line_crosses_poly(gb, ga)
+    return False
+
+
+def _line_crosses_poly(gl, gp) -> bool:
+    pts = _sample_points(gl)
+    par = points_in_polygon(pts[:, 0], pts[:, 1], gp)
+    onb = points_on_boundary(pts[:, 0], pts[:, 1], gp)
+    strictly_in = (par & ~onb).any()
+    strictly_out = (~par & ~onb).any()
+    return bool(strictly_in and strictly_out)
+
+
+def geom_touches(ga, gb) -> bool:
+    """shapely ``touches``: geometries intersect but their interiors do
+    not. Evaluated as: contact exists (shared boundary point / point on
+    boundary) while no proper crossing and no strict interior overlap."""
+    ta, tb = ga[0], gb[0]
+    if ta in ("Point", "MultiPoint"):
+        return _points_touch_only(W.all_coords(ga), gb)
+    if tb in ("Point", "MultiPoint"):
+        return _points_touch_only(W.all_coords(gb), ga)
+    if not geoms_intersect(ga, gb):
+        return False
+    # a proper boundary crossing means interiors meet -> not touches
+    for A in _boundary_polylines(ga):
+        for B in _boundary_polylines(gb):
+            if _proper_crossing_any(A, B):
+                return False
+    poly_a = ta in ("Polygon", "MultiPolygon")
+    poly_b = tb in ("Polygon", "MultiPolygon")
+    if poly_b:
+        pts = _sample_points(ga)
+        if poly_a:  # probe a's interior too (identical/nested polygons
+            # have all boundary samples ON the other's boundary)
+            pts = np.vstack([pts, _interior_probes(ga)])
+        par = points_in_polygon(pts[:, 0], pts[:, 1], gb)
+        onb = points_on_boundary(pts[:, 0], pts[:, 1], gb)
+        if (par & ~onb).any():
+            return False
+    if poly_a:
+        pts = _sample_points(gb)
+        if poly_b:
+            pts = np.vstack([pts, _interior_probes(gb)])
+        par = points_in_polygon(pts[:, 0], pts[:, 1], ga)
+        onb = points_on_boundary(pts[:, 0], pts[:, 1], ga)
+        if (par & ~onb).any():
+            return False
+    if poly_a and poly_b:
+        return True  # intersecting, no crossing, no interior overlap
+    if poly_a or poly_b:
+        return True  # line touches area boundary only
+    # line×line: contact with no proper crossing; exclude collinear
+    # interior overlap (shapely: overlapping lines are not 'touches')
+    return not _collinear_overlap_any(ga, gb)
+
+
+def _interior_probes(geom) -> np.ndarray:
+    """One representative interior point per polygon part (area-weighted
+    centroid of the exterior ring — exact for the convex/star-shaped
+    fixtures this engine targets; documented limit for pathological
+    concave rings whose centroid falls outside)."""
+    probes = []
+    for rings in W.iter_polygons(geom):
+        c = geom_centroid(("Polygon", [rings[0]]))
+        probes.append(c)
+    return np.array(probes, dtype=np.float64)
+
+
+def _points_touch_only(pts: np.ndarray, geom) -> bool:
+    t, _ = geom
+    if t in ("Polygon", "MultiPolygon")\
+            or t in ("LineString", "MultiLineString"):
+        onb = points_on_boundary(pts[:, 0], pts[:, 1], geom)
+        if t in ("Polygon", "MultiPolygon"):
+            par = points_in_polygon(pts[:, 0], pts[:, 1], geom)
+            interior = par & ~onb
+            return bool(onb.any() and not interior.any())
+        # for a line, 'boundary' is its endpoints; a point on the line
+        # interior intersects the interior -> not touches. Approximate
+        # with endpoint equality.
+        ends = []
+        for seg in _boundary_polylines(geom):
+            ends.append(seg[0])
+            ends.append(seg[-1])
+        ends = np.array(ends)
+        on_end = ((pts[:, None, :] == ends[None, :, :]).all(-1)).any(axis=1)
+        on_line = onb
+        return bool(on_end.any() and not (on_line & ~on_end).any())
+    return False
+
+
+def _collinear_overlap_any(ga, gb) -> bool:
+    """True when some segment pair is collinear and overlaps over a
+    positive length (line interiors shared)."""
+    for A in _boundary_polylines(ga):
+        for B in _boundary_polylines(gb):
+            a0, a1 = A[:-1], A[1:]
+            b0, b1 = B[:-1], B[1:]
+            d = a1 - a0
+            cr1 = d[:, None, 0] * (b0[None, :, 1] - a0[:, None, 1]) - d[:, None, 1] * (
+                b0[None, :, 0] - a0[:, None, 0]
+            )
+            cr2 = d[:, None, 0] * (b1[None, :, 1] - a0[:, None, 1]) - d[:, None, 1] * (
+                b1[None, :, 0] - a0[:, None, 0]
+            )
+            coll = (cr1 == 0) & (cr2 == 0)
+            if not coll.any():
+                continue
+            # project onto the dominant axis and check 1-D interval overlap
+            t0 = (b0[None, :, :] - a0[:, None, :])
+            t1 = (b1[None, :, :] - a0[:, None, :])
+            dd = (d * d).sum(axis=1)
+            dd = np.where(dd == 0, 1.0, dd)
+            s0 = (t0 * d[:, None, :]).sum(-1) / dd[:, None]
+            s1 = (t1 * d[:, None, :]).sum(-1) / dd[:, None]
+            lo = np.minimum(s0, s1)
+            hi = np.maximum(s0, s1)
+            overlap = (np.minimum(hi, 1.0) - np.maximum(lo, 0.0)) > 0
+            if (coll & overlap).any():
+                return True
+    return False
+
+
+# ------------------------------------------------- convex polygon clipping
+
+def ring_is_convex(ring: np.ndarray) -> bool:
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    n = len(pts)
+    if n < 3:
+        return False
+    sign = 0
+    for i in range(n):
+        o, p, q = pts[i], pts[(i + 1) % n], pts[(i + 2) % n]
+        c = (p[0] - o[0]) * (q[1] - o[1]) - (p[1] - o[1]) * (q[0] - o[0])
+        if c != 0:
+            s = 1 if c > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return True
+
+
+def clip_ring_to_convex(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray | None:
+    """Sutherland–Hodgman clip of ``ring`` against a convex ``clip_ring``
+    (general form of :func:`clip_ring_to_rect`; reference clip analog:
+    shapely ``intersection`` in ``pythongis/vector/manager.py:208-266``,
+    restricted to convex clip windows — the documented engine limit)."""
+    clip_pts = clip_ring[:-1] if np.array_equal(clip_ring[0], clip_ring[-1]) else clip_ring
+    if ring_signed_area(np.vstack([clip_pts, clip_pts[:1]])) < 0:
+        clip_pts = clip_pts[::-1]  # force CCW so inside = left of each edge
+
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    pts = np.asarray(pts, dtype=np.float64)
+    n = len(clip_pts)
+    for i in range(n):
+        if len(pts) == 0:
+            break
+        a = clip_pts[i]
+        b = clip_pts[(i + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+
+        def inside(p):
+            return ex * (p[1] - a[1]) - ey * (p[0] - a[0]) >= 0
+
+        def intersect(p, q):
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            denom = ex * dy - ey * dx
+            t = (ex * (a[1] - p[1]) - ey * (a[0] - p[0])) / denom
+            return np.array([p[0] + t * dx, p[1] + t * dy])
+
+        out = []
+        prev = pts[-1]
+        prev_in = inside(prev)
+        for cur in pts:
+            cur_in = inside(cur)
+            if cur_in:
+                if not prev_in:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif prev_in:
+                out.append(intersect(prev, cur))
+            prev, prev_in = cur, cur_in
+        pts = np.array(out) if out else np.empty((0, 2))
+    if len(pts) < 3:
+        return None
+    return np.vstack([pts, pts[:1]])
+
+
+def geom_intersection_convex(ga, gclip) -> tuple | None:
+    """Pairwise intersection a ∩ clip for a convex polygonal clip window,
+    with the reference's lowest-dimension output coercion
+    (``pythongis/vector/manager.py:212-222``): point inputs → points,
+    line inputs → clipped sub-lines, polygon inputs → clipped polygons.
+    Returns a geometry tuple or None (empty)."""
+    tclip, _ = gclip
+    if tclip not in ("Polygon", "MultiPolygon"):
+        raise ValueError("clip geometry must be polygonal")
+    clip_rings = [rings[0] for rings in W.iter_polygons(gclip)]
+    for r in clip_rings:
+        if not ring_is_convex(r):
+            raise NotImplementedError(
+                "general concave clip not supported (convex windows only)"
+            )
+    ta, payload = ga
+    if ta in ("Point", "MultiPoint"):
+        pts = W.all_coords(ga)
+        keep = points_in_polygon(pts[:, 0], pts[:, 1], gclip) | points_on_boundary(
+            pts[:, 0], pts[:, 1], gclip
+        )
+        kept = pts[keep]
+        if len(kept) == 0:
+            return None
+        if len(kept) == 1:
+            return ("Point", kept)
+        return ("MultiPoint", kept)
+    if ta in ("LineString", "MultiLineString"):
+        lines = [payload] if ta == "LineString" else list(payload)
+        out = []
+        for clip_ring in clip_rings:
+            # convex window == intersection of half-planes; reuse the
+            # rect path when axis-aligned, else clip per half-plane pair
+            for ln in lines:
+                out.extend(_clip_line_to_convex(ln, clip_ring))
+        out = [o for o in out if len(o) >= 2]
+        if not out:
+            return None
+        if len(out) == 1:
+            return ("LineString", out[0])
+        return ("MultiLineString", out)
+    if ta in ("Polygon", "MultiPolygon"):
+        polys = []
+        for rings in W.iter_polygons(ga):
+            for clip_ring in clip_rings:
+                ext = clip_ring_to_convex(rings[0], clip_ring)
+                if ext is None:
+                    continue
+                holes = []
+                for h in rings[1:]:
+                    hc = clip_ring_to_convex(h, clip_ring)
+                    if hc is not None:
+                        holes.append(hc)
+                polys.append([ext] + holes)
+        if not polys:
+            return None
+        if len(polys) == 1:
+            return ("Polygon", polys[0])
+        return ("MultiPolygon", polys)
+    raise ValueError(f"unsupported geometry type {ta!r}")
+
+
+def _clip_line_to_convex(coords: np.ndarray, clip_ring: np.ndarray) -> list[np.ndarray]:
+    """Clip a polyline to a convex ring by parametric (Cyrus–Beck) clip
+    of each segment; contiguous surviving pieces are stitched."""
+    clip_pts = clip_ring[:-1] if np.array_equal(clip_ring[0], clip_ring[-1]) else clip_ring
+    if ring_signed_area(np.vstack([clip_pts, clip_pts[:1]])) < 0:
+        clip_pts = clip_pts[::-1]
+    n = len(clip_pts)
+    edges = [(clip_pts[i], clip_pts[(i + 1) % n]) for i in range(n)]
+
+    def clip_seg(p, q):
+        t0, t1 = 0.0, 1.0
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        for a, b in edges:
+            ex, ey = b[0] - a[0], b[1] - a[1]
+            # signed dist of inside = left of edge
+            denom = ex * dy - ey * dx
+            num = ex * (a[1] - p[1]) - ey * (a[0] - p[0])
+            if denom == 0:
+                if num > 0:  # entirely outside this half-plane
+                    return None
+                continue
+            # inside condition f(t) = -num + t*denom >= 0
+            t = num / denom
+            if denom > 0:
+                t0 = max(t0, t)  # t >= num/denom
+            else:
+                t1 = min(t1, t)  # t <= num/denom
+            if t0 > t1:
+                return None
+        return (
+            np.array([p[0] + t0 * dx, p[1] + t0 * dy]),
+            np.array([p[0] + t1 * dx, p[1] + t1 * dy]),
+        )
+
+    segs: list[np.ndarray] = []
+    cur: list[np.ndarray] = []
+    for i in range(len(coords) - 1):
+        res = clip_seg(coords[i], coords[i + 1])
+        if res is None:
+            if len(cur) >= 2:
+                segs.append(np.array(cur))
+            cur = []
+            continue
+        cp, cq = res
+        if cur and np.allclose(cur[-1], cp):
+            cur.append(cq)
+        else:
+            if len(cur) >= 2:
+                segs.append(np.array(cur))
+            cur = [cp, cq]
+    if len(cur) >= 2:
+        segs.append(np.array(cur))
+    return segs

@@ -90,6 +90,26 @@ def wkb_multipolygon(polys) -> bytes:
     return _HDR.pack(1, MULTIPOLYGON) + body
 
 
+def encode_wkb(geom) -> bytes:
+    """Encode a decoded geometry tuple back to WKB (inverse of
+    :func:`decode_wkb`; MultiPoint also accepts an (N,2) array)."""
+    t, payload = geom
+    if t == "Point":
+        return wkb_point(payload[0, 0], payload[0, 1])
+    if t == "LineString":
+        return wkb_linestring(payload)
+    if t == "Polygon":
+        return wkb_polygon(payload[0], payload[1:])
+    if t == "MultiPoint":
+        pts = np.vstack(payload) if isinstance(payload, list) else np.asarray(payload)
+        return wkb_multipoint([(p[0], p[1]) for p in pts])
+    if t == "MultiLineString":
+        return wkb_multilinestring(payload)
+    if t == "MultiPolygon":
+        return wkb_multipolygon([(rings[0], rings[1:]) for rings in payload])
+    raise ValueError(f"unsupported geometry type {t!r}")
+
+
 # ---------------------------------------------------------------- decode
 
 def _read_coords(buf: memoryview, off: int) -> tuple[np.ndarray, int]:

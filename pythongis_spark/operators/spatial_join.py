@@ -61,44 +61,91 @@ def _refine_pip(lon: pd.Series, lat: pd.Series, geom: pd.Series) -> pd.Series:
     return pd.Series(out, index=lon.index)
 
 
+def _pair_predicate(condition: str):
+    """Boolean predicate fn(ga, gb) for decoded geometry tuples —
+    the full reference condition family (``vector/manager.py:196``:
+    intersects/within/contains/covers/crosses/touches/equals via
+    shapely; here via :mod:`geometry.core`)."""
+    if condition == "intersects":
+        return G.geoms_intersect
+    if condition == "within":
+        # shapely within: a ⊆ closure(b) AND interiors intersect
+        return lambda ga, gb: G.geom_within_covers(ga, gb, require_interior=True)
+    if condition == "contains":
+        return lambda ga, gb: G.geom_within_covers(gb, ga, require_interior=True)
+    if condition == "covers":
+        # covers admits boundary-only containment (no interior demand)
+        return lambda ga, gb: G.geom_within_covers(gb, ga, require_interior=False)
+    if condition == "coveredby":
+        return lambda ga, gb: G.geom_within_covers(ga, gb, require_interior=False)
+    if condition == "crosses":
+        return G.geom_crosses
+    if condition == "touches":
+        return G.geom_touches
+    if condition == "equals":
+        return _geom_equals
+    raise ValueError(f"unsupported condition {condition!r}")
+
+
 def _make_pair_refiner(condition: str):
-    """General geometry-pair refine for WKB-vs-WKB candidates."""
+    """General geometry-pair refine for WKB-vs-WKB candidates.
+
+    Vectorization mirrors ``_refine_pip``: pairs are grouped by the
+    (usually low-cardinality) right geometry so each distinct build
+    geometry is decoded once per Arrow batch; a vectorized bbox
+    pre-reject then culls most pairs before the per-pair exact test."""
+    pred = _pair_predicate(condition)
 
     def refine(la: pd.Series, lb: pd.Series) -> pd.Series:
-        cache: dict[bytes, object] = {}
-
-        def dec(blob):
-            b = bytes(blob)
-            g = cache.get(b)
-            if g is None:
-                g = W.decode_wkb(b)
-                cache[b] = g
-            return g
-
         out = np.zeros(len(la), dtype=bool)
         av = la.to_numpy(object)
         bv = lb.to_numpy(object)
-        for i in range(len(av)):
-            if av[i] is None or bv[i] is None:
-                continue
-            ga, gb = dec(av[i]), dec(bv[i])
-            if condition == "intersects":
-                out[i] = G.geoms_intersect(ga, gb)
-            elif condition == "within":
-                out[i] = G.geom_within(ga, gb)
-            elif condition == "contains":
-                out[i] = G.geom_within(gb, ga)
-            elif condition == "covers":
-                # covers = contains incl. shared boundary; our parity-based
-                # containment already admits boundary-on-interior-side cases
-                out[i] = G.geom_within(gb, ga)
-            elif condition == "equals":
-                out[i] = _geom_equals(ga, gb)
-            else:
-                raise ValueError(f"unsupported condition {condition!r}")
+        cache_a: dict[bytes, object] = {}
+        groups: dict[bytes, list[int]] = {}
+        for i, blob in enumerate(bv):
+            if blob is not None and av[i] is not None:
+                groups.setdefault(bytes(blob), []).append(i)
+        for blob, idxs in groups.items():
+            gb = W.decode_wkb(blob)
+            for i in idxs:
+                ab = bytes(av[i])
+                ga = cache_a.get(ab)
+                if ga is None:
+                    ga = W.decode_wkb(ab)
+                    cache_a[ab] = ga
+                out[i] = pred(ga, gb)
         return pd.Series(out, index=la.index)
 
     return F.pandas_udf(refine, T.BooleanType())
+
+
+def _make_pair_clipper(clip: str = "intersection"):
+    """Per-pair geometry clip for matched candidates — the reference's
+    ``clip=`` spatial-join mode (``vector/manager.py:208-266``):
+    intersection output coerced to the pair's lowest dimension. Engine
+    limit: convex polygonal clip windows (documented); returns NULL for
+    empty results like the reference's null-geometry replacement."""
+    if clip != "intersection":
+        raise NotImplementedError("only clip='intersection' is implemented")
+
+    def clipper(la: pd.Series, lb: pd.Series) -> pd.Series:
+        out: list[bytes | None] = []
+        cache_b: dict[bytes, object] = {}
+        for ab, bb in zip(la.to_numpy(object), lb.to_numpy(object)):
+            if ab is None or bb is None:
+                out.append(None)
+                continue
+            key = bytes(bb)
+            gb = cache_b.get(key)
+            if gb is None:
+                gb = W.decode_wkb(key)
+                cache_b[key] = gb
+            ga = W.decode_wkb(bytes(ab))
+            res = G.geom_intersection_convex(ga, gb)
+            out.append(None if res is None else W.encode_wkb(res))
+        return pd.Series(out, index=la.index)
+
+    return F.pandas_udf(clipper, T.BinaryType())
 
 
 def _geom_equals(ga, gb) -> bool:
@@ -199,9 +246,16 @@ def point_in_polygon_join(
         z = IU.pick_level(polygons)
 
     pid = point_id or points.columns[0]
-    # build side: polygons exploded to covering cells
     bbox_cols = ["bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax"]
-    build = IU.explode_bbox_cells(polygons, z)
+    # giant-polygon split: features covering > cell_cap cells go to a
+    # broadcast nested-loop bbox path instead of the cell explode (one
+    # continental polygon would otherwise expand to up to 4^z rows in a
+    # single UDF call — OOM + skew)
+    cnt = _bbox_cell_count_expr(z)
+    polys_n = polygons.filter(cnt <= DEFAULT_CELL_CAP)
+    polys_g = polygons.filter(cnt > DEFAULT_CELL_CAP)
+    # build side: polygons exploded to covering cells
+    build = IU.explode_bbox_cells(polys_n, z)
     build = _prefix(build, "r_", exclude=["cell"])
     # probe side: single cell per point (pure Catalyst)
     # null coordinates never match (reference skips null geometry,
@@ -219,12 +273,23 @@ def point_in_polygon_join(
             probe, build, F.col(pid), salt_threshold, max_salt
         )
         cand = probe_s.join(build_s, keys, "inner").drop("salt")
+    cand = cand.drop("cell")
+    pt_in_bbox = (
+        (F.col(lon) >= F.col("r_bbox_xmin"))
+        & (F.col(lon) <= F.col("r_bbox_xmax"))
+        & (F.col(lat) >= F.col("r_bbox_ymin"))
+        & (F.col(lat) <= F.col("r_bbox_ymax"))
+    )
+    nl = probe.drop("cell").join(F.broadcast(_prefix(polys_g, "r_")), pt_in_bbox, "inner")
+    cand = cand.unionByName(nl)
 
     if subkey is not None:
         lcol, rcol = subkey
         cand = cand.filter(F.col(lcol) == F.col("r_" + rcol))
 
-    matched = cand.filter(
+    # codegen point-in-bbox prefilter: a point in a covering cell can
+    # still fall outside the polygon bbox — cull it before Python
+    matched = cand.filter(pt_in_bbox).filter(
         _refine_pip(F.col(lon), F.col(lat), F.col("r_" + polygon_geom))
     )
 
@@ -257,6 +322,33 @@ def point_in_polygon_join(
     return out
 
 
+def _bbox_cell_count_expr(z: int, prefix: str = "") -> Column:
+    """Number of level-z cells a bbox covers, as a pure Catalyst
+    expression — the planning statistic behind the giant-feature split
+    (one continental geometry would otherwise explode to up to 4^z rows
+    inside a single UDF call: executor OOM + pathological skew)."""
+    n = 1 << z
+    tx0 = F.greatest(F.lit(0), F.floor((F.col(prefix + "bbox_xmin") + 180.0) / 360.0 * n))
+    tx1 = F.least(F.lit(n - 1), F.floor((F.col(prefix + "bbox_xmax") + 180.0) / 360.0 * n))
+    ty0 = F.greatest(F.lit(0), F.floor((90.0 - F.col(prefix + "bbox_ymax")) / 180.0 * n))
+    ty1 = F.least(F.lit(n - 1), F.floor((90.0 - F.col(prefix + "bbox_ymin")) / 180.0 * n))
+    return (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+
+
+def _bbox_overlap_cond(lp: str = "l_", rp: str = "r_") -> Column:
+    """Codegen bbox-intersects condition — culls candidate pairs JVM-side
+    before any Python refine."""
+    return (
+        (F.col(lp + "bbox_xmin") <= F.col(rp + "bbox_xmax"))
+        & (F.col(rp + "bbox_xmin") <= F.col(lp + "bbox_xmax"))
+        & (F.col(lp + "bbox_ymin") <= F.col(rp + "bbox_ymax"))
+        & (F.col(rp + "bbox_ymin") <= F.col(lp + "bbox_ymax"))
+    )
+
+
+DEFAULT_CELL_CAP = 4096  # max covering cells per feature before the NL path
+
+
 def spatial_join(
     left: DataFrame,
     right: DataFrame,
@@ -266,16 +358,35 @@ def spatial_join(
     right_geom: str = "geom",
     left_id: str | None = None,
     keepall: bool = False,
+    clip: str | None = None,
     z: int | None = None,
     broadcast_rows: int = DEFAULT_BROADCAST_ROWS,
+    salt_threshold: int = DEFAULT_SALT_THRESHOLD,
+    max_salt: int = DEFAULT_MAX_SALT,
+    build_rows: int | None = None,
+    cell_cap: int = DEFAULT_CELL_CAP,
 ) -> DataFrame:
     """General WKB-vs-WKB spatial join (predicate family of
-    ``pythongis/vector/manager.py:381-431``).
+    ``pythongis/vector/manager.py:196,381-431``): intersects, within,
+    contains, covers, coveredby, crosses, touches, equals.
 
-    Both sides explode to covering cells; duplicate candidate pairs are
-    eliminated shuffle-free by the reference-point rule (a pair is emitted
-    only in the cell containing the SW corner of the bbox intersection) —
-    no ``distinct`` pass needed.
+    Physical plan (same skeleton as ``point_in_polygon_join``):
+
+    * both sides explode to covering cells; duplicate candidate pairs
+      are eliminated shuffle-free by the reference-point rule (a pair
+      is emitted only in the cell containing the SW corner of the bbox
+      intersection);
+    * right side broadcast when small (``build_rows`` hint skips the
+      sizing job), else shuffled with explicit hot-cell salting;
+    * features covering > ``cell_cap`` cells are split off to a
+      broadcast nested-loop bbox join (they are few by definition, and
+      exploding them would OOM one task);
+    * a codegen bbox-overlap filter culls pairs before the Arrow refine
+      (decode-once per distinct right geometry).
+
+    ``clip='intersection'`` adds a ``clip_geom`` WKB column with the
+    pairwise intersection coerced to the pair's lowest dimension
+    (``manager.py:208-266``; convex clip windows).
     """
     from pythongis_spark.geometry.udfs import with_bbox
 
@@ -287,30 +398,58 @@ def spatial_join(
         z = min(IU.pick_level(left), IU.pick_level(right))
 
     lid = left_id or left.columns[0]
-    lx = IU.explode_bbox_cells(left, z)
+    bbox_cols = ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")
+
+    # giant-feature split (either side): cells-covered is pure Catalyst
+    lcnt = _bbox_cell_count_expr(z)
+    rcnt = _bbox_cell_count_expr(z)
+    left_n, left_g = left.filter(lcnt <= cell_cap), left.filter(lcnt > cell_cap)
+    right_n, right_g = right.filter(rcnt <= cell_cap), right.filter(rcnt > cell_cap)
+
+    lxall = _prefix(left, "l_")
+    lx = IU.explode_bbox_cells(left_n, z)
     lx = _prefix(lx, "l_", exclude=["cell"])
-    rx = IU.explode_bbox_cells(right, z)
+    rx = IU.explode_bbox_cells(right_n, z)
     rx = _prefix(rx, "r_", exclude=["cell"])
 
-    if rx.count() <= broadcast_rows:
+    build_count = build_rows if build_rows is not None else rx.count()
+    if build_count <= broadcast_rows:
         cand = lx.join(F.broadcast(rx), "cell", "inner")
     else:
-        cand = lx.join(rx, "cell", "inner")
+        probe_s, build_s, keys = _salt_plan(
+            lx, rx, F.col("l_" + lid), salt_threshold, max_salt
+        )
+        cand = probe_s.join(build_s, keys, "inner").drop("salt")
 
     # reference-point dedup: emit only in the cell of the SW corner of the
     # bbox intersection (guaranteed to be a shared covering cell)
     ref_x = F.greatest("l_bbox_xmin", "r_bbox_xmin")
     ref_y = F.greatest("l_bbox_ymin", "r_bbox_ymin")
-    cand = cand.filter(F.col("cell") == IU.point_cell_expr(ref_x, ref_y, z))
+    cand = cand.filter(F.col("cell") == IU.point_cell_expr(ref_x, ref_y, z)).drop("cell")
+
+    # nested-loop paths for giant features (broadcast the small giant set;
+    # Spark plans the bbox theta-join as BroadcastNestedLoopJoin)
+    nl = lxall.join(F.broadcast(_prefix(right_g, "r_")), _bbox_overlap_cond(), "inner")
+    # giant-left × normal-right (giant×giant pairs are already in `nl`);
+    # the giant side is the broadcast side in both legs
+    nl2 = F.broadcast(_prefix(left_g, "l_")).join(
+        _prefix(right_n, "r_"), _bbox_overlap_cond(), "inner"
+    )
+    cand = cand.unionByName(nl).unionByName(nl2)
+
+    # codegen bbox prefilter before any Python
+    cand = cand.filter(_bbox_overlap_cond())
 
     refiner = _make_pair_refiner(condition)
     matched = cand.filter(refiner(F.col("l_" + left_geom), F.col("r_" + right_geom)))
 
-    internal = ["cell"] + [
-        p + c
-        for p in ("l_", "r_")
-        for c in ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")
-    ]
+    if clip is not None:
+        clipper = _make_pair_clipper(clip)
+        matched = matched.withColumn(
+            "clip_geom", clipper(F.col("l_" + left_geom), F.col("r_" + right_geom))
+        )
+
+    internal = [p + c for p in ("l_", "r_") for c in bbox_cols]
     out = matched.drop(*[c for c in internal if c in matched.columns])
     out = out.drop("r_" + right_geom)
     for c in out.columns:
@@ -319,13 +458,13 @@ def spatial_join(
     for c in out.columns:
         if c.startswith("r_"):
             bare = c[2:]
-            if bare not in left.columns:
+            if bare not in left.columns and bare != "clip_geom":
                 out = out.withColumnRenamed(c, bare)
             else:
                 out = out.drop(c)
     if keepall:
         right_cols = [c for c in out.columns if c not in left.columns]
-        base = left.drop(*[c for c in ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax") if c in left.columns])
+        base = left.drop(*[c for c in bbox_cols if c in left.columns])
         return base.join(out.select([lid] + right_cols), lid, "left")
     return out
 

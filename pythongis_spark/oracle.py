@@ -126,7 +126,15 @@ def ref_spatial_join_pairs(left, right, condition="intersects"):
             if condition == "intersects":
                 ok = G.geoms_intersect(lg, rg)
             elif condition == "within":
-                ok = G.geom_within(lg, rg)
+                ok = G.geom_within_covers(lg, rg, require_interior=True)
+            elif condition == "contains":
+                ok = G.geom_within_covers(rg, lg, require_interior=True)
+            elif condition == "covers":
+                ok = G.geom_within_covers(rg, lg, require_interior=False)
+            elif condition == "crosses":
+                ok = G.geom_crosses(lg, rg)
+            elif condition == "touches":
+                ok = G.geom_touches(lg, rg)
             else:
                 raise ValueError(condition)
             if ok:

@@ -127,3 +127,106 @@ def test_general_spatial_join_polygons(spark, zones):
     assert pairs == expected
     # self-overlap rows (15..19) must match themselves
     assert all((i, i) in pairs for i in range(15, 20))
+
+
+def _golden_ab(spark, n=40):
+    zpdf = FX.golden_zones_pdf(n)
+    a_pdf = zpdf.iloc[: n // 2][["zone_id", "geom"]].rename(columns={"zone_id": "a_id"})
+    b_pdf = zpdf.iloc[n // 4 :][["zone_id", "geom"]].rename(columns={"zone_id": "b_id"})
+    return (
+        spark.createDataFrame(a_pdf),
+        spark.createDataFrame(b_pdf),
+        a_pdf,
+        b_pdf,
+    )
+
+
+def _brute_pairs(a_pdf, b_pdf, pred):
+    out = set()
+    for _, ra in a_pdf.iterrows():
+        ga = W.decode_wkb(ra["geom"])
+        for _, rb in b_pdf.iterrows():
+            if pred(ga, W.decode_wkb(rb["geom"])):
+                out.add((int(ra["a_id"]), int(rb["b_id"])))
+    return out
+
+
+def test_general_join_salted_path_identical(spark):
+    """Forcing the salted shuffle plan must give the same row set as the
+    broadcast plan (determinism across physical strategies)."""
+    a, b, a_pdf, b_pdf = _golden_ab(spark)
+    bc = spatial_join(a, b, "intersects", left_id="a_id")
+    salted = spatial_join(
+        a, b, "intersects", left_id="a_id",
+        broadcast_rows=0, salt_threshold=2, max_salt=4,
+    )
+    p1 = {(r["a_id"], r["b_id"]) for r in bc.select("a_id", "b_id").collect()}
+    p2 = {(r["a_id"], r["b_id"]) for r in salted.select("a_id", "b_id").collect()}
+    assert p1 == p2 and p1
+
+
+def test_general_join_giant_split_identical(spark):
+    """A tiny cell_cap routes (almost) everything through the
+    broadcast-NL giant path — row set must not change."""
+    a, b, a_pdf, b_pdf = _golden_ab(spark)
+    normal = spatial_join(a, b, "intersects", left_id="a_id")
+    forced = spatial_join(a, b, "intersects", left_id="a_id", cell_cap=1)
+    p1 = {(r["a_id"], r["b_id"]) for r in normal.select("a_id", "b_id").collect()}
+    p2 = {(r["a_id"], r["b_id"]) for r in forced.select("a_id", "b_id").collect()}
+    assert p1 == p2 and p1
+
+
+def test_general_join_crosses_touches(spark):
+    import pandas as pd
+    # two squares sharing an edge + a line crossing one of them
+    a_rows = [
+        (0, W.wkb_polygon([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])),
+        (1, W.wkb_linestring([[-5, 5], [15, 5]])),
+    ]
+    b_rows = [
+        (100, W.wkb_polygon([[10, 0], [20, 0], [20, 10], [10, 10], [10, 0]])),
+        (101, W.wkb_polygon([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])),
+    ]
+    a = spark.createDataFrame(pd.DataFrame(a_rows, columns=["a_id", "geom"]))
+    b = spark.createDataFrame(pd.DataFrame(b_rows, columns=["b_id", "geom"]))
+    touches = spatial_join(a, b, "touches", left_id="a_id")
+    tp = {(r["a_id"], r["b_id"]) for r in touches.select("a_id", "b_id").collect()}
+    assert (0, 100) in tp          # shared edge
+    assert (0, 101) not in tp      # identical squares overlap interiors
+    crosses = spatial_join(a, b, "crosses", left_id="a_id")
+    cp = {(r["a_id"], r["b_id"]) for r in crosses.select("a_id", "b_id").collect()}
+    assert (1, 100) in cp and (1, 101) in cp  # line passes through both
+    assert (0, 100) not in cp      # polygons never cross
+
+
+def test_general_join_covers_boundary(spark):
+    import pandas as pd
+    outer = W.wkb_polygon([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]])
+    # inner polygon sharing outer's left edge: covers AND contains-with-interior
+    inner = W.wkb_polygon([[0, 2], [4, 2], [4, 6], [0, 6], [0, 2]])
+    # line along the boundary: covered but not contained (no interior)
+    edge = W.wkb_linestring([[0, 0], [0, 10]])
+    a = spark.createDataFrame(pd.DataFrame([(0, outer)], columns=["a_id", "geom"]))
+    b = spark.createDataFrame(
+        pd.DataFrame([(1, inner), (2, edge)], columns=["b_id", "geom"])
+    )
+    covers = spatial_join(a, b, "covers", left_id="a_id")
+    cp = {(r["a_id"], r["b_id"]) for r in covers.select("a_id", "b_id").collect()}
+    assert cp == {(0, 1), (0, 2)}
+    contains = spatial_join(a, b, "contains", left_id="a_id")
+    kp = {(r["a_id"], r["b_id"]) for r in contains.select("a_id", "b_id").collect()}
+    assert kp == {(0, 1)}  # boundary line has no interior intersection
+
+
+def test_general_join_clip_intersection(spark):
+    import pandas as pd
+    a_rows = [(0, W.wkb_polygon([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]))]
+    b_rows = [(1, W.wkb_polygon([[5, 5], [15, 5], [15, 15], [5, 15], [5, 5]]))]
+    a = spark.createDataFrame(pd.DataFrame(a_rows, columns=["a_id", "geom"]))
+    b = spark.createDataFrame(pd.DataFrame(b_rows, columns=["b_id", "geom"]))
+    out = spatial_join(a, b, "intersects", left_id="a_id", clip="intersection")
+    rows = out.collect()
+    assert len(rows) == 1
+    clipped = W.decode_wkb(bytes(rows[0]["clip_geom"]))
+    assert clipped[0] == "Polygon"
+    assert abs(G.ring_signed_area(clipped[1][0])) == 25.0
