@@ -718,6 +718,19 @@ def _q_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", "y", "val")
 
 
+def _q_idw_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded IDW (analyzer.py:150-267 'neighbours' analog):
+    offsets explode + one groupBy instead of the grid×points cross join
+    — the 100TB plan for interpolation."""
+    from pythongis_spark.raster.zonal import interpolate_idw_bounded
+
+    pts = FX.events_points(spark, sf_dir).withColumn(
+        "v", F.col("event_id").cast("double")
+    )
+    out = interpolate_idw_bounded(pts, _rd_coarse(), "v", radius_cells=3, exact=True)
+    return out.select("x", "y", "val")
+
+
 def _q_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.raster.zonal import density_smooth
 
@@ -782,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_raster": _q_align,
         "vectorize_cells": _q_vectorize,
         "idw_grid": _q_idw,
+        "idw_bounded": _q_idw_bounded,
         "density_events": _q_density,
         "disperse_zone_pop": _q_disperse,
         "webmercator_points": _q_webmercator,
@@ -1007,6 +1021,33 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(SUM(CAST(1.0 / d2 AS DECIMAL(38,18))) FILTER (WHERE d2 > 0) AS DOUBLE)
                    ) AS val
             FROM cand GROUP BY x, y
+        """,
+        "idw_bounded": f"""
+            WITH {_PTS_CTE},
+            known AS (
+              SELECT CAST(FLOOR((lon + 180.0) / 10.0) AS INTEGER) AS px,
+                     CAST(FLOOR((90.0 - lat) / 10.0) AS INTEGER) AS py,
+                     AVG(CAST(event_id AS DOUBLE)) AS pval
+              FROM pts GROUP BY 1, 2
+            ),
+            offs AS (SELECT CAST(range AS BIGINT) - 3 AS o FROM range(7)),
+            spread AS (
+              SELECT CAST(k.px + ox.o AS INTEGER) AS x,
+                     CAST(k.py + oy.o AS INTEGER) AS y,
+                     k.pval,
+                     CAST(ox.o * ox.o + oy.o * oy.o AS DOUBLE) AS d2
+              FROM known k, offs ox, offs oy
+              WHERE ox.o * ox.o + oy.o * oy.o <= 9
+                AND k.px + ox.o BETWEEN 0 AND 35
+                AND k.py + oy.o BETWEEN 0 AND 17
+            )
+            SELECT x, y,
+                   COALESCE(
+                     MAX(CASE WHEN d2 = 0 THEN pval END),
+                     CAST(SUM(CAST((1.0 / d2) * pval AS DECIMAL(38,18))) FILTER (WHERE d2 > 0) AS DOUBLE)
+                     / CAST(SUM(CAST(1.0 / d2 AS DECIMAL(38,18))) FILTER (WHERE d2 > 0) AS DOUBLE)
+                   ) AS val
+            FROM spread GROUP BY x, y
         """,
         "density_events": f"""
             WITH {_PTS_CTE},

@@ -165,18 +165,27 @@ def zonal_statistics(
     zone_id: str = "zone_id",
     geom: str = "geom",
     stats: list[str] | None = None,
+    zone_cells_hint: int | None = None,
+    broadcast_cells: int = 2_000_000,
 ) -> DataFrame:
     """Per-zone stats of a value raster
     (``pythongis/raster/analyzer.py:16-88`` + ``Band.summarystats``
     ``raster/data.py:592-779``; nodata excluded): rasterize zones (cover
     cells) → equi-join value cells on (x, y) → ONE groupBy(zone, band).
 
-    The zone cell-assignment join broadcasts when zones are small."""
+    The zone cell-assignment join broadcasts only when the exploded zone
+    cells fit (≤ ``broadcast_cells``; cover-cell count is O(zone area /
+    cell area), so a continental zone set at fine resolution must NOT be
+    broadcast); otherwise a shuffled hash join on (x, y) — both sides
+    partition on the cell key, same result set. ``zone_cells_hint``
+    skips the sizing job when the caller knows the explosion size."""
     cover = _cover_cells_udf(rd)
     zcells = zones.select(
         F.col(zone_id), F.explode(cover(F.col(geom))).alias("_cov")
     ).select(zone_id, F.col("_cov.x").alias("x"), F.col("_cov.y").alias("y"))
-    joined = raster_cells.join(F.broadcast(zcells), ["x", "y"], "inner")
+    n_cells = zone_cells_hint if zone_cells_hint is not None else zcells.count()
+    build = F.broadcast(zcells) if n_cells <= broadcast_cells else zcells
+    joined = raster_cells.join(build, ["x", "y"], "inner")
     return band_stats(
         joined, stats or ["count", "sum", "mean", "min", "max"], by=[zone_id, "band"]
     )
@@ -266,6 +275,74 @@ def interpolate_idw(
     )
     return agg.select(
         "x", "y", F.lit(0).alias("band"),
+        F.coalesce("_ex", "_idw").alias("val"),
+    )
+
+
+def interpolate_idw_bounded(
+    points: DataFrame,
+    rd: RasterDef,
+    valuefield: str,
+    radius_cells: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    sensitivity: float = 2.0,
+    exact: bool = False,
+) -> DataFrame:
+    """Neighbourhood-bounded IDW — the scale path for
+    :func:`interpolate_idw` (reference's ``neighbours`` kwarg,
+    ``pythongis/raster/analyzer.py:150-267``, re-expressed as a radius
+    bound): each known cell contributes only to grid cells within
+    ``radius_cells`` (Euclidean), so the plan is an explode of
+    (2r+1)² offsets + one groupBy — no grid×points cross join. Cells
+    with no known point in range produce no row (sparse nodata), unlike
+    the unbounded variant which fills the whole grid."""
+    cx, cy = geo_to_cell_exprs(rd, F.col(lon), F.col(lat))
+    known = (
+        points.withColumn("x", cx)
+        .withColumn("y", cy)
+        .filter(in_grid(rd, F.col("x"), F.col("y")))
+        .groupBy("x", "y")
+        .agg(F.avg(valuefield).alias("pval"))
+    )
+    r = radius_cells
+    offs = F.sequence(F.lit(-r), F.lit(r))
+    spread = (
+        known.withColumn("_dx", F.explode(offs))
+        .withColumn("_dy", F.explode(offs))
+        .withColumn(
+            "_d2",
+            (F.col("_dx") * F.col("_dx") + F.col("_dy") * F.col("_dy")).cast("double"),
+        )
+        .filter(F.col("_d2") <= float(r * r))
+        .select(
+            (F.col("x") + F.col("_dx")).alias("x"),
+            (F.col("y") + F.col("_dy")).alias("y"),
+            "pval",
+            "_d2",
+        )
+        .filter(in_grid(rd, F.col("x"), F.col("y")))
+    )
+    if sensitivity == 2.0:
+        wgt = F.when(F.col("_d2") == 0, None).otherwise(F.lit(1.0) / F.col("_d2"))
+    else:
+        wgt = F.when(F.col("_d2") == 0, None).otherwise(
+            F.pow(F.sqrt(F.col("_d2")), F.lit(-float(sensitivity)))
+        )
+    if exact:
+        num = F.sum((F.col("_w") * F.col("pval")).cast("decimal(38,18)"))
+        den = F.sum(F.col("_w").cast("decimal(38,18)"))
+        idw = (num.cast("double") / den.cast("double")).alias("_idw")
+    else:
+        idw = (F.sum(F.col("_w") * F.col("pval")) / F.sum("_w")).alias("_idw")
+    agg = (
+        spread.withColumn("_w", wgt)
+        .withColumn("_exact", F.when(F.col("_d2") == 0, F.col("pval")))
+        .groupBy("x", "y")
+        .agg(F.first("_exact", ignorenulls=True).alias("_ex"), idw)
+    )
+    return agg.select(
+        "x", "y", F.lit(0).cast("int").alias("band"),
         F.coalesce("_ex", "_idw").alias("val"),
     )
 

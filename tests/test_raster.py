@@ -151,3 +151,42 @@ def test_density_smooth(spark):
     center = out[(out.x == 0) & (out.y == 0)]["val"].iloc[0]
     assert center == 2.0  # weight 1 at d=0, both points in the cell
     assert (out["val"] <= 2.0).all()
+
+
+def test_zonal_statistics_shuffle_fallback_identical(spark):
+    """broadcast_cells=0 forces the shuffled hash join — result set must
+    match the broadcast plan exactly (the unconditional broadcast was a
+    scale-killer for continental zone sets)."""
+    z1 = W.wkb_polygon(np.array([[-180, -90], [0, -90], [0, 90], [-180, 90], [-180, -90]], float))
+    z2 = W.wkb_polygon(np.array([[0, -90], [180, -90], [180, 90], [0, 90], [0, -90]], float))
+    zones = spark.createDataFrame(pd.DataFrame({"zone_id": [1, 2], "geom": [z1, z2]}))
+    vals = FX.raster_cells(spark, w=36, h=18, bands=1)
+    bc = Z.zonal_statistics(zones, vals, RD, stats=["count", "sum"]).toPandas()
+    sh = Z.zonal_statistics(
+        zones, vals, RD, stats=["count", "sum"], broadcast_cells=0
+    ).toPandas()
+    bc = bc.sort_values(["zone_id", "band"]).reset_index(drop=True)
+    sh = sh.sort_values(["zone_id", "band"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, sh)
+    # hint path: no sizing job, same rows
+    hinted = Z.zonal_statistics(
+        zones, vals, RD, stats=["count", "sum"], zone_cells_hint=648
+    ).toPandas().sort_values(["zone_id", "band"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, hinted)
+
+
+def test_idw_bounded_matches_unbounded_locally(spark):
+    """Within the radius of every known point, the bounded IDW equals
+    the exact value at known cells and stays within the known value
+    range elsewhere; cells beyond every radius produce no row."""
+    pts = spark.createDataFrame(
+        pd.DataFrame({"lon": [-175.0, -105.0], "lat": [85.0, 85.0], "v": [10.0, 20.0]})
+    )
+    out = Z.interpolate_idw_bounded(pts, RD, "v", radius_cells=2).toPandas()
+    got = out.set_index(["x", "y"])["val"]
+    # known cells exact (cell (0,0) and (7,0))
+    assert got[(0, 0)] == 10.0 and got[(7, 0)] == 20.0
+    # no row outside every radius
+    assert (3, 9) not in got.index
+    # neighbours within radius exist and interpolate to the single value
+    assert got[(1, 0)] == 10.0 and got[(6, 0)] == 20.0
