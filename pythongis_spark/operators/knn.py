@@ -57,19 +57,25 @@ def _dist_expr(lx, ly, rx, ry, metric: str) -> Column:
 
 def _boundary_guard_expr(lon, lat, z: int, ring: int, metric: str) -> Column:
     """Lower bound of the distance from a point to the outside of its
-    (2*ring+1)^2 cell window. Conservative: sides clipped at the grid edge
-    contribute +inf (nothing exists beyond the world)."""
+    (2*ring+1)^2 cell window.
+
+    Longitude wraps: the window extends across the antimeridian (the
+    neighbour explosion wraps too), so the east/west guard is the true
+    lon-degree distance to the window edge — never +inf at the grid edge
+    (a nearer target at lon +179.9 IS considered for a probe at -179.9).
+    Latitude does not wrap; beyond the poles nothing exists → +inf."""
     n = 1 << z
     cw, ch = 360.0 / n, 180.0 / n
     tx = F.floor((lon + 180.0) / F.lit(360.0) * n)
     ty = F.floor((F.lit(90.0) - lat) / F.lit(180.0) * n)
-    x_lo = F.lit(-180.0) + (tx - ring) * cw       # window west edge
-    x_hi = F.lit(-180.0) + (tx + ring + 1) * cw   # east
+    x_lo = F.lit(-180.0) + (tx - ring) * cw       # window west edge (may be < -180)
+    x_hi = F.lit(-180.0) + (tx + ring + 1) * cw   # east (may be > 180)
     y_hi = F.lit(90.0) - (ty - ring) * ch         # north
     y_lo = F.lit(90.0) - (ty + ring + 1) * ch     # south
     inf = F.lit(float("inf"))
-    d_w = F.when(tx - ring <= 0, inf).otherwise(lon - x_lo)
-    d_e = F.when(tx + ring >= n - 1, inf).otherwise(x_hi - lon)
+    wraps_world = (2 * ring + 1) >= n
+    d_w = inf if wraps_world else lon - x_lo
+    d_e = inf if wraps_world else x_hi - lon
     d_n = F.when(ty - ring <= 0, inf).otherwise(y_hi - lat)
     d_s = F.when(ty + ring >= n - 1, inf).otherwise(lat - y_lo)
     if metric == "planar":
@@ -83,21 +89,40 @@ def _boundary_guard_expr(lon, lat, z: int, ring: int, metric: str) -> Column:
     )
 
 
-def _explode_neighbor_cells(targets: DataFrame, lon: str, lat: str, z: int, ring: int) -> DataFrame:
-    """One row per (target, neighbor cell within Chebyshev ring)."""
+def _explode_neighbor_cells(
+    targets: DataFrame,
+    lon: str,
+    lat: str,
+    z: int,
+    ring: int,
+    ring_x: Column | None = None,
+) -> DataFrame:
+    """One row per (target, neighbor cell within the ring window).
+
+    The x offset wraps across the antimeridian (lon is periodic — the
+    grid edge is NOT a wall); y is clipped at the poles. ``ring_x``
+    optionally widens the east-west ring per row (lon degrees shrink by
+    cos(lat), so geodetic joins need wider windows at high latitude)."""
     n = 1 << z
     tx = F.floor((F.col(lon) + 180.0) / F.lit(360.0) * n).cast("long")
     ty = F.floor((F.lit(90.0) - F.col(lat)) / F.lit(180.0) * n).cast("long")
     tx = F.greatest(F.lit(0), F.least(F.lit(n - 1), tx))
     ty = F.greatest(F.lit(0), F.least(F.lit(n - 1), ty))
     df = targets.withColumn("_tx", tx).withColumn("_ty", ty)
-    offs = F.sequence(F.lit(-ring), F.lit(ring))
-    df = df.withColumn("_dx", F.explode(offs)).withColumn("_dy", F.explode(offs))
-    df = df.withColumn("_nx", F.col("_tx") + F.col("_dx")).withColumn(
-        "_ny", F.col("_ty") + F.col("_dy")
-    )
-    df = df.filter(
-        (F.col("_nx") >= 0) & (F.col("_nx") < n) & (F.col("_ny") >= 0) & (F.col("_ny") < n)
+    rx = (ring_x if ring_x is not None else F.lit(ring)).cast("int")
+    # x window: span columns starting `west` left of the target, wrapped.
+    # Span is capped at the full world (n columns) so the window is
+    # duplicate-free by construction — no dedup shuffle — while a ring
+    # wider than the world still covers every column.
+    span = F.least(rx * 2 + 1, F.lit(n))
+    west = F.least(rx, F.lit(n // 2))
+    df = df.withColumn("_dx", F.explode(F.sequence(F.lit(0), span - 1)))
+    df = df.withColumn("_dy", F.explode(F.sequence(F.lit(-ring), F.lit(ring))))
+    df = df.withColumn(
+        "_nx", F.pmod(F.col("_tx") - west + F.col("_dx"), F.lit(n))
+    ).withColumn("_ny", F.col("_ty") + F.col("_dy"))
+    df = df.filter((F.col("_ny") >= 0) & (F.col("_ny") < n)).withColumn(
+        "_nx", F.col("_nx").cast("long")
     )
     df = df.withColumn("cell", IU.interleave_expr(F.col("_nx"), F.col("_ny")))
     return df.drop("_tx", "_ty", "_dx", "_dy", "_nx", "_ny")
@@ -241,24 +266,51 @@ def distance_join(
     else:
         rad_deg = radius / (math.pi / 180.0 * EARTH_RADIUS_M)  # ≥ true lat-deg
     if z is None:
+        # strict > so cellh(z) > rad_deg: with rad == cellh exactly and
+        # boundary-aligned points, |Δty| can hit 2 — one ring would miss
         z = 0
-        while z < Q.MAX_LEVEL and 180.0 / (1 << (z + 1)) >= rad_deg:
+        while z < Q.MAX_LEVEL and 180.0 / (1 << (z + 1)) > rad_deg:
             z += 1
     # at high z with huge radius fall back to brute force
     if z == 0:
         cand = pts.crossJoin(F.broadcast(tgt))
-    else:
-        # ring must cover radius in *lon* degrees too (shrinks with cos lat
-        # for metric joins); widen ring for the worst-case target latitude
-        ring = 1
-        if metric != "planar":
-            ring = 2  # conservative widening for lon shrink up to 60°
-        exploded = _explode_neighbor_cells(tgt, "_tlon", "_tlat", z, ring)
-        n_exp = (2 * ring + 1) ** 2
-        if targets.count() * n_exp <= broadcast_targets_rows:
+    elif metric == "planar":
+        # planar degrees are isotropic: ring 1 covers the radius exactly
+        exploded = _explode_neighbor_cells(tgt, "_tlon", "_tlat", z, 1)
+        if targets.count() * 9 <= broadcast_targets_rows:
             exploded = F.broadcast(exploded)
         probe = pts.withColumn("cell", IU.point_cell_expr(F.col(lon), F.col(lat), z))
         cand = probe.join(exploded, "cell", "inner").drop("cell")
+    else:
+        # geodetic: lon degrees shrink by cos(lat), so the x-ring widens
+        # per target with the worst latitude either endpoint of a match
+        # can reach (|tlat| + rad_deg). Targets whose matches can touch
+        # the polar caps (cos → 0) go to an exact brute-force leg instead
+        # of an unbounded explosion. The window itself wraps across the
+        # antimeridian (see _explode_neighbor_cells).
+        POLAR_CUTOFF = 85.0
+        n = 1 << z
+        cellw = 360.0 / n
+        pair_lat = F.abs(F.col("_tlat")) + F.lit(rad_deg)
+        main_t = tgt.filter(pair_lat < POLAR_CUTOFF)
+        polar_t = tgt.filter(pair_lat >= POLAR_CUTOFF)
+        # +1: cell-edge alignment can push |Δtx| to floor(Δlon/cellw)+1
+        ring_x = F.ceil(
+            F.lit(rad_deg) / (F.lit(cellw) * F.cos(F.radians(pair_lat)))
+        ) + F.lit(1)
+        exploded = _explode_neighbor_cells(main_t, "_tlon", "_tlat", z, 1, ring_x=ring_x)
+        # worst-case x-span at the cutoff bounds the explosion factor
+        max_span = 2 * (math.ceil(rad_deg / (cellw * math.cos(math.radians(POLAR_CUTOFF)))) + 1) + 1
+        if targets.count() * 3 * max_span <= broadcast_targets_rows:
+            exploded = F.broadcast(exploded)
+        probe = pts.withColumn("cell", IU.point_cell_expr(F.col(lon), F.col(lat), z))
+        cand = probe.join(exploded, "cell", "inner").drop("cell")
+        # polar leg: few targets by construction; probes prefiltered by
+        # the only geometry that can reach them (lat within rad_deg)
+        polar_probe = pts.filter(
+            F.abs(F.col(lat)) >= F.lit(POLAR_CUTOFF - 2.0 * rad_deg)
+        )
+        cand = cand.unionByName(polar_probe.crossJoin(F.broadcast(polar_t)))
     out = cand.withColumn(
         "dist",
         _dist_expr(F.col(lon), F.col(lat), F.col("_tlon"), F.col("_tlat"), metric),

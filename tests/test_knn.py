@@ -114,3 +114,72 @@ def test_distance_join_haversine(spark, small):
             expected.add((int(p["p_id"]), int(tid)))
     assert pairs == expected
     assert len(pairs) > 0
+
+
+def _mk_extreme(n, seed, prefix):
+    """Points concentrated at high latitude and around the antimeridian —
+    the configurations the fixed-ring/grid-edge code used to miss."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    lon = np.where(
+        rng.uniform(size=n) < 0.5,
+        rng.uniform(170, 180, n) * rng.choice([-1, 1], n),
+        rng.uniform(-180, 180, n),
+    )
+    lat = np.where(
+        rng.uniform(size=n) < 0.5,
+        rng.uniform(76, 89.5, n) * rng.choice([-1, 1], n),
+        rng.uniform(-89, 89, n),
+    )
+    return pd.DataFrame({f"{prefix}_id": np.arange(n, dtype=np.int64), "lon": lon, "lat": lat})
+
+
+def brute_distance(pts, tgt, radius, metric):
+    out = set()
+    for _, p in pts.iterrows():
+        if metric == "planar":
+            d = np.sqrt((tgt["lon"] - p["lon"]) ** 2 + (tgt["lat"] - p["lat"]) ** 2)
+        else:
+            d = geodesy.haversine_m(
+                np.full(len(tgt), p["lon"]), np.full(len(tgt), p["lat"]),
+                tgt["lon"].to_numpy(), tgt["lat"].to_numpy(),
+            )
+        for tid in tgt["t_id"][np.asarray(d) <= radius]:
+            out.add((int(p["p_id"]), int(tid)))
+    return out
+
+
+def test_distance_join_haversine_high_lat_antimeridian(spark):
+    """Geodetic distance join at |lat| up to 89.5 and across ±180: the
+    dynamic lon-ring + wrap + polar brute leg must match brute force
+    (the fixed ring=2 / grid-edge-as-wall version missed matches here)."""
+    pts = _mk_extreme(250, 11, "p")
+    tgt = _mk_extreme(3000, 12, "t")
+    spts, stgt = spark.createDataFrame(pts), spark.createDataFrame(tgt)
+    radius = 300_000.0  # 300 km
+    got = distance_join(
+        spts, stgt, radius, point_id="p_id", target_id="t_id",
+        metric="haversine", broadcast_targets_rows=10,
+    )
+    pairs = {(r["p_id"], r["t_id"]) for r in got.select("p_id", "t_id").collect()}
+    assert pairs == brute_distance(pts, tgt, radius, "haversine")
+
+
+def test_knn_haversine_antimeridian_wrap(spark):
+    """A probe at lon -179.9 must find its true nearest target at +179.9
+    (pre-fix: the grid edge was treated as 'nothing beyond')."""
+    pts = pd.DataFrame({"p_id": [0], "lon": [-179.9], "lat": [10.0]})
+    # nearest target is across the antimeridian; decoys closer in lon
+    tgt = pd.DataFrame(
+        {"t_id": [0, 1, 2], "lon": [179.9, -170.0, -160.0], "lat": [10.0, 10.0, 10.0]}
+    )
+    # pad targets so the grid path is taken rather than broadcast brute force
+    pad = _mkpoints(20_000, 13, "t")
+    pad["t_id"] = pad["t_id"] + 10
+    pad["lat"] = pad["lat"].clip(-60, 60) - 80  # push pad far south
+    tgt_all = pd.concat([tgt, pad], ignore_index=True)
+    got = knn_join(
+        spark.createDataFrame(pts), spark.createDataFrame(tgt_all), 1,
+        point_id="p_id", target_id="t_id", metric="haversine",
+    )
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["t_id"] == 0
