@@ -545,10 +545,17 @@ def _q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint duplicate-group size histogram. The fp itself is
+    xxhash64 (no DuckDB equivalent); its GROUPS are the groups of equal
+    normalized text, so the size histogram is oracle-checkable — a hash
+    collision would merge groups and fail the gate."""
     from pythongis_spark.operators.text import fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return fingerprint(docs).groupBy("fp").agg(F.count("*").alias("n"))
+    groups = fingerprint(docs).groupBy("fp").agg(F.count("*").alias("sz"))
+    return groups.groupBy(F.col("sz").alias("fp_group_size")).agg(
+        F.count("*").alias("n_groups")
+    )
 
 
 def _q_verify_images(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1226,6 +1233,134 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal,
                    CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS class
             FROM customer
+        """,
+        "langid_docs": """
+            WITH h AS (
+              SELECT lang,
+                len(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is|that|with|for|was)\\b')) AS h_en,
+                len(regexp_extract_all(text, '(?i)\\b(der|die|und|das|ist|nicht|mit|ein|von|zu)\\b')) AS h_de,
+                len(regexp_extract_all(text, '(?i)\\b(le|la|les|et|des|est|dans|que|pour|une)\\b')) AS h_fr,
+                len(regexp_extract_all(text, '(?i)\\b(el|la|los|que|de|en|es|por|con|una)\\b')) AS h_es
+              FROM documents
+            ),
+            p AS (
+              SELECT lang,
+                CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) IS NULL THEN 'und'
+                     WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                     WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+                     WHEN h_de = GREATEST(h_en, h_de, h_fr, h_es) THEN 'de'
+                     WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr'
+                     ELSE 'es' END AS lang_pred
+              FROM h
+            )
+            SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY lang, lang_pred
+        """,
+        "fingerprint_docs": """
+            WITH norm AS (
+              SELECT trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            groups AS (SELECT t, COUNT(*) AS sz FROM norm GROUP BY t)
+            SELECT sz AS fp_group_size, COUNT(*) AS n_groups
+            FROM groups GROUP BY sz
+        """,
+        "verify_images": """
+            SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+                   CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'png'
+                        WHEN 1 THEN 'jpeg' ELSE 'bmp' END AS fmt,
+                   TRUE AS psnr_ok, TRUE AS phash_ok, TRUE AS caption_ok
+            FROM (SELECT CAST(range AS BIGINT) AS i FROM range(200))
+        """,
+        "simhash_pairs_docs": """
+            WITH RECURSIVE w AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            wh AS (
+              SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+              FROM w WHERE w <> ''
+            ),
+            bits AS (
+              SELECT doc_id, bb.b AS b,
+                     SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM wh, (SELECT unnest(range(60)) AS b) bb
+              GROUP BY doc_id, bb.b
+            ),
+            sh0 AS (
+              SELECT doc_id, SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+              FROM bits GROUP BY doc_id
+            ),
+            sh AS (
+              SELECT d.doc_id, COALESCE(sh0.sh, 0) AS sh
+              FROM documents d LEFT JOIN sh0 ON d.doc_id = sh0.doc_id
+              WHERE d.text IS NOT NULL
+            ),
+            banded AS (
+              SELECT doc_id, sh, bb.b AS band, (sh >> (bb.b * 16)) & 65535 AS bucket
+              FROM sh, (SELECT unnest(range(4)) AS b) bb
+            ),
+            prs AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                              a.sh AS a_sh, b.sh AS b_sh
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            )
+            SELECT a_id, b_id, CAST(bit_count(xor(a_sh, b_sh)) AS INTEGER) AS hamming
+            FROM prs WHERE bit_count(xor(a_sh, b_sh)) <= 8
+        """,
+        "minhash_pairs_docs": """
+            WITH d AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+              FROM documents WHERE text IS NOT NULL
+            ),
+            shg AS (
+              SELECT DISTINCT doc_id, substr(s, i, 5) AS g
+              FROM d, LATERAL (SELECT unnest(range(1, greatest(length(s) - 3, 2)))) t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ni
+              FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.a_id, i.b_id
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a_id
+            JOIN sizes sb ON sb.doc_id = i.b_id
+            WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
+        """,
+        "dedup_clusters_docs": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+              FROM documents WHERE text IS NOT NULL
+            ),
+            shg AS (
+              SELECT DISTINCT doc_id, substr(s, i, 5) AS g
+              FROM d, LATERAL (SELECT unnest(range(1, greatest(length(s) - 3, 2)))) t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ni
+              FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            prs AS (
+              SELECT i.a_id, i.b_id
+              FROM inter i
+              JOIN sizes sa ON sa.doc_id = i.a_id
+              JOIN sizes sb ON sb.doc_id = i.b_id
+              WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
+            ),
+            nodes AS (SELECT a_id AS id FROM prs UNION SELECT b_id FROM prs),
+            e AS (SELECT a_id AS a, b_id AS b FROM prs
+                  UNION SELECT b_id, a_id FROM prs),
+            reach(a, b) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            )
+            SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
         """,
         "spatial_join_rects": f"""
             WITH {FX.ZONES_CTE_SQL}, {_RECTS_B_CTE}

@@ -174,35 +174,45 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
     """64-bit SimHash over word hashes (Charikar 2002): sum ±1 per bit
-    weighted by term frequency; numpy-vectorized."""
+    weighted by term frequency.
 
-    @F.pandas_udf("long")
-    def sh(texts: pd.Series) -> pd.Series:
-        out_rows = []
-        bitcols = np.arange(64, dtype=np.uint64)
-        for t in texts.to_numpy(object):
-            if t is None:
-                out_rows.append(None)
-                continue
-            words = t.lower().split()
-            if not words:
-                out_rows.append(0)
-                continue
-            hs = np.array(
-                [_stable_hash64(w) for w in words], dtype=np.uint64
-            )
-            bits = ((hs[:, None] >> bitcols[None, :]) & 1).astype(np.int64)
-            v = (2 * bits - 1).sum(axis=0)
-            val = 0
-            for i in range(64):
-                if v[i] > 0:
-                    val |= 1 << i
-            if val >= 1 << 63:
-                val -= 1 << 64
-            out_rows.append(val)
-        return pd.Series(out_rows, index=texts.index)
-
-    return df.withColumn(out, sh(F.col(text_col)))
+    Fully JVM-side (no Python): words via split, 60-bit word hash from
+    md5 (an engine-portable hash — DuckDB computes the identical value,
+    which is what makes the driver's oracle gate possible), per-bit sign
+    sums via nested higher-order array functions, bit assembly via OR.
+    Null text → null; no words → 0 (reference-style)."""
+    txt = F.col(text_col)
+    words = F.filter(
+        F.split(F.trim(F.lower(txt)), r"\s+"), lambda w: w != F.lit("")
+    )
+    # 60-bit word hash: int(md5(w).hex[:15], 16) — portable across engines.
+    # Bits 60..63 are therefore always 0 in every word hash, so their sign
+    # sums are always negative and the simhash uses bits 0..59 only.
+    wh = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    zeros = F.array_repeat(F.lit(0).cast("long"), 60)
+    sums = F.aggregate(
+        wh,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    val = F.aggregate(
+        F.zip_with(
+            sums,
+            masks,
+            lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a.bitwiseOR(v),
+    )
+    return df.withColumn(out, F.when(txt.isNull(), None).otherwise(val))
 
 
 def simhash_near_dup_pairs(
