@@ -283,6 +283,42 @@ def _q_spatial_join_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("clip_area") > 0)
 
 
+def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON ingestion (vector/loader.py:42-199): write the 60 zone
+    rectangles as a FeatureCollection, read it back through the real
+    geometry parser, and report each zone's bbox — checked against the
+    arithmetic zone definition in SQL."""
+    import json
+    import tempfile
+
+    from pythongis_spark.geometry.udfs import with_bbox
+    from pythongis_spark.sources.geojson import (
+        expand_properties,
+        geom_tuple_to_geojson,
+        read_geojson,
+    )
+    from pythongis_spark.geometry import wkb as W
+
+    zones = FX.oracle_zones_pdf()
+    feats = [
+        {
+            "type": "Feature",
+            "properties": {"zone_id": int(r.zone_id)},
+            "geometry": geom_tuple_to_geojson(W.decode_wkb(r.geom)),
+        }
+        for r in zones.itertuples()
+    ]
+    tmp = tempfile.NamedTemporaryFile(
+        "w", suffix=".geojson", delete=False, dir="/tmp"
+    )
+    json.dump({"type": "FeatureCollection", "features": feats}, tmp)
+    tmp.close()
+    df = read_geojson(spark, tmp.name)
+    df = expand_properties(df, "zone_id BIGINT")
+    df = with_bbox(df, "geom")
+    return df.select("zone_id", "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")
+
+
 def _q_classify_equal_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-interval break table (classypie breaks.py:23): k+1 break
     values from the global min/max — the driver-checkable form of the
@@ -837,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_quantile_breaks": _q_classify_quantile_breaks,
         "spatial_join_rects": _q_spatial_join_rects,
         "spatial_join_clip": _q_spatial_join_clip,
+        "geojson_roundtrip": _q_geojson_roundtrip,
         "histogram_quantity": _q_histogram,
         "tab_orderpriority": _q_tab,
         "merge_union_byname": _q_merge_byname,
@@ -1233,6 +1270,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal,
                    CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS class
             FROM customer
+        """,
+        "geojson_roundtrip": f"""
+            WITH {FX.ZONES_CTE_SQL}
+            SELECT zone_id, xmin AS bbox_xmin, ymin AS bbox_ymin,
+                   xmax AS bbox_xmax, ymax AS bbox_ymax
+            FROM zones
         """,
         "langid_docs": """
             WITH h AS (

@@ -53,8 +53,14 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: str | None = None,
         return reader.parquet(path_or_table)
     if ext == "csv":
         return reader.option("header", True).csv(path_or_table)
-    if ext in ("json", "geojson"):
+    if ext == "json":
         return reader.json(path_or_table)
+    if ext == "geojson":
+        # real geometry parsing → WKB column (reference loader semantics,
+        # pythongis/vector/loader.py:42-199), not a raw json scan
+        from pythongis_spark.sources.geojson import read_geojson
+
+        return read_geojson(spark, path_or_table)
     raise ValueError(f"unsupported format {ext!r} (shapefile/xls libs not in this image)")
 
 
