@@ -283,6 +283,32 @@ def _q_spatial_join_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("clip_area") > 0)
 
 
+def _q_rasterize_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-weight rasterize (manager.py:958-962): border cells weight
+    values by covered fraction; stat=max is order-free so the dyadic
+    rect fixture is bit-exact vs the SQL overlap arithmetic."""
+    from pythongis_spark.raster.zonal import rasterize
+
+    rects = _shifted_rects(spark).withColumn(
+        "pop", (F.col("b_id") * 7 + 3).cast("double")
+    )
+    out = rasterize(rects, _rd_coarse(), valuekey="pop", stat="max", partial=True)
+    return out.select("x", "y", "val")
+
+
+def _q_vectorize_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-mode vectorize (manager.py:1076-1142): contiguous
+    same-value regions of the rasterized zone partition — component id,
+    value and cell count checked against the arithmetic zone layout
+    (boundary geometry is pytest-verified; WKB is not SQL-expressible)."""
+    from pythongis_spark.raster.zonal import rasterize, vectorize_merged
+
+    zones = FX.oracle_zones(spark)
+    burned = rasterize(zones, _rd_coarse(), valuekey="zone_id", stat="sum")
+    out = vectorize_merged(burned, _rd_coarse())
+    return out.select("component", "val", "n_cells")
+
+
 def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON ingestion (vector/loader.py:42-199): write the 60 zone
     rectangles as a FeatureCollection, read it back through the real
@@ -874,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_rects": _q_spatial_join_rects,
         "spatial_join_clip": _q_spatial_join_clip,
         "geojson_roundtrip": _q_geojson_roundtrip,
+        "rasterize_partial": _q_rasterize_partial,
+        "vectorize_merged": _q_vectorize_merged,
         "histogram_quantity": _q_histogram,
         "tab_orderpriority": _q_tab,
         "merge_union_byname": _q_merge_byname,
@@ -1270,6 +1298,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal,
                    CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS class
             FROM customer
+        """,
+        "rasterize_partial": f"""
+            WITH {_RECTS_B_CTE},
+            r AS (SELECT b_id, xmin, ymin, xmax, ymax,
+                         CAST(b_id * 7 + 3 AS DOUBLE) AS pop FROM rects_b),
+            g AS (
+              SELECT CAST(i % 36 AS INTEGER) AS x, CAST(FLOOR(i / 36) AS INTEGER) AS y
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(648))
+            ),
+            c AS (
+              SELECT g.x, g.y, r.pop,
+                GREATEST(0.0, LEAST(r.xmax, -180.0 + (g.x + 1) * 10.0)
+                            - GREATEST(r.xmin, -180.0 + g.x * 10.0)) AS ow,
+                GREATEST(0.0, LEAST(r.ymax, 90.0 - g.y * 10.0)
+                            - GREATEST(r.ymin, 90.0 - (g.y + 1) * 10.0)) AS oh
+              FROM g, r
+            )
+            SELECT x, y, MAX(pop * LEAST(1.0, (ow * oh) / 100.0)) AS val
+            FROM c WHERE ow * oh > 0 GROUP BY x, y
+        """,
+        "vectorize_merged": f"""
+            WITH {FX.ZONES_CTE_SQL},
+            g AS (
+              SELECT CAST(i % 36 AS INTEGER) AS x, CAST(FLOOR(i / 36) AS INTEGER) AS y,
+                     -180.0 + (CAST(i % 36 AS INTEGER) + 0.5) * 10.0 AS cx,
+                     90.0 - (CAST(FLOOR(i / 36) AS INTEGER) + 0.5) * 10.0 AS cy
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(648))
+            ),
+            cellz AS (
+              SELECT g.x, g.y, z.zone_id
+              FROM g JOIN zones z
+                ON g.cx > z.xmin AND g.cx < z.xmax
+               AND g.cy > z.ymin AND g.cy < z.ymax
+            )
+            SELECT MIN(CAST(y AS BIGINT) * 36 + x) AS component,
+                   CAST(zone_id AS DOUBLE) AS val,
+                   COUNT(*) AS n_cells
+            FROM cellz GROUP BY zone_id
         """,
         "geojson_roundtrip": f"""
             WITH {FX.ZONES_CTE_SQL}

@@ -21,6 +21,69 @@ from pythongis_spark.raster.algebra import STATS_EXPRS, band_stats
 from pythongis_spark.raster.model import RasterDef, geo_to_cell_exprs, in_grid
 
 
+def _cover_fraction(g, rd: RasterDef, x: int, y: int) -> float:
+    """Fraction of cell (x, y)'s rectangle covered by polygon ``g``
+    (rect clip area / cell area) — the ``partial`` border weight
+    (``pythongis/raster/manager.py:958-962``)."""
+    xmin = rd.xoffset + x * rd.xscale
+    xmax = rd.xoffset + (x + 1) * rd.xscale
+    ya = rd.yoffset + y * rd.yscale
+    yb = rd.yoffset + (y + 1) * rd.yscale
+    xmin, xmax = min(xmin, xmax), max(xmin, xmax)
+    ymin, ymax = min(ya, yb), max(ya, yb)
+    cell_area = (xmax - xmin) * (ymax - ymin)
+    covered = 0.0
+    for rings in W.iter_polygons(g):
+        ext = G.clip_ring_to_rect(rings[0], xmin, ymin, xmax, ymax)
+        if ext is None:
+            continue
+        part = abs(G.ring_signed_area(ext))
+        for h in rings[1:]:
+            hc = G.clip_ring_to_rect(h, xmin, ymin, xmax, ymax)
+            if hc is not None:
+                part -= abs(G.ring_signed_area(hc))
+        covered += max(0.0, part)
+    return min(1.0, covered / cell_area) if cell_area > 0 else 0.0
+
+
+def _cover_weights_udf(rd: RasterDef):
+    """pandas UDF: geometry WKB → array of (x, y, w) where w is the
+    covered fraction of the cell — the ``partial`` rasterize mode
+    (border cells included with fractional weight; interior cells 1.0).
+    Cover set = every cell with fraction > 0 (the reference burns
+    feature outlines to find border cells, ``manager.py:915-921``)."""
+
+    @F.pandas_udf("array<struct<x:int,y:int,w:double>>")
+    def coverw(geom: pd.Series) -> pd.Series:
+        out = []
+        for blob in geom.to_numpy(object):
+            if blob is None:
+                out.append(None)
+                continue
+            g = W.decode_wkb(bytes(blob))
+            t = g[0]
+            if t not in ("Polygon", "MultiPolygon"):
+                raise ValueError("partial rasterize needs polygonal features")
+            coords = W.all_coords(g)
+            xmin, ymin = coords[:, 0].min(), coords[:, 1].min()
+            xmax, ymax = coords[:, 0].max(), coords[:, 1].max()
+            x0 = max(0, int(np.floor((xmin - rd.xoffset) / rd.xscale)))
+            x1 = min(rd.width - 1, int(np.floor((xmax - rd.xoffset) / rd.xscale)))
+            ya = int(np.floor((ymax - rd.yoffset) / rd.yscale))
+            yb = int(np.floor((ymin - rd.yoffset) / rd.yscale))
+            y0, y1 = max(0, min(ya, yb)), min(rd.height - 1, max(ya, yb))
+            cells = []
+            for cx in range(x0, x1 + 1):
+                for cy in range(y0, y1 + 1):
+                    w = _cover_fraction(g, rd, cx, cy)
+                    if w > 0.0:
+                        cells.append({"x": cx, "y": cy, "w": float(w)})
+            out.append(cells)
+        return pd.Series(out, index=geom.index)
+
+    return coverw
+
+
 def _cover_cells_udf(rd: RasterDef):
     """pandas UDF: geometry WKB → array of covered (x, y) cell structs.
 
@@ -88,6 +151,8 @@ def rasterize(
     stat: str = "last",
     geom: str = "geom",
     order_col: str | None = None,
+    priority_col: str | None = None,
+    partial: bool = False,
 ) -> DataFrame:
     """Burn vector features into the grid
     (``pythongis/raster/manager.py:790-974``).
@@ -97,19 +162,51 @@ def rasterize(
     order (last feature wins) using ``order_col`` as paint sequence;
     other stats (sum/mean/count/min/max/majority/minority) match the
     valuekey+stat mode (``manager.py:933-972``).
+
+    ``priority_col``: where several features cover a cell, only rows
+    with the cell's maximum priority survive to the stat (the
+    declarative form of the reference's ``priority`` chooser callable,
+    ``manager.py:952-955``). ``partial=True``: border cells weight each
+    feature's value by the covered fraction of the cell
+    (``manager.py:958-962``); the cover set then includes every cell the
+    feature touches, not just center-covered ones.
     Returns a cell table (x, y, band=0, val).
     """
-    cover = _cover_cells_udf(rd)
     val = F.col(valuekey) if valuekey else F.lit(1.0)
-    cells = (
-        vector.withColumn("_cov", F.explode(cover(F.col(geom))))
-        .select(
-            F.col("_cov.x").alias("x"),
-            F.col("_cov.y").alias("y"),
-            val.cast("double").alias("val"),
-            *( [F.col(order_col).alias("_ord")] if order_col else [] ),
+    extra = []
+    if order_col:
+        extra.append(F.col(order_col).alias("_ord"))
+    if priority_col:
+        extra.append(F.col(priority_col).alias("_pri"))
+    if partial:
+        coverw = _cover_weights_udf(rd)
+        cells = (
+            vector.withColumn("_cov", F.explode(coverw(F.col(geom))))
+            .select(
+                F.col("_cov.x").alias("x"),
+                F.col("_cov.y").alias("y"),
+                (val.cast("double") * F.col("_cov.w")).alias("val"),
+                *extra,
+            )
         )
-    )
+    else:
+        cover = _cover_cells_udf(rd)
+        cells = (
+            vector.withColumn("_cov", F.explode(cover(F.col(geom))))
+            .select(
+                F.col("_cov.x").alias("x"),
+                F.col("_cov.y").alias("y"),
+                val.cast("double").alias("val"),
+                *extra,
+            )
+        )
+    if priority_col:
+        wp = Window.partitionBy("x", "y")
+        cells = (
+            cells.withColumn("_mxp", F.max("_pri").over(wp))
+            .filter(F.col("_pri") == F.col("_mxp"))
+            .drop("_pri", "_mxp")
+        )
     if stat == "last" or stat == "first":
         order = F.col("_ord").desc() if stat == "last" else F.col("_ord").asc()
         if order_col is None:
@@ -432,4 +529,159 @@ def disperse(
         .agg(F.sum("_share").alias("val"))
         .withColumn("band", F.lit(0).cast("int"))
         .select("x", "y", "band", "val")
+    )
+
+
+# ------------------------------------------------------------------
+# vectorize: merged same-value regions
+# (``pythongis/raster/manager.py:1076-1142`` mergecells=True)
+# ------------------------------------------------------------------
+
+def _trace_region_rings(cells: set[tuple[int, int]]) -> list[np.ndarray]:
+    """Boundary rings of a union of unit grid squares.
+
+    Directed boundary edges keep the region interior on the LEFT (CCW
+    exteriors, CW holes in grid frame); at pinch vertices the walk takes
+    the most-counterclockwise turn, so lobes separate cleanly. Returns
+    closed rings in grid-corner coordinates."""
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+
+    for (x, y) in cells:
+        if (x, y - 1) not in cells:
+            add((x, y), (x + 1, y))
+        if (x + 1, y) not in cells:
+            add((x + 1, y), (x + 1, y + 1))
+        if (x, y + 1) not in cells:
+            add((x + 1, y + 1), (x, y + 1))
+        if (x - 1, y) not in cells:
+            add((x, y + 1), (x, y))
+
+    rings = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        cur = start
+        d_in = None
+        while True:
+            outs = edges.get(cur)
+            if not outs:
+                break  # malformed; bail on this loop
+            if d_in is None or len(outs) == 1:
+                nxt = outs.pop(0)
+            else:
+                # most-counterclockwise turn relative to incoming direction
+                best_i, best_s = 0, -2
+                for i, cand in enumerate(outs):
+                    d_out = (cand[0] - cur[0], cand[1] - cur[1])
+                    if (d_out[0] + d_in[0], d_out[1] + d_in[1]) == (0, 0):
+                        s = -2  # never reverse
+                    else:
+                        s = d_in[0] * d_out[1] - d_in[1] * d_out[0]
+                    if s > best_s:
+                        best_i, best_s = i, s
+                nxt = outs.pop(best_i)
+            if not outs:
+                edges.pop(cur, None)
+            d_in = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            ring.append(cur)
+            if cur == start:
+                break
+        if len(ring) >= 4 and ring[0] == ring[-1]:
+            rings.append(np.array(ring, dtype=np.float64))
+    return rings
+
+
+def vectorize_merged(
+    raster_cells: DataFrame, rd: RasterDef, band: int = 0
+) -> DataFrame:
+    """Merged-mode vectorize: contiguous (4-connected) same-value cell
+    regions → one polygon each, boundary melding of the cell squares
+    (``raster/manager.py:1076-1142``; the reference uses
+    ``shapely.ops.cascaded_union``, ours traces the union boundary
+    directly — exact for axis-aligned squares).
+
+    Plan: same-value neighbour edges (two self-joins) → large-star/
+    small-star connected components → boundary trace per region in
+    ``applyInPandas``. Returns (component, val, n_cells, geom WKB);
+    ring orientation follows the world affine (not normalized)."""
+    from pythongis_spark.operators.dedup import connected_components
+
+    cells = (
+        raster_cells.filter((F.col("band") == band) & F.col("val").isNotNull())
+        .select("x", "y", "val")
+        .withColumn("_cid", F.col("y").cast("long") * rd.width + F.col("x"))
+    )
+    a = cells.select(
+        F.col("x"), F.col("y"), F.col("val"), F.col("_cid").alias("a_id")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("val").alias("bval"), F.col("_cid").alias("b_id"),
+    )
+    right = a.join(
+        b, (F.col("bx") == F.col("x") + 1) & (F.col("by") == F.col("y"))
+        & (F.col("bval") == F.col("val")),
+    ).select("a_id", "b_id")
+    down = a.join(
+        b, (F.col("bx") == F.col("x")) & (F.col("by") == F.col("y") + 1)
+        & (F.col("bval") == F.col("val")),
+    ).select("a_id", "b_id")
+    comp = connected_components(right.unionByName(down))
+    labeled = cells.join(comp, cells._cid == comp.id, "left").select(
+        "x", "y", "val", F.coalesce("component", "_cid").alias("component")
+    )
+
+    xo, xs_, yo, ys_ = rd.xoffset, rd.xscale, rd.yoffset, rd.yscale
+
+    def trace(pdf: pd.DataFrame) -> pd.DataFrame:
+        comp_id = int(pdf["component"].iloc[0])
+        val = float(pdf["val"].iloc[0])
+        cellset = set(zip(pdf["x"].astype(int), pdf["y"].astype(int)))
+        rings = _trace_region_rings(cellset)
+        if not rings:
+            return pd.DataFrame(
+                columns=["component", "val", "n_cells", "geom"]
+            ).astype({"component": "int64", "val": "float64", "n_cells": "int64"})
+        exts, holes = [], []
+        for r in rings:
+            area = G.ring_signed_area(r)
+            world = np.column_stack([xo + r[:, 0] * xs_, yo + r[:, 1] * ys_])
+            (exts if area > 0 else holes).append((world, r[0]))
+        if not exts:  # degenerate; treat all as exteriors
+            exts, holes = holes, []
+        if len(exts) == 1:
+            geom = ("Polygon", [exts[0][0]] + [h[0] for h in holes])
+        else:
+            # assign each hole to the exterior whose grid ring contains it
+            polys = [[e[0]] for e in exts]
+            for hw, hv in holes:
+                placed = False
+                for i, (ew, ev) in enumerate(exts):
+                    if G.points_in_polygon(
+                        np.array([hw[0, 0]]), np.array([hw[0, 1]]),
+                        ("Polygon", [ew]),
+                    )[0]:
+                        polys[i].append(hw)
+                        placed = True
+                        break
+                if not placed:
+                    polys[0].append(hw)
+            geom = ("MultiPolygon", polys)
+        return pd.DataFrame(
+            [
+                {
+                    "component": comp_id,
+                    "val": val,
+                    "n_cells": len(cellset),
+                    "geom": W.encode_wkb(geom),
+                }
+            ]
+        )
+
+    return labeled.groupBy("component").applyInPandas(
+        trace, "component long, val double, n_cells long, geom binary"
     )
