@@ -309,6 +309,19 @@ def _q_vectorize_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("component", "val", "n_cells")
 
 
+def _q_buffer_zone_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar buffer (manager.py:726-788): flat-join buffer of the zone
+    rectangles; the shoelace area of the offset ring is exact dyadic
+    arithmetic, reproduced in SQL as (w+2d)(h+2d) - 2d^2."""
+    from pythongis_spark.geometry.udfs import st_area, st_buffer
+
+    zones = FX.oracle_zones(spark).select("zone_id", "geom")
+    return zones.select(
+        "zone_id",
+        st_area(st_buffer(1.5, join_style="flat")(F.col("geom"))).alias("barea"),
+    )
+
+
 def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON ingestion (vector/loader.py:42-199): write the 60 zone
     rectangles as a FeatureCollection, read it back through the real
@@ -902,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": _q_geojson_roundtrip,
         "rasterize_partial": _q_rasterize_partial,
         "vectorize_merged": _q_vectorize_merged,
+        "buffer_zone_areas": _q_buffer_zone_areas,
         "histogram_quantity": _q_histogram,
         "tab_orderpriority": _q_tab,
         "merge_union_byname": _q_merge_byname,
@@ -1298,6 +1312,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal,
                    CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS class
             FROM customer
+        """,
+        "buffer_zone_areas": f"""
+            WITH {FX.ZONES_CTE_SQL}
+            SELECT zone_id,
+                   ((xmax - xmin) + 3.0) * ((ymax - ymin) + 3.0) - 2.0 * 1.5 * 1.5 AS barea
+            FROM zones
         """,
         "rasterize_partial": f"""
             WITH {_RECTS_B_CTE},

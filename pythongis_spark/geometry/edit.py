@@ -1,0 +1,307 @@
+"""Geometry editing: simplify/clean, buffer, cut.
+
+Reference: ``pythongis/vector/manager.py:576-610`` (clean = validity
+fix + shapely ``simplify``), ``:726-788`` (buffer via shapely),
+``:790-830`` (cut via shapely.ops.split). Without GEOS the engine
+implements the exact subsets it can do correctly and raises on the
+rest (documented limits, no silent wrong answers):
+
+* simplify: Douglas–Peucker (tolerance > 0) / repeat-point removal
+  (tolerance 0) — general, exact.
+* buffer: points → sampled circles; convex polygons → exact offset
+  (positive: edge offset + round/flat vertex joins; negative:
+  half-plane inset); single-segment lines → capsules. Concave polygon
+  buffering needs boolean union (GEOS) → NotImplementedError.
+* cut: split any polygon by the infinite line through a segment
+  (two half-plane clips). Concave splits use Sutherland–Hodgman, which
+  bridges disconnected pieces (documented).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pythongis_spark.geometry import core as G
+from pythongis_spark.geometry import wkb as W
+
+
+# ------------------------------------------------------------ simplify
+
+def simplify_coords(coords: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas–Peucker polyline simplification; tolerance 0 removes
+    exact repeat points only (the reference's clean(tolerance=0))."""
+    pts = np.asarray(coords, dtype=np.float64)
+    if len(pts) < 3:
+        return pts
+    keep = np.ones(len(pts), dtype=bool)
+    # drop exact repeats first
+    same = (np.diff(pts, axis=0) == 0).all(axis=1)
+    keep[1:][same] = False
+    pts = pts[keep]
+    if tolerance <= 0 or len(pts) < 3:
+        return pts
+
+    out_keep = np.zeros(len(pts), dtype=bool)
+    out_keep[0] = out_keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        a, b = pts[i], pts[j]
+        ab = b - a
+        seg = pts[i + 1 : j]
+        denom = math.hypot(ab[0], ab[1])
+        if denom == 0:
+            d = np.hypot(seg[:, 0] - a[0], seg[:, 1] - a[1])
+        else:
+            d = np.abs(ab[0] * (seg[:, 1] - a[1]) - ab[1] * (seg[:, 0] - a[0])) / denom
+        kmax = int(np.argmax(d))
+        if d[kmax] > tolerance:
+            mid = i + 1 + kmax
+            out_keep[mid] = True
+            stack.append((i, mid))
+            stack.append((mid, j))
+    return pts[out_keep]
+
+
+def simplify_geom(geom, tolerance: float):
+    """Simplify any geometry; degenerate results (rings < 4 points,
+    lines < 2) → None, like the reference's drop-unfixable rule."""
+    t, payload = geom
+    if t in ("Point", "MultiPoint"):
+        return geom
+    if t == "LineString":
+        s = simplify_coords(payload, tolerance)
+        return ("LineString", s) if len(s) >= 2 else None
+    if t == "MultiLineString":
+        parts = [simplify_coords(c, tolerance) for c in payload]
+        parts = [p for p in parts if len(p) >= 2]
+        if not parts:
+            return None
+        return ("MultiLineString", parts) if len(parts) > 1 else ("LineString", parts[0])
+    if t in ("Polygon", "MultiPolygon"):
+        polys_out = []
+        for rings in W.iter_polygons(geom):
+            new_rings = []
+            for k, r in enumerate(rings):
+                body = simplify_coords(r[:-1], tolerance)
+                if len(body) < 3:
+                    if k == 0:
+                        new_rings = None
+                        break
+                    continue  # collapsed hole just disappears
+                new_rings.append(np.vstack([body, body[:1]]))
+            if new_rings:
+                polys_out.append(new_rings)
+        if not polys_out:
+            return None
+        return ("Polygon", polys_out[0]) if len(polys_out) == 1 else (
+            "MultiPolygon", polys_out
+        )
+    raise ValueError(t)
+
+
+# ------------------------------------------------------------ buffer
+
+def _circle(cx: float, cy: float, r: float, resolution: int = 32) -> np.ndarray:
+    ang = np.linspace(0.0, 2 * math.pi, resolution, endpoint=False)
+    ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+    return np.vstack([ring, ring[:1]])
+
+
+def _arc(cx, cy, a0, a1, r, resolution) -> np.ndarray:
+    """CCW arc from angle a0 to a1 (a1 normalized above a0)."""
+    while a1 < a0:
+        a1 += 2 * math.pi
+    n = max(1, int(math.ceil((a1 - a0) / (2 * math.pi) * resolution)))
+    ang = np.linspace(a0, a1, n + 1)
+    return np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+
+
+def buffer_convex_polygon(
+    rings: list[np.ndarray], dist: float, join_style: str = "round", resolution: int = 32
+):
+    """Exact buffer of a CONVEX polygon ring set.
+
+    Positive dist: offset each edge outward by dist; vertices joined by
+    arcs (round) or the offset-edge endpoints (flat ≈ bevel). Negative
+    dist: inset via successive half-plane clips (empty → None). Holes
+    are buffered the opposite way (a grown polygon shrinks its holes).
+    """
+    ext = rings[0]
+    if not G.ring_is_convex(ext):
+        raise NotImplementedError(
+            "buffer of concave polygons needs boolean union (GEOS absent)"
+        )
+    out_ext = _offset_convex_ring(ext, dist, join_style, resolution)
+    if out_ext is None:
+        return None
+    out_rings = [out_ext]
+    for h in rings[1:]:
+        if not G.ring_is_convex(h):
+            raise NotImplementedError("concave hole buffer unsupported")
+        hb = _offset_convex_ring(h, -dist, join_style, resolution)
+        if hb is not None:
+            out_rings.append(hb)
+    return ("Polygon", out_rings)
+
+
+def _offset_convex_ring(ring: np.ndarray, dist: float, join_style: str, resolution: int):
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    # force CCW
+    closed = np.vstack([pts, pts[:1]])
+    if G.ring_signed_area(closed) < 0:
+        pts = pts[::-1]
+    n = len(pts)
+    if dist == 0:
+        return np.vstack([pts, pts[:1]])
+    if dist < 0:
+        # inset: clip by each edge's inward-shifted half-plane
+        cur = np.vstack([pts, pts[:1]])
+        for i in range(n):
+            a, b = pts[i], pts[(i + 1) % n]
+            e = b - a
+            ln = math.hypot(e[0], e[1])
+            if ln == 0:
+                continue
+            nrm = np.array([-e[1], e[0]]) / ln  # inward for CCW
+            a2, b2 = a + nrm * (-dist), b + nrm * (-dist)
+            # half-plane as a huge clip triangle is messy; reuse convex clip:
+            # clip against the shifted edge by building a big rectangle
+            # aligned with the edge
+            span = 4 * (np.abs(pts).max() + abs(dist) + 1)
+            big = np.array(
+                [a2, b2, b2 + nrm * span, a2 + nrm * span, a2]
+            )
+            cur = G.clip_ring_to_convex(cur, big)
+            if cur is None:
+                return None
+        return cur
+    # positive: offset edges outward, join vertices
+    out = []
+    offs = []
+    for i in range(n):
+        a, b = pts[i], pts[(i + 1) % n]
+        e = b - a
+        ln = math.hypot(e[0], e[1])
+        if ln == 0:
+            continue
+        nrm = np.array([e[1], -e[0]]) / ln  # outward for CCW
+        offs.append((a + nrm * dist, b + nrm * dist, nrm))
+    m = len(offs)
+    for i in range(m):
+        a_off, b_off, nrm = offs[i]
+        out.append(a_off)
+        out.append(b_off)
+        nxt = offs[(i + 1) % m]
+        if join_style == "round":
+            v = pts[(i + 1) % n]
+            a0 = math.atan2(nrm[1], nrm[0])
+            a1 = math.atan2(nxt[2][1], nxt[2][0])
+            arc = _arc(v[0], v[1], a0, a1, dist, resolution)
+            out.extend(arc[1:-1])
+        # flat/bevel: straight jump to the next offset edge start
+    out.append(out[0])
+    return np.array(out)
+
+
+def buffer_geom(geom, dist: float, join_style: str = "round", resolution: int = 32):
+    """Buffer a geometry (``manager.py:726-788`` subset — see module
+    docstring for the exact/unsupported matrix)."""
+    t, payload = geom
+    if t == "Point":
+        if dist <= 0:
+            return None
+        return ("Polygon", [_circle(payload[0, 0], payload[0, 1], dist, resolution)])
+    if t == "MultiPoint":
+        if dist <= 0:
+            return None
+        pts = W.all_coords(geom)
+        return (
+            "MultiPolygon",
+            [[_circle(x, y, dist, resolution)] for x, y in pts],
+        )
+    if t == "LineString":
+        if len(payload) != 2:
+            raise NotImplementedError(
+                "polyline buffer needs boolean union (GEOS absent); "
+                "single segments only"
+            )
+        if dist <= 0:
+            return None
+        a, b = payload[0], payload[1]
+        e = b - a
+        ln = math.hypot(e[0], e[1])
+        if ln == 0:
+            return ("Polygon", [_circle(a[0], a[1], dist, resolution)])
+        nrm = np.array([e[1], -e[0]]) / ln
+        ang = math.atan2(nrm[1], nrm[0])
+        cap_b = _arc(b[0], b[1], ang, ang + math.pi, dist, resolution)
+        cap_a = _arc(a[0], a[1], ang + math.pi, ang + 2 * math.pi, dist, resolution)
+        ring = np.vstack([a + nrm * dist, b + nrm * dist, cap_b,
+                          b - nrm * dist, a - nrm * dist, cap_a])
+        ring = np.vstack([ring, ring[:1]])
+        return ("Polygon", [ring])
+    if t == "Polygon":
+        return buffer_convex_polygon(payload, dist, join_style, resolution)
+    if t == "MultiPolygon":
+        parts = []
+        for rings in payload:
+            r = buffer_convex_polygon(rings, dist, join_style, resolution)
+            if r is not None:
+                parts.append(r[1])
+        if not parts:
+            return None
+        return ("Polygon", parts[0]) if len(parts) == 1 else ("MultiPolygon", parts)
+    raise NotImplementedError(f"buffer of {t} not supported")
+
+
+# ------------------------------------------------------------ cut
+
+def cut_by_line(geom, p0, p1):
+    """Split a polygon by the infinite line through (p0, p1) — the
+    half-plane form of the reference's ``cut`` (``manager.py:790-830``,
+    shapely.ops.split). Returns a list of geometry tuples (1 if the line
+    misses). Exact for convex polygons; Sutherland–Hodgman bridges
+    disconnected concave pieces (documented)."""
+    t, _ = geom
+    if t not in ("Polygon", "MultiPolygon"):
+        raise ValueError("cut_by_line expects polygonal input")
+    p0 = np.asarray(p0, dtype=np.float64)
+    p1 = np.asarray(p1, dtype=np.float64)
+    e = p1 - p0
+    ln = math.hypot(e[0], e[1])
+    if ln == 0:
+        return [geom]
+    nrm = np.array([-e[1], e[0]]) / ln
+    span = 1e9
+
+    def half_rect(sign):
+        a = p0 - e * span
+        b = p1 + e * span
+        return np.array([a, b, b + nrm * sign * span, a + nrm * sign * span, a])
+
+    pieces = []
+    for sign in (1.0, -1.0):
+        rect = half_rect(sign)
+        part_polys = []
+        for rings in W.iter_polygons(geom):
+            ext = G.clip_ring_to_convex(rings[0], rect)
+            if ext is None:
+                continue
+            holes = []
+            for h in rings[1:]:
+                hc = G.clip_ring_to_convex(h, rect)
+                if hc is not None:
+                    holes.append(hc)
+            part_polys.append([ext] + holes)
+        if part_polys:
+            pieces.append(
+                ("Polygon", part_polys[0])
+                if len(part_polys) == 1
+                else ("MultiPolygon", part_polys)
+            )
+    return pieces if pieces else [geom]

@@ -193,3 +193,42 @@ def with_bbox(df, geom_col: str = "geom"):
         .withColumn("bbox_ymax", F.col("_bb.ymax"))
         .drop("_bb")
     )
+
+
+def st_simplify(tolerance: float):
+    """Column UDF: Douglas–Peucker simplify / repeat-point clean
+    (``pythongis/vector/manager.py:576-610``); degenerate → NULL."""
+    from pythongis_spark.geometry import edit as E
+
+    @F.pandas_udf(T.BinaryType())
+    def _simp(geom: pd.Series) -> pd.Series:
+        out = []
+        for b in geom.to_numpy(object):
+            if b is None:
+                out.append(None)
+                continue
+            g = E.simplify_geom(W.decode_wkb(bytes(b)), tolerance)
+            out.append(None if g is None else W.encode_wkb(g))
+        return pd.Series(out, index=geom.index)
+
+    return _simp
+
+
+def st_buffer(dist: float, join_style: str = "round", resolution: int = 32):
+    """Column UDF: planar buffer (``manager.py:726-788`` subset: points,
+    single segments, convex polygons incl. negative inset; concave →
+    NotImplementedError, no silent wrong output)."""
+    from pythongis_spark.geometry import edit as E
+
+    @F.pandas_udf(T.BinaryType())
+    def _buf(geom: pd.Series) -> pd.Series:
+        out = []
+        for b in geom.to_numpy(object):
+            if b is None:
+                out.append(None)
+                continue
+            g = E.buffer_geom(W.decode_wkb(bytes(b)), dist, join_style, resolution)
+            out.append(None if g is None else W.encode_wkb(g))
+        return pd.Series(out, index=geom.index)
+
+    return _buf

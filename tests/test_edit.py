@@ -1,0 +1,103 @@
+"""simplify/clean, buffer, cut (reference manager.py:576-610,726-830)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pythongis_spark.geometry import core as G
+from pythongis_spark.geometry import edit as E
+from pythongis_spark.geometry import wkb as W
+
+
+def test_simplify_repeat_points():
+    line = ("LineString", np.array([[0, 0], [0, 0], [1, 1], [1, 1], [2, 2]], float))
+    s = E.simplify_geom(line, 0)
+    assert len(s[1]) == 3
+
+
+def test_simplify_douglas_peucker():
+    # nearly-straight line with a tiny kink: tolerance removes it
+    line = ("LineString", np.array([[0, 0], [5, 0.01], [10, 0]], float))
+    s = E.simplify_geom(line, 0.1)
+    assert len(s[1]) == 2
+    s2 = E.simplify_geom(line, 0.001)
+    assert len(s2[1]) == 3  # below tolerance -> kept
+
+
+def test_simplify_polygon_hole_collapse():
+    ext = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    tiny = np.array([[5, 5], [5.001, 5], [5.001, 5.001], [5, 5.001], [5, 5]], float)
+    g = ("Polygon", [ext, tiny])
+    s = E.simplify_geom(g, 0.01)
+    assert s[0] == "Polygon" and len(s[1]) == 1  # hole collapsed away
+
+
+def test_buffer_point_circle_area():
+    g = ("Point", np.array([[3.0, 4.0]]))
+    b = E.buffer_geom(g, 2.0, resolution=256)
+    assert b[0] == "Polygon"
+    assert abs(G.polygon_area(b)) == pytest.approx(math.pi * 4, rel=1e-3)
+
+
+def test_buffer_convex_polygon_positive_round():
+    sq = ("Polygon", [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)])
+    b = E.buffer_geom(sq, 1.0, resolution=512)
+    # area = 100 + perimeter*d + pi*d^2
+    assert G.polygon_area(b) == pytest.approx(100 + 40 + math.pi, rel=1e-3)
+    flat = E.buffer_geom(sq, 1.0, join_style="flat")
+    # bevel joins: corner arcs replaced by triangles (area d^2/2 each * ... )
+    assert G.polygon_area(flat) == pytest.approx(100 + 40 + 2.0, rel=1e-9)
+
+
+def test_buffer_negative_inset():
+    sq = ("Polygon", [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)])
+    b = E.buffer_geom(sq, -2.0)
+    assert G.polygon_area(b) == pytest.approx(36.0)
+    gone = E.buffer_geom(sq, -6.0)
+    assert gone is None
+
+
+def test_buffer_segment_capsule():
+    seg = ("LineString", np.array([[0, 0], [10, 0]], float))
+    b = E.buffer_geom(seg, 1.0, resolution=512)
+    assert G.polygon_area(b) == pytest.approx(20 + math.pi, rel=1e-3)
+
+
+def test_buffer_concave_raises():
+    concave = ("Polygon", [np.array(
+        [[0, 0], [10, 0], [10, 10], [5, 2], [0, 10], [0, 0]], float)])
+    with pytest.raises(NotImplementedError):
+        E.buffer_geom(concave, 1.0)
+
+
+def test_cut_by_line():
+    sq = ("Polygon", [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)])
+    pieces = E.cut_by_line(sq, (5, -1), (5, 11))
+    assert len(pieces) == 2
+    areas = sorted(abs(G.polygon_area(p)) for p in pieces)
+    assert areas == [pytest.approx(50.0), pytest.approx(50.0)]
+    # line missing the polygon -> single piece
+    same = E.cut_by_line(sq, (50, 0), (50, 10))
+    assert len(same) == 1
+    assert abs(G.polygon_area(same[0])) == pytest.approx(100.0)
+
+
+def test_udf_wrappers(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pythongis_spark.geometry.udfs import st_buffer, st_simplify
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"fid": [1], "geom": [W.wkb_polygon(
+            np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float))]})
+    )
+    out = df.withColumn("buf", st_buffer(1.0, resolution=256)("geom")).withColumn(
+        "simp", st_simplify(0.0)("geom")
+    ).collect()[0]
+    bg = W.decode_wkb(bytes(out["buf"]))
+    assert G.polygon_area(bg) == pytest.approx(16 + 16 + math.pi, rel=1e-3)
+    assert W.decode_wkb(bytes(out["simp"]))[0] == "Polygon"
