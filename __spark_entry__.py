@@ -309,6 +309,22 @@ def _q_vectorize_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("component", "val", "n_cells")
 
 
+def _q_distance_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance raster (analyzer.py:485-607): exact separable distance
+    transform from the 60 zone centers on the 10-deg grid — integer
+    squared distances make both engines bit-exact."""
+    from pythongis_spark.geometry.udfs import st_point
+    from pythongis_spark.raster.zonal import distance_raster
+
+    zones = FX.oracle_zones(spark).select(
+        ((F.col("bbox_xmin") + F.col("bbox_xmax")) / 2).alias("cx"),
+        ((F.col("bbox_ymin") + F.col("bbox_ymax")) / 2).alias("cy"),
+    )
+    pts = zones.select(st_point(F.col("cx"), F.col("cy")).alias("geom"))
+    out = distance_raster(pts, _rd_coarse())
+    return out.select("x", "y", "val")
+
+
 def _q_buffer_zone_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar buffer (manager.py:726-788): flat-join buffer of the zone
     rectangles; the shoelace area of the offset ring is exact dyadic
@@ -916,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rasterize_partial": _q_rasterize_partial,
         "vectorize_merged": _q_vectorize_merged,
         "buffer_zone_areas": _q_buffer_zone_areas,
+        "distance_raster_centers": _q_distance_raster,
         "histogram_quantity": _q_histogram,
         "tab_orderpriority": _q_tab,
         "merge_union_byname": _q_merge_byname,
@@ -1312,6 +1329,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal,
                    CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS class
             FROM customer
+        """,
+        "distance_raster_centers": f"""
+            WITH {FX.ZONES_CTE_SQL},
+            occ AS (
+              SELECT DISTINCT CAST(FLOOR((cx - -180.0) / 10.0) AS INTEGER) AS ox,
+                              CAST(FLOOR((cy - 90.0) / -10.0) AS INTEGER) AS oy
+              FROM zones
+            ),
+            g AS (
+              SELECT CAST(i % 36 AS INTEGER) AS x, CAST(FLOOR(i / 36) AS INTEGER) AS y
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(648))
+            )
+            SELECT g.x, g.y,
+                   SQRT(MIN(
+                     (CAST(g.x - o.ox AS DOUBLE) * 10.0) * (CAST(g.x - o.ox AS DOUBLE) * 10.0)
+                   + (CAST(g.y - o.oy AS DOUBLE) * 10.0) * (CAST(g.y - o.oy AS DOUBLE) * 10.0)
+                   )) AS val
+            FROM g, occ o GROUP BY g.x, g.y
         """,
         "buffer_zone_areas": f"""
             WITH {FX.ZONES_CTE_SQL}

@@ -124,3 +124,47 @@ def test_vectorize_merged_hole(spark):
     g = W.decode_wkb(bytes(out.iloc[0]["geom"]))
     assert g[0] == "Polygon" and len(g[1]) == 2  # exterior + hole
     assert G.polygon_area(g) == pytest.approx(8.0)
+
+
+def test_distance_raster_exact_vs_brute(spark):
+    from pythongis_spark.raster.zonal import distance_raster
+
+    rd = RasterDef(12, 8, (1.0, 0.0, 0.0, 0.0, -1.0, 8.0))
+    feats = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "fid": [1, 2],
+                "geom": [
+                    W.wkb_point(2.5, 5.5),   # cell (2, 2)
+                    _rect(8, 1, 10, 3),       # cells x 8..9, y 5..6
+                ],
+            }
+        )
+    )
+    out = distance_raster(feats, rd).toPandas().set_index(["x", "y"])["val"]
+    # brute force: occupied set from the same rasterize rule
+    from pythongis_spark.raster.zonal import rasterize
+
+    occ = rasterize(feats, rd, stat="count").toPandas()
+    occ_set = list(zip(occ["x"], occ["y"]))
+    assert len(out) == 12 * 8
+    for x in range(12):
+        for y in range(8):
+            want = min(
+                np.hypot(float(x - ox), float(y - oy)) for ox, oy in occ_set
+            )
+            assert out[(x, y)] == pytest.approx(want, abs=1e-9), (x, y)
+
+
+def test_distance_raster_anisotropic(spark):
+    from pythongis_spark.raster.zonal import distance_raster
+
+    rd = RasterDef(6, 6, (2.0, 0.0, 0.0, 0.0, -1.0, 6.0))  # 2x1 cells
+    feats = spark.createDataFrame(
+        pd.DataFrame({"fid": [1], "geom": [W.wkb_point(1.0, 5.5)]})  # cell (0,0)
+    )
+    out = distance_raster(feats, rd).toPandas().set_index(["x", "y"])["val"]
+    assert out[(0, 0)] == 0.0
+    assert out[(3, 0)] == pytest.approx(6.0)   # 3 cells * 2.0 wide
+    assert out[(0, 4)] == pytest.approx(4.0)   # 4 cells * 1.0 tall
+    assert out[(3, 4)] == pytest.approx(np.hypot(6.0, 4.0))
