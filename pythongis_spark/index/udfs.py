@@ -53,6 +53,14 @@ def interleave_expr(tx: Column, ty: Column) -> Column:
     return _spread_expr(tx).bitwiseOR(F.shiftleft(_spread_expr(ty), 1))
 
 
+# Hard ceiling on per-feature cell materialization. The spatial joins
+# split oversized features to a nested-loop path BEFORE exploding, so
+# rows reaching this UDF are bounded by their cell_cap; this cap is
+# defense-in-depth for direct callers — fail loudly instead of
+# materializing up to 4^z cells in one row (executor OOM / skew).
+MAX_CELLS_PER_FEATURE = 65_536
+
+
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def _bbox_cells_udf(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series, z: pd.Series) -> pd.Series:
     out = []
@@ -61,7 +69,9 @@ def _bbox_cells_udf(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.
         if x0 is None or not np.isfinite(x0):
             out.append(None)
         else:
-            out.append(Q.cells_of_bbox(x0, y0, x1, y1, zv).tolist())
+            out.append(
+                Q.cells_of_bbox(x0, y0, x1, y1, zv, cap=MAX_CELLS_PER_FEATURE).tolist()
+            )
     return pd.Series(out, index=xmin.index)
 
 

@@ -154,6 +154,7 @@ def knn_join(
     ring: int = 1,
     broadcast_targets_rows: int = 100_000,
     max_fallback_rounds: int = 3,
+    target_rows: int | None = None,
 ) -> DataFrame:
     """k nearest targets per point → columns of ``points`` + ``target_id``
     + ``dist`` + ``knn_rank`` (1-based).
@@ -162,7 +163,10 @@ def knn_join(
     Reference analog: ``spatial_join(condition='distance', n=k)``
     (``pythongis/vector/manager.py:293-296,345-355``); divergence: ties.
     """
-    n_targets = targets.count()
+    # planning statistic: an explicit hint avoids a count job per call
+    # (dimension tables, repeated joins — reference keeps the r-tree
+    # cached; our equivalent is caller-supplied cardinality)
+    n_targets = target_rows if target_rows is not None else targets.count()
     tgt = targets.select(
         F.col(target_id).alias("_tid"),
         F.col(t_lon).alias("_tlon"),
@@ -247,6 +251,7 @@ def distance_join(
     metric: str = "planar",
     z: int | None = None,
     broadcast_targets_rows: int = 500_000,
+    target_rows: int | None = None,
 ) -> DataFrame:
     """All (point, target) pairs within ``radius`` — the reference's
     within-distance join (``pythongis/vector/manager.py:282-291,333-337``,
@@ -259,6 +264,8 @@ def distance_join(
         F.col(t_lat).alias("_tlat"),
     )
     pts = points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
+    def _n_targets():
+        return target_rows if target_rows is not None else targets.count()
 
     # choose z so one cell edge ≥ radius → ring=1 window covers radius
     if metric == "planar":
@@ -277,7 +284,7 @@ def distance_join(
     elif metric == "planar":
         # planar degrees are isotropic: ring 1 covers the radius exactly
         exploded = _explode_neighbor_cells(tgt, "_tlon", "_tlat", z, 1)
-        if targets.count() * 9 <= broadcast_targets_rows:
+        if _n_targets() * 9 <= broadcast_targets_rows:
             exploded = F.broadcast(exploded)
         probe = pts.withColumn("cell", IU.point_cell_expr(F.col(lon), F.col(lat), z))
         cand = probe.join(exploded, "cell", "inner").drop("cell")
@@ -301,7 +308,7 @@ def distance_join(
         exploded = _explode_neighbor_cells(main_t, "_tlon", "_tlat", z, 1, ring_x=ring_x)
         # worst-case x-span at the cutoff bounds the explosion factor
         max_span = 2 * (math.ceil(rad_deg / (cellw * math.cos(math.radians(POLAR_CUTOFF)))) + 1) + 1
-        if targets.count() * 3 * max_span <= broadcast_targets_rows:
+        if _n_targets() * 3 * max_span <= broadcast_targets_rows:
             exploded = F.broadcast(exploded)
         probe = pts.withColumn("cell", IU.point_cell_expr(F.col(lon), F.col(lat), z))
         cand = probe.join(exploded, "cell", "inner").drop("cell")

@@ -252,8 +252,12 @@ def point_in_polygon_join(
     # continental polygon would otherwise expand to up to 4^z rows in a
     # single UDF call — OOM + skew)
     cnt = _bbox_cell_count_expr(z)
-    polys_n = polygons.filter(cnt <= DEFAULT_CELL_CAP)
     polys_g = polygons.filter(cnt > DEFAULT_CELL_CAP)
+    # gate the nested-loop leg on actual giants: the check is one tiny
+    # job on the polygon DIM side; without it the NL leg re-scans the
+    # probe table even when no giant exists (measurable regression)
+    has_giants = polys_g.limit(1).count() > 0
+    polys_n = polygons.filter(cnt <= DEFAULT_CELL_CAP) if has_giants else polygons
     # build side: polygons exploded to covering cells
     build = IU.explode_bbox_cells(polys_n, z)
     build = _prefix(build, "r_", exclude=["cell"])
@@ -280,8 +284,11 @@ def point_in_polygon_join(
         & (F.col(lat) >= F.col("r_bbox_ymin"))
         & (F.col(lat) <= F.col("r_bbox_ymax"))
     )
-    nl = probe.drop("cell").join(F.broadcast(_prefix(polys_g, "r_")), pt_in_bbox, "inner")
-    cand = cand.unionByName(nl)
+    if has_giants:
+        nl = probe.drop("cell").join(
+            F.broadcast(_prefix(polys_g, "r_")), pt_in_bbox, "inner"
+        )
+        cand = cand.unionByName(nl)
 
     if subkey is not None:
         lcol, rcol = subkey
@@ -400,11 +407,18 @@ def spatial_join(
     lid = left_id or left.columns[0]
     bbox_cols = ("bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")
 
-    # giant-feature split (either side): cells-covered is pure Catalyst
+    # giant-feature split (either side): cells-covered is pure Catalyst.
+    # Each emptiness check is one bbox-columns-only pruned scan of that
+    # side; when a side has no giants its nested-loop leg (and the extra
+    # full-table scan it would imply) is skipped entirely.
     lcnt = _bbox_cell_count_expr(z)
     rcnt = _bbox_cell_count_expr(z)
-    left_n, left_g = left.filter(lcnt <= cell_cap), left.filter(lcnt > cell_cap)
-    right_n, right_g = right.filter(rcnt <= cell_cap), right.filter(rcnt > cell_cap)
+    left_g = left.filter(lcnt > cell_cap)
+    right_g = right.filter(rcnt > cell_cap)
+    has_lg = left_g.select("bbox_xmin").limit(1).count() > 0
+    has_rg = right_g.select("bbox_xmin").limit(1).count() > 0
+    left_n = left.filter(lcnt <= cell_cap) if has_lg else left
+    right_n = right.filter(rcnt <= cell_cap) if has_rg else right
 
     lxall = _prefix(left, "l_")
     lx = IU.explode_bbox_cells(left_n, z)
@@ -429,13 +443,18 @@ def spatial_join(
 
     # nested-loop paths for giant features (broadcast the small giant set;
     # Spark plans the bbox theta-join as BroadcastNestedLoopJoin)
-    nl = lxall.join(F.broadcast(_prefix(right_g, "r_")), _bbox_overlap_cond(), "inner")
-    # giant-left × normal-right (giant×giant pairs are already in `nl`);
-    # the giant side is the broadcast side in both legs
-    nl2 = F.broadcast(_prefix(left_g, "l_")).join(
-        _prefix(right_n, "r_"), _bbox_overlap_cond(), "inner"
-    )
-    cand = cand.unionByName(nl).unionByName(nl2)
+    if has_rg:
+        nl = lxall.join(
+            F.broadcast(_prefix(right_g, "r_")), _bbox_overlap_cond(), "inner"
+        )
+        cand = cand.unionByName(nl)
+    if has_lg:
+        # giant-left × normal-right (giant×giant pairs are in `nl` when
+        # both exist); the giant side is the broadcast side in both legs
+        nl2 = F.broadcast(_prefix(left_g, "l_")).join(
+            _prefix(right_n, "r_"), _bbox_overlap_cond(), "inner"
+        )
+        cand = cand.unionByName(nl2)
 
     # codegen bbox prefilter before any Python
     cand = cand.filter(_bbox_overlap_cond())
