@@ -325,6 +325,24 @@ def _q_distance_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("x", "y", "val")
 
 
+def _q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapefile I/O (loader.py:42-115 via PyShp in the reference; pure
+    ESRI-spec struct parser here): write the 60 zone rectangles as
+    .shp/.dbf, read back, report exact shoelace areas vs the arithmetic
+    zone definition."""
+    import tempfile
+
+    from pythongis_spark.geometry.udfs import st_area
+    from pythongis_spark.sources.shapefile import read_shapefile, write_shapefile
+
+    zones = FX.oracle_zones_pdf()[["zone_id", "geom"]]
+    d = tempfile.mkdtemp(dir="/tmp")
+    path = f"{d}/zones.shp"
+    write_shapefile(zones, path)
+    df = read_shapefile(spark, path)
+    return df.select("zone_id", st_area(F.col("geom")).alias("area"))
+
+
 def _q_buffer_zone_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar buffer (manager.py:726-788): flat-join buffer of the zone
     rectangles; the shoelace area of the offset ring is exact dyadic
@@ -933,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vectorize_merged": _q_vectorize_merged,
         "buffer_zone_areas": _q_buffer_zone_areas,
         "distance_raster_centers": _q_distance_raster,
+        "shapefile_roundtrip": _q_shapefile_roundtrip,
         "histogram_quantity": _q_histogram,
         "tab_orderpriority": _q_tab,
         "merge_union_byname": _q_merge_byname,
@@ -1329,6 +1348,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal,
                    CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS class
             FROM customer
+        """,
+        "shapefile_roundtrip": f"""
+            WITH {FX.ZONES_CTE_SQL}
+            SELECT zone_id, (xmax - xmin) * (ymax - ymin) AS area FROM zones
         """,
         "distance_raster_centers": f"""
             WITH {FX.ZONES_CTE_SQL},

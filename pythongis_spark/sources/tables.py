@@ -61,7 +61,15 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: str | None = None,
         from pythongis_spark.sources.geojson import read_geojson
 
         return read_geojson(spark, path_or_table)
-    raise ValueError(f"unsupported format {ext!r} (shapefile/xls libs not in this image)")
+    if ext == "shp":
+        # pure-struct ESRI shapefile parser (reference loads via PyShp,
+        # absent here; see sources/shapefile.py)
+        from pythongis_spark.sources.shapefile import read_shapefile, read_shapefiles
+
+        if any(ch in path_or_table for ch in "*?["):
+            return read_shapefiles(spark, path_or_table)
+        return read_shapefile(spark, path_or_table)
+    raise ValueError(f"unsupported format {ext!r} (xls lib not in this image)")
 
 
 def read_image_table(spark: SparkSession, path: str) -> DataFrame:
