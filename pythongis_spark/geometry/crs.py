@@ -1,0 +1,200 @@
+"""Ellipsoidal map projections without pyproj: transverse Mercator /
+UTM (Karney–Krüger series, sub-mm), Lambert conformal conic 2SP and
+Albers equal-area 2SP (Snyder, "Map Projections — A Working Manual",
+USGS PP 1395, ch. 8/14/15).
+
+Reference analog: ``pythongis/vector/manager.py:822-846`` reprojects via
+pyproj (arbitrary CRS). This module provides the projection families
+that cover the reference's practical usage on WGS84; everything is
+numpy-vectorized over coordinate arrays and plugged into
+``geometry.projections.reproject_points/geom``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# WGS84
+A_ = 6378137.0
+F_ = 1 / 298.257223563
+E2 = F_ * (2 - F_)
+E_ = math.sqrt(E2)
+N_ = F_ / (2 - F_)
+
+# Karney series coefficients (to n^4)
+_n = N_
+ALPHA = [
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180,
+    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440,
+    61 * _n**3 / 240 - 103 * _n**4 / 140,
+    49561 * _n**4 / 161280,
+]
+BETA = [
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360,
+    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440,
+    17 * _n**3 / 480 - 37 * _n**4 / 840,
+    4397 * _n**4 / 161280,
+]
+DELTA = [
+    2 * _n - 2 * _n**2 / 3 - 2 * _n**3 + 116 * _n**4 / 45,
+    7 * _n**2 / 3 - 8 * _n**3 / 5 - 227 * _n**4 / 45,
+    56 * _n**3 / 15 - 136 * _n**4 / 35,
+    4279 * _n**4 / 630,
+]
+A_RECT = A_ / (1 + _n) * (1 + _n**2 / 4 + _n**4 / 64)  # rectifying radius
+
+
+# ------------------------------------------------- transverse Mercator
+
+def tmerc_forward(lon, lat, lon0: float, k0: float = 0.9996,
+                  x0: float = 500_000.0, y0: float = 0.0):
+    """Ellipsoidal transverse Mercator, Karney series (numpy arrays in
+    degrees → easting/northing in meters)."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    sphi = np.sin(phi)
+    # conformal latitude tangent
+    t = np.sinh(np.arctanh(sphi) - E_ * np.arctanh(E_ * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j, a in enumerate(ALPHA, start=1):
+        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    return x0 + k0 * A_RECT * eta, y0 + k0 * A_RECT * xi
+
+
+def tmerc_inverse(x, y, lon0: float, k0: float = 0.9996,
+                  x0: float = 500_000.0, y0: float = 0.0):
+    xi = (np.asarray(y, dtype=np.float64) - y0) / (k0 * A_RECT)
+    eta = (np.asarray(x, dtype=np.float64) - x0) / (k0 * A_RECT)
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j, b in enumerate(BETA, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    chi = np.arctan(tau_p)
+    phi = chi.copy()
+    for j, d in enumerate(DELTA, start=1):
+        phi += d * np.sin(2 * j * chi)
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+def utm_zone(lon: float, lat: float) -> tuple[int, bool]:
+    """(zone number, is_north) — the standard 6° zones."""
+    z = int(math.floor((lon + 180) / 6)) % 60 + 1
+    return z, lat >= 0
+
+
+def utm_forward(lon, lat, zone: int, north: bool = True):
+    lon0 = -183.0 + 6 * zone
+    return tmerc_forward(lon, lat, lon0, 0.9996, 500_000.0, 0.0 if north else 10_000_000.0)
+
+
+def utm_inverse(x, y, zone: int, north: bool = True):
+    lon0 = -183.0 + 6 * zone
+    return tmerc_inverse(x, y, lon0, 0.9996, 500_000.0, 0.0 if north else 10_000_000.0)
+
+
+# ------------------------------------------------- Lambert conformal 2SP
+
+def _m(phi):
+    return np.cos(phi) / np.sqrt(1 - E2 * np.sin(phi) ** 2)
+
+
+def _t(phi):
+    sphi = np.sin(phi)
+    return np.tan(np.pi / 4 - phi / 2) / (
+        (1 - E_ * sphi) / (1 + E_ * sphi)
+    ) ** (E_ / 2)
+
+
+class LambertConformal:
+    """Snyder 15-1..15-11 (ellipsoidal, two standard parallels)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 x0: float = 0.0, y0: float = 0.0):
+        p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+        m1, m2 = _m(np.array([p1]))[0], _m(np.array([p2]))[0]
+        t1, t2, t0 = (_t(np.array([v]))[0] for v in (p1, p2, p0))
+        if abs(p1 - p2) < 1e-12:
+            self.n = math.sin(p1)
+        else:
+            self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        self.F = m1 / (self.n * t1**self.n)
+        self.rho0 = A_ * self.F * t0**self.n
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        rho = A_ * self.F * _t(phi) ** self.n
+        th = self.n * lam
+        return self.x0 + rho * np.sin(th), self.y0 + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        xs = np.asarray(x, dtype=np.float64) - self.x0
+        ys = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.sign(self.n) * np.sqrt(xs * xs + ys * ys)
+        th = np.arctan2(np.sign(self.n) * xs, np.sign(self.n) * ys)
+        t = (rho / (A_ * self.F)) ** (1 / self.n)
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            sphi = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * ((1 - E_ * sphi) / (1 + E_ * sphi)) ** (E_ / 2)
+            )
+        return np.degrees(th / self.n) + self.lon0, np.degrees(phi)
+
+
+# ------------------------------------------------- Albers equal-area 2SP
+
+def _q(phi):
+    sphi = np.sin(phi)
+    return (1 - E2) * (
+        sphi / (1 - E2 * sphi**2)
+        - (1 / (2 * E_)) * np.log((1 - E_ * sphi) / (1 + E_ * sphi))
+    )
+
+
+class AlbersEqualArea:
+    """Snyder 14-12..14-21 (ellipsoidal, two standard parallels)."""
+
+    def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
+                 x0: float = 0.0, y0: float = 0.0):
+        p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
+        m1, m2 = _m(np.array([p1]))[0], _m(np.array([p2]))[0]
+        q1, q2, q0 = (_q(np.array([v]))[0] for v in (p1, p2, p0))
+        if abs(p1 - p2) < 1e-12:
+            self.n = math.sin(p1)
+        else:
+            self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.rho0 = A_ * math.sqrt(self.C - self.n * q0) / self.n
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        rho = A_ * np.sqrt(self.C - self.n * _q(phi)) / self.n
+        th = self.n * lam
+        return self.x0 + rho * np.sin(th), self.y0 + self.rho0 - rho * np.cos(th)
+
+    def inverse(self, x, y):
+        xs = np.asarray(x, dtype=np.float64) - self.x0
+        ys = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.sqrt(xs * xs + ys * ys)
+        th = np.arctan2(xs, ys)
+        q = (self.C - (rho * self.n / A_) ** 2) / self.n
+        # Newton on q(phi) = q
+        phi = np.arcsin(np.clip(q / 2, -1, 1))
+        for _ in range(8):
+            sphi = np.sin(phi)
+            denom = (1 - E2 * sphi**2) ** 2 / ((1 - E2) * np.cos(phi))
+            phi = phi + (q - _q(phi)) * denom / 2
+        return np.degrees(th / self.n) + self.lon0, np.degrees(phi)

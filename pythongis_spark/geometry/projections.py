@@ -50,7 +50,52 @@ def reproject_points(
     if to in ("EPSG:4087", "equirect"):
         k = math.pi / 180.0 * R_MAJOR
         return df.withColumn(out_x, F.col(lon) * k).withColumn(out_y, F.col(lat) * k)
+    fwd = _param_forward(to)
+    if fwd is not None:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+        )
+
+        @F.pandas_udf(schema)
+        def proj(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
+            x, y = fwd(lo.to_numpy(np.float64), la.to_numpy(np.float64))
+            return pd.DataFrame({"x": x, "y": y}, index=lo.index)
+
+        st = proj(F.col(lon), F.col(lat))
+        return df.withColumn("_p", st).withColumn(out_x, F.col("_p.x")).withColumn(
+            out_y, F.col("_p.y")
+        ).drop("_p")
     raise ValueError(f"unsupported target {to!r} (pyproj not installed)")
+
+
+def _param_forward(to):
+    """Forward transform fn(lon_arr, lat_arr) -> (x, y) for the
+    ellipsoidal projections in :mod:`.crs`: 'EPSG:326xx'/'EPSG:327xx'
+    (UTM), ('utm', zone, north), ('lcc', {lat1,lat2,lat0,lon0,...}),
+    ('aea', {...})."""
+    from pythongis_spark.geometry import crs
+
+    if isinstance(to, str) and to.upper().startswith("EPSG:32"):
+        code = int(to.split(":")[1])
+        if 32601 <= code <= 32660:
+            return lambda lo, la: crs.utm_forward(lo, la, code - 32600, True)
+        if 32701 <= code <= 32760:
+            return lambda lo, la: crs.utm_forward(lo, la, code - 32700, False)
+        return None
+    if isinstance(to, tuple):
+        kind = to[0]
+        if kind == "utm":
+            _, zone, north = to
+            return lambda lo, la: crs.utm_forward(lo, la, zone, north)
+        if kind == "lcc":
+            p = crs.LambertConformal(**to[1])
+            return p.forward
+        if kind == "aea":
+            p = crs.AlbersEqualArea(**to[1])
+            return p.forward
+    return None
 
 
 def _np_fwd(to: str):
@@ -68,6 +113,13 @@ def _np_fwd(to: str):
             lon = np.degrees(coords[:, 0] / R_MAJOR)
             lat = np.degrees(2 * np.arctan(np.exp(coords[:, 1] / R_MAJOR)) - np.pi / 2)
             return np.stack([lon, lat], axis=1)
+
+        return f
+    fwd = _param_forward(to)
+    if fwd is not None:
+        def f(coords: np.ndarray) -> np.ndarray:
+            x, y = fwd(coords[:, 0], coords[:, 1])
+            return np.stack([x, y], axis=1)
 
         return f
     raise ValueError(f"unsupported target {to!r}")
