@@ -164,3 +164,32 @@ NODATA_value -9999
     assert np.isnan(grid[0, 2])
     assert rd.xoffset == 0.0 and rd.yoffset == 2.0  # llcenter -> corner + north-up
     assert rd.yscale == -1.0
+
+
+def test_geotiff_roundtrip(spark, tmp_path):
+    from pythongis_spark import fixtures as FX
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.geotiff import parse_geotiff, read_geotiff, write_geotiff
+
+    rd = RasterDef(36, 18, (10.0, 0.0, -180.0, 0.0, -10.0, 90.0))
+    cells = FX.raster_cells(spark, 36, 18, 2)  # two bands, ~5% nodata
+    path = os.path.join(str(tmp_path), "grid.tif")
+    write_geotiff(cells, rd, path)
+    back, rd2 = read_geotiff(spark, path)
+    assert (rd2.width, rd2.height) == (36, 18)
+    assert rd2.affine == rd.affine
+    assert rd2.nodata == rd.nodata
+    a = (
+        cells.filter("val IS NOT NULL").toPandas()
+        .set_index(["band", "x", "y"])["val"].sort_index()
+    )
+    b = back.toPandas().set_index(["band", "x", "y"])["val"].sort_index()
+    assert len(a) == len(b)
+    assert (a == b).all()  # float64 samples round-trip bit-exact
+
+
+def test_geotiff_rejects_unsupported(tmp_path):
+    from pythongis_spark.sources.geotiff import parse_geotiff
+
+    with pytest.raises(ValueError):
+        parse_geotiff(b"XX\x00\x00not a tiff")
