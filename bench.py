@@ -103,13 +103,25 @@ def main():
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # best of TRIALS per query: this VM's co-tenant CPU steal swings
+    # wall time 2-4x between minutes; the minimum is the engine's
+    # steady-state number (BENCH/BASELINE.md documents the same method)
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     timings = {}
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
-    phases = image_pipeline_phases(spark, IMG_N)
+    phases = None
+    for _ in range(trials):
+        ph = image_pipeline_phases(spark, IMG_N)
+        if phases is None or ph["query_sec"] < phases["query_sec"]:
+            phases = ph
     timings["image_ingest"] = round(phases["ingest_sec"], 3)
     timings["image_pipeline"] = round(phases["query_sec"], 3)
 

@@ -52,7 +52,7 @@ def test_read_write_roundtrip(spark, tmp_path):
     back = S.read_table(spark, p)
     assert back.count() == 2
     with pytest.raises(ValueError):
-        S.read_table(spark, "/tmp/whatever.shp")
+        S.read_table(spark, "/tmp/whatever.xls")  # .shp is now supported
 
 
 def test_read_image_table_schema_gate(spark, tmp_path):
