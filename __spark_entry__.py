@@ -343,6 +343,20 @@ def _q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("zone_id", st_area(F.col("geom")).alias("area"))
 
 
+def _q_dissolve_zone_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-melding dissolve (reference cascaded_union analog): the
+    10 adjacent zone rectangles of each grid row meld into ONE 360x30
+    polygon — n_parts proves the shared borders actually dissolved."""
+    from pythongis_spark.geometry.dissolve import dissolve
+    from pythongis_spark.geometry.udfs import st_area
+
+    zones = FX.oracle_zones(spark).withColumn(
+        "row_id", F.floor(F.col("zone_id") / 10).cast("int")
+    )
+    out = dissolve(zones.select("row_id", "geom"), "row_id")
+    return out.select("row_id", "n_parts", st_area(F.col("geom")).alias("area"))
+
+
 def _q_buffer_zone_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Planar buffer (manager.py:726-788): flat-join buffer of the zone
     rectangles; the shoelace area of the offset ring is exact dyadic
@@ -952,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_zone_areas": _q_buffer_zone_areas,
         "distance_raster_centers": _q_distance_raster,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
+        "dissolve_zone_rows": _q_dissolve_zone_rows,
         "histogram_quantity": _q_histogram,
         "tab_orderpriority": _q_tab,
         "merge_union_byname": _q_merge_byname,
@@ -1348,6 +1363,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_acctbal,
                    CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS class
             FROM customer
+        """,
+        "dissolve_zone_rows": f"""
+            WITH {FX.ZONES_CTE_SQL}
+            SELECT CAST(FLOOR(zone_id / 10) AS INTEGER) AS row_id,
+                   1 AS n_parts,
+                   SUM((xmax - xmin) * (ymax - ymin)) AS area
+            FROM zones GROUP BY 1
         """,
         "shapefile_roundtrip": f"""
             WITH {FX.ZONES_CTE_SQL}
