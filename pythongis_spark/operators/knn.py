@@ -176,7 +176,7 @@ def knn_join(
 
     if n_targets <= max(k * 4, 1000) or n_targets <= broadcast_targets_rows // 100:
         # tiny target table: exact broadcast cross join
-        return _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric).withColumnRenamed(
+        return _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric, n_targets).withColumnRenamed(
             "_tid", target_id
         )
 
@@ -219,12 +219,23 @@ def knn_join(
             break
         cur_ring *= 2
     if pending is not None and pending.limit(1).count() > 0:
-        bf = _knn_bruteforce(pending, tgt, k, point_id, lon, lat, metric)
+        bf = _knn_bruteforce(pending, tgt, k, point_id, lon, lat, metric, n_targets)
         result = bf if result is None else result.unionByName(bf)
     return result.withColumnRenamed("_tid", target_id)
 
 
-def _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric):
+def _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric, n_targets=None):
+    """Exact kNN against a small target set: broadcast crossJoin +
+    per-point window. (A literal-struct-array top-k variant was measured
+    and is SLOWER — the per-target expression tree exceeds whole-stage
+    codegen limits and falls back to interpreted eval.)"""
+    if n_targets == 0:
+        return (
+            pts.withColumn("dist", F.lit(None).cast("double"))
+            .withColumn("knn_rank", F.lit(None).cast("int"))
+            .withColumn("_tid", F.lit(None).cast("long"))
+            .filter(F.lit(False))
+        )
     cand = pts.crossJoin(F.broadcast(tgt)).withColumn(
         "dist",
         _dist_expr(F.col(lon), F.col(lat), F.col("_tlon"), F.col("_tlat"), metric),
