@@ -120,15 +120,17 @@ def dissolve(
     geom_col: str = "geom",
     geom_op: str = "union",
     order_col: str | None = None,
+    meld: bool = True,
 ) -> DataFrame:
     """Reference ``VectorData.aggregate`` (dissolve) — groupBy keys +
     fieldmapping + per-group geometry union (``pythongis/vector/data.py:952``,
     geometry aggregation ``vector/sql.py:24-67``).
 
-    Geometry union of our polygon model: collect the group's WKBs and
-    merge into a MultiPolygon/MultiPoint container (no GEOS: the
-    *dissolved* geometry keeps all parts; exact boundary melding is out of
-    scope and documented).
+    ``meld=True`` (default): polygon groups dissolve with exact boundary
+    melding where inputs only touch (``geometry.dissolve``); overlapping
+    interiors fall back to keep-parts (GEOS-grade union out of scope).
+    ``meld=False`` or point groups: parts collected into a Multi
+    container, the engine's original behaviour.
     """
     import pandas as pd
 
@@ -140,8 +142,10 @@ def dissolve(
         blobs = [b for b in pdf[geom_col] if b is not None]
         parts = []
         kinds = set()
+        decoded = []
         for b in blobs:
             t, payload = W.decode_wkb(bytes(b))
+            decoded.append((t, payload))
             kinds.add(t.replace("Multi", ""))
             if t == "Polygon":
                 parts.append((payload[0], payload[1:]))
@@ -153,6 +157,14 @@ def dissolve(
                 parts.extend(payload)
         if not parts:
             merged = None
+        elif kinds == {"Polygon"} and meld:
+            from pythongis_spark.geometry.dissolve import dissolve_touching, union_parts
+
+            try:
+                res = dissolve_touching(decoded)
+            except NotImplementedError:
+                res = union_parts(decoded)
+            merged = None if res is None else W.encode_wkb(res)
         elif kinds == {"Polygon"}:
             merged = W.wkb_multipolygon(parts)
         elif kinds == {"Point"}:
