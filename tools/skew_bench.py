@@ -50,8 +50,16 @@ def main():
         n = out.count()
         return {"label": label, "rows": n, "wall_sec": round(time.perf_counter() - t0, 2)}
 
-    naive = run(salt_threshold=2**31, max_salt=1, label="shuffle, no salting")
-    salted = run(salt_threshold=20_000, max_salt=32, label="shuffle, hot-cell salted")
+    # best of N interleaved trials per variant: this VM's co-tenant CPU
+    # steal swings walls 2x run-to-run; interleaving + min isolates the
+    # plan difference from the noise
+    trials = int(os.environ.get("SPARK_GRAFT_SKEW_TRIALS", "3"))
+    naive = salted = None
+    for _ in range(trials):
+        a = run(salt_threshold=2**31, max_salt=1, label="shuffle, no salting")
+        b = run(salt_threshold=20_000, max_salt=32, label="shuffle, hot-cell salted")
+        naive = a if naive is None or a["wall_sec"] < naive["wall_sec"] else naive
+        salted = b if salted is None or b["wall_sec"] < salted["wall_sec"] else salted
 
     # row-set equality of the two paths (sample-hash over full sets)
     a = point_in_polygon_join(pts, zones, point_id="image_id", z=6, broadcast_rows=0,
