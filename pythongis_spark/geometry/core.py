@@ -584,7 +584,36 @@ def geom_touches(ga, gb) -> bool:
         return True  # line touches area boundary only
     # line×line: contact with no proper crossing; exclude collinear
     # interior overlap (shapely: overlapping lines are not 'touches')
-    return not _collinear_overlap_any(ga, gb)
+    if _collinear_overlap_any(ga, gb):
+        return False
+    # DE-9IM: a contact point interior to BOTH lines (a T/V contact at a
+    # vertex that is not a polyline endpoint) means interior∩interior ≠ ∅
+    # → not touches. Every non-crossing non-collinear segment contact
+    # involves a vertex of at least one line, so probing vertices is
+    # exhaustive. A line's boundary is its open parts' endpoints (closed
+    # rings have empty boundary, DE-9IM mod-2 rule).
+    ends = _polyline_endpoints(ga) + _polyline_endpoints(gb)
+
+    def _interior_contact(src, other) -> bool:
+        v = W.all_coords(src)
+        on = points_on_boundary(v[:, 0], v[:, 1], other)
+        for p in v[on]:
+            if not any(p[0] == e[0] and p[1] == e[1] for e in ends):
+                return True
+        return False
+
+    return not (_interior_contact(ga, gb) or _interior_contact(gb, ga))
+
+
+def _polyline_endpoints(geom):
+    """Boundary points of a line geometry: endpoints of each open part
+    (closed parts contribute none)."""
+    ends = []
+    for part in _boundary_polylines(geom):
+        if not (part[0] == part[-1]).all():
+            ends.append(part[0])
+            ends.append(part[-1])
+    return ends
 
 
 def _interior_probes(geom) -> np.ndarray:

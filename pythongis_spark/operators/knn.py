@@ -80,13 +80,30 @@ def _boundary_guard_expr(lon, lat, z: int, ring: int, metric: str) -> Column:
     d_s = F.when(ty + ring >= n - 1, inf).otherwise(lat - y_lo)
     if metric == "planar":
         return F.least(d_w, d_e, d_n, d_s)
-    # meters: meridian sides scaled by cos(max |lat| in window) lower bound
+    # meters: provably conservative haversine lower bounds per edge.
+    #
+    # N/S: any target beyond a latitude edge satisfies d ≥ R·Δφ exactly
+    # (haversine ≥ 2R·asin(sin(Δφ/2)) = R·Δφ), so deg→m is exact there.
+    #
+    # E/W: a target beyond the lon edge that is NOT also beyond a lat edge
+    # has cos(φ_t) ≥ cos(maxabslat), giving
+    #   d ≥ 2R·asin(√(cosφ_p·cosφ_t)·sin(Δλ/2)) ≥ 2R·cos(maxabslat)·sin(Δλ/2).
+    # (Targets beyond a lat edge are covered by the exact N/S term because
+    # the guard takes the least of all four.) The naive Δλ·deg_m·cosφ form
+    # used previously OVERestimates by ≈sin²φ·Δλ²/6 and can admit a miss.
     deg_m = math.pi / 180.0 * EARTH_RADIUS_M
     maxabslat = F.greatest(F.abs(y_lo), F.abs(y_hi))
     coslat = F.cos(F.radians(F.least(maxabslat, F.lit(90.0))))
-    return F.least(
-        F.least(d_w, d_e) * deg_m * coslat, F.least(d_n, d_s) * F.lit(deg_m)
-    )
+    if wraps_world:
+        ew = inf
+    else:
+        half = F.radians(F.least(d_w, d_e)) / F.lit(2.0)
+        ew = (
+            F.lit(2.0 * EARTH_RADIUS_M)
+            * F.sin(F.least(half, F.lit(math.pi / 2.0)))
+            * coslat
+        )
+    return F.least(ew, F.least(d_n, d_s) * F.lit(deg_m))
 
 
 def _explode_neighbor_cells(
@@ -208,7 +225,7 @@ def knn_join(
             F.count("*").alias("_nm"), F.max("dist").alias("_kd")
         )
         topk = topk.join(stats, point_id)
-        ok = topk.filter((F.col("_nm") >= k) & (F.col("_kd") <= guard)).drop(
+        ok = topk.filter((F.col("_nm") >= k) & (F.col("_kd") < guard)).drop(
             "_nm", "_kd", "cell", "_tlon", "_tlat"
         )
         result = ok if result is None else result.unionByName(ok)
@@ -219,12 +236,20 @@ def knn_join(
             break
         cur_ring *= 2
     if pending is not None and pending.limit(1).count() > 0:
-        bf = _knn_bruteforce(pending, tgt, k, point_id, lon, lat, metric, n_targets)
+        # the remnant set is tiny, but the TARGET side here is the full
+        # table — only broadcast it when it's genuinely small, else use a
+        # partition-pair cartesian (pending has few partitions, so task
+        # count stays ~|target partitions|; no 8 GB broadcast cap risk)
+        bf = _knn_bruteforce(
+            pending, tgt, k, point_id, lon, lat, metric, n_targets,
+            allow_broadcast=n_targets <= broadcast_targets_rows,
+        )
         result = bf if result is None else result.unionByName(bf)
     return result.withColumnRenamed("_tid", target_id)
 
 
-def _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric, n_targets=None):
+def _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric, n_targets=None,
+                    allow_broadcast=True):
     """Exact kNN against a small target set: broadcast crossJoin +
     per-point window. (A literal-struct-array top-k variant was measured
     and is SLOWER — the per-target expression tree exceeds whole-stage
@@ -236,7 +261,15 @@ def _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric, n_targets=None):
             .withColumn("_tid", F.lit(None).cast("long"))
             .filter(F.lit(False))
         )
-    cand = pts.crossJoin(F.broadcast(tgt)).withColumn(
+    if not allow_broadcast:
+        # coalesce the (small) probe side so the cartesian's task count is
+        # bounded by the target side's partitioning
+        pts = pts.coalesce(4)
+        tgt = tgt.hint("shuffle_replicate_nl")
+        cand = pts.crossJoin(tgt)
+    else:
+        cand = pts.crossJoin(F.broadcast(tgt))
+    cand = cand.withColumn(
         "dist",
         _dist_expr(F.col(lon), F.col(lat), F.col("_tlon"), F.col("_tlat"), metric),
     )

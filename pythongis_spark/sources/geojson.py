@@ -48,24 +48,39 @@ _COLLECTION_SCHEMA = T.StructType(
 )
 
 
+def _coords2d(seq) -> np.ndarray:
+    """Coordinate sequence → (N,2) float64 array.
+
+    GeoJSON positions may carry a third (elevation) element (RFC 7946 §3.1.1);
+    WKB encoding here is strictly 2-D, so extra ordinates are dropped
+    explicitly rather than silently misaligning the serialized doubles.
+    """
+    arr = np.array(seq, dtype=np.float64)
+    if arr.ndim == 1:  # a single position
+        return arr[:2].reshape(1, 2)
+    if arr.ndim != 2 or arr.shape[1] < 2:
+        raise ValueError(f"malformed GeoJSON coordinate array of shape {arr.shape}")
+    return np.ascontiguousarray(arr[:, :2])
+
+
 def geojson_geom_to_tuple(obj: dict):
     """GeoJSON geometry dict → internal (type, payload) tuple."""
     t = obj["type"]
     c = obj["coordinates"]
     if t == "Point":
-        return ("Point", np.array([c], dtype=np.float64))
+        return ("Point", _coords2d(c))
     if t == "MultiPoint":
-        return ("MultiPoint", np.array(c, dtype=np.float64))
+        return ("MultiPoint", _coords2d(c))
     if t == "LineString":
-        return ("LineString", np.array(c, dtype=np.float64))
+        return ("LineString", _coords2d(c))
     if t == "MultiLineString":
-        return ("MultiLineString", [np.array(l, dtype=np.float64) for l in c])
+        return ("MultiLineString", [_coords2d(l) for l in c])
     if t == "Polygon":
-        return ("Polygon", [np.array(r, dtype=np.float64) for r in c])
+        return ("Polygon", [_coords2d(r) for r in c])
     if t == "MultiPolygon":
         return (
             "MultiPolygon",
-            [[np.array(r, dtype=np.float64) for r in rings] for rings in c],
+            [[_coords2d(r) for r in rings] for rings in c],
         )
     raise ValueError(f"unsupported GeoJSON geometry type {t!r}")
 

@@ -288,7 +288,12 @@ def write_shapefile(df_or_pdf, path: str, geom_col: str = "geom") -> None:
         g is not None for g in geoms
     ) else np.zeros((1, 2))
     content = b""
+    shx_entries = b""
     for i, r in enumerate(recs):
+        # .shx index entry: (record offset in 16-bit words, content length
+        # in 16-bit words) — both big-endian, per the ESRI whitepaper §"Index
+        # File"; mandatory for PyShp/GDAL/QGIS interop.
+        shx_entries += struct.pack(">ii", (100 + len(content)) // 2, len(r) // 2)
         content += struct.pack(">ii", i + 1, len(r) // 2) + r
     flen = (100 + len(content)) // 2
     hdr = struct.pack(">i", 9994) + b"\x00" * 20 + struct.pack(">i", flen)
@@ -298,6 +303,12 @@ def write_shapefile(df_or_pdf, path: str, geom_col: str = "geom") -> None:
     hdr += struct.pack("<4d", 0, 0, 0, 0)
     with open(path, "wb") as fh:
         fh.write(hdr + content)
+    # .shx shares the .shp header layout except its own file length.
+    shx_hdr = struct.pack(">i", 9994) + b"\x00" * 20
+    shx_hdr += struct.pack(">i", (100 + len(shx_entries)) // 2)
+    shx_hdr += hdr[28:]
+    with open(os.path.splitext(path)[0] + ".shx", "wb") as fh:
+        fh.write(shx_hdr + shx_entries)
 
     # .dbf with the non-geom columns
     cols = [c for c in pdf.columns if c != geom_col]

@@ -121,3 +121,25 @@ def test_read_table_geojson_dispatch(spark, tmp_path):
     df = read_table(spark, path)
     assert set(df.columns) == {"properties", "geom"}
     assert df.count() == 2
+
+
+def test_z_coordinates_sliced_not_corrupted():
+    """RFC 7946 positions may carry elevation; WKB here is 2-D, so the
+    third ordinate must be dropped — not serialized as extra doubles."""
+    t, payload = geojson_geom_to_tuple(
+        {"type": "LineString", "coordinates": [[0, 0, 5.0], [1, 1, 6.0], [2, 0, 7.0]]}
+    )
+    assert payload.shape == (3, 2)
+    assert payload.tolist() == [[0, 0], [1, 1], [2, 0]]
+    t, payload = geojson_geom_to_tuple(
+        {
+            "type": "Polygon",
+            "coordinates": [[[0, 0, 1], [4, 0, 1], [4, 4, 1], [0, 0, 1]]],
+        }
+    )
+    assert payload[0].shape == (4, 2)
+    t, payload = geojson_geom_to_tuple({"type": "Point", "coordinates": [1, 2, 3]})
+    assert payload.shape == (1, 2)
+    # WKB round-trips cleanly
+    wkb = W.encode_wkb(("LineString", np.array([[0, 0], [1, 1]], float)))
+    assert W.decode_wkb(wkb)[1].shape == (2, 2)

@@ -101,6 +101,22 @@ def test_touches_lines():
     assert not G.geom_touches(ln((0, 0), (10, 0)), ln((5, 0), (15, 0)))  # overlap
 
 
+def test_touches_lines_interior_contact_de9im():
+    """T/V contacts at a vertex interior to BOTH lines have
+    interior∩interior ≠ ∅ → shapely classifies them as NOT touches."""
+    # T: endpoint of B on interior of A — boundary∩interior → touches
+    assert G.geom_touches(ln((0, 0), (10, 0)), ln((5, 0), (5, 5)))
+    # V at interior vertices of both: A bends at (5,0), B bends at (5,0)
+    a = ("LineString", np.array([[0, 0], [5, 0], [5, 5]], dtype=float))
+    b = ("LineString", np.array([[0, 2], [5, 0], [10, 2]], dtype=float))
+    assert not G.geom_touches(a, b)
+    # interior vertex of B on interior (non-vertex) of A's segment
+    c = ("LineString", np.array([[0, 2], [5, 0], [10, 2]], dtype=float))
+    assert not G.geom_touches(ln((0, 0), (10, 0)), c)
+    # both endpoints meeting — still touches
+    assert G.geom_touches(ln((0, 0), (5, 0)), ln((5, 0), (5, 5)))
+
+
 # ------------------------------------------------------------ convex clip
 
 def test_clip_ring_to_convex_triangle():

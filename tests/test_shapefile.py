@@ -193,3 +193,32 @@ def test_geotiff_rejects_unsupported(tmp_path):
 
     with pytest.raises(ValueError):
         parse_geotiff(b"XX\x00\x00not a tiff")
+
+
+def test_writer_emits_valid_shx(tmp_path):
+    """The mandatory .shx index: one BE (offset-words, length-words) pair
+    per record, offsets consistent with the .shp record stream (ESRI
+    whitepaper 'Index File')."""
+    import struct
+
+    pdf = pd.DataFrame(
+        {
+            "fid": [1, 2],
+            "geom": [W.wkb_point(1, 2), W.wkb_point(3, 4)],
+        }
+    )
+    shp = os.path.join(str(tmp_path), "idx.shp")
+    write_shapefile(pdf, shp)
+    shx = os.path.join(str(tmp_path), "idx.shx")
+    assert os.path.exists(shx)
+    buf = open(shx, "rb").read()
+    assert struct.unpack(">i", buf[:4])[0] == 9994
+    assert struct.unpack(">i", buf[24:28])[0] * 2 == len(buf)  # own length
+    n = (len(buf) - 100) // 8
+    assert n == 2
+    shp_buf = open(shp, "rb").read()
+    for i in range(n):
+        off_w, len_w = struct.unpack(">ii", buf[100 + 8 * i : 108 + 8 * i])
+        # record header at byte offset: recnum (1-based) + content length
+        rn, cl = struct.unpack(">ii", shp_buf[off_w * 2 : off_w * 2 + 8])
+        assert rn == i + 1 and cl == len_w
