@@ -907,6 +907,21 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "classify_quantile_breaks": _q_classify_quantile_breaks,
+        "spatial_join_rects": _q_spatial_join_rects,
+        "spatial_join_clip": _q_spatial_join_clip,
+        "geojson_roundtrip": _q_geojson_roundtrip,
+        "rasterize_partial": _q_rasterize_partial,
+        "vectorize_merged": _q_vectorize_merged,
+        "buffer_zone_areas": _q_buffer_zone_areas,
+        "distance_raster_centers": _q_distance_raster,
+        "shapefile_roundtrip": _q_shapefile_roundtrip,
+        "dissolve_zone_rows": _q_dissolve_zone_rows,
+        "histogram_quantity": _q_histogram,
+        "tab_orderpriority": _q_tab,
+        "merge_union_byname": _q_merge_byname,
+        "topk_orders_per_customer": _q_topk_orders,
+        "tpch_q1": _q_tpch_q1,
         "sessionize_events": _q_sessionize,
         "dedup_clusters_docs": _q_dedup_clusters,
         "audio_features": _q_audio_features,
@@ -957,21 +972,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_window_events": _q_moving_window,
         "classify_quantile": _q_classify_quantile,
         "classify_equal_breaks": _q_classify_equal_breaks,
-        "classify_quantile_breaks": _q_classify_quantile_breaks,
-        "spatial_join_rects": _q_spatial_join_rects,
-        "spatial_join_clip": _q_spatial_join_clip,
-        "geojson_roundtrip": _q_geojson_roundtrip,
-        "rasterize_partial": _q_rasterize_partial,
-        "vectorize_merged": _q_vectorize_merged,
-        "buffer_zone_areas": _q_buffer_zone_areas,
-        "distance_raster_centers": _q_distance_raster,
-        "shapefile_roundtrip": _q_shapefile_roundtrip,
-        "dissolve_zone_rows": _q_dissolve_zone_rows,
-        "histogram_quantity": _q_histogram,
-        "tab_orderpriority": _q_tab,
-        "merge_union_byname": _q_merge_byname,
-        "topk_orders_per_customer": _q_topk_orders,
-        "tpch_q1": _q_tpch_q1,
     }
 
 
