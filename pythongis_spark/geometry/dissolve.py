@@ -197,7 +197,10 @@ def dissolve(df, by, geom_col: str = "geom", meld: bool = True):
                 try:
                     res = dissolve_touching(geoms)
                 except NotImplementedError:
-                    res = union_parts(geoms)
+                    # overlapping interiors: general boolean union
+                    from pythongis_spark.geometry import boolean as BO
+
+                    res = BO.union_all(geoms)
             else:
                 res = union_parts(geoms)
         n_parts = 0 if res is None else len(W.iter_polygons(res))

@@ -225,38 +225,236 @@ def buffer_geom(geom, dist: float, join_style: str = "round", resolution: int = 
             [[_circle(x, y, dist, resolution)] for x, y in pts],
         )
     if t == "LineString":
-        if len(payload) != 2:
-            raise NotImplementedError(
-                "polyline buffer needs boolean union (GEOS absent); "
-                "single segments only"
-            )
         if dist <= 0:
             return None
-        a, b = payload[0], payload[1]
+        if len(payload) == 2:
+            return _capsule(payload[0], payload[1], dist, resolution)
+        # polyline: offset loop + distance selection
+        return _buffer_lines_general([payload], dist, resolution)
+    if t == "MultiLineString":
+        if dist <= 0:
+            return None
+        return _buffer_lines_general(list(payload), dist, resolution)
+    if t == "Polygon":
+        try:
+            return buffer_convex_polygon(payload, dist, join_style, resolution)
+        except NotImplementedError:
+            return _buffer_polygon_general(geom, dist, resolution)
+    if t == "MultiPolygon":
+        try:
+            parts = []
+            for rings in payload:
+                r = buffer_convex_polygon(rings, dist, join_style, resolution)
+                if r is not None:
+                    parts.append(r[1])
+            if not parts:
+                return None
+            return ("Polygon", parts[0]) if len(parts) == 1 else (
+                "MultiPolygon", parts
+            )
+        except NotImplementedError:
+            return _buffer_polygon_general(geom, dist, resolution)
+    raise NotImplementedError(f"buffer of {t} not supported")
+
+
+def _arc_grid(cx, cy, a0, a1, r, resolution) -> np.ndarray:
+    """CCW arc a0→a1 sampled on the GLOBAL angle grid (multiples of
+    2π/resolution) plus the exact endpoints. Arcs of the same circle
+    emitted by different capsules then share bitwise-identical interior
+    vertices, so the boolean engine sees exact collinear overlaps instead
+    of criss-crossing near-tangent chords (which break ring stitching)."""
+    two_pi = 2.0 * math.pi
+    while a1 < a0:
+        a1 += two_pi
+    step = two_pi / resolution
+    k0 = int(math.ceil(a0 / step))
+    k1 = int(math.floor(a1 / step))
+    pts = [(cx + r * math.cos(a0), cy + r * math.sin(a0))]
+    for k in range(k0, k1 + 1):
+        if k * step - a0 < 1e-9 or a1 - k * step < 1e-9:
+            continue
+        th = (k % resolution) * step  # canonical angle → identical doubles
+        pts.append((cx + r * math.cos(th), cy + r * math.sin(th)))
+    pts.append((cx + r * math.cos(a1), cy + r * math.sin(a1)))
+    return np.array(pts, dtype=np.float64)
+
+
+def _capsule(a: np.ndarray, b: np.ndarray, dist: float, resolution: int):
+    """Exact-offset capsule (Minkowski sum of a segment and a disk),
+    end-cap arcs on the global angle grid (see ``_arc_grid``)."""
+    e = b - a
+    ln = math.hypot(e[0], e[1])
+    if ln == 0:
+        ring = _arc_grid(a[0], a[1], 0.0, 2 * math.pi, dist, resolution)
+        ring[-1] = ring[0]  # exact closure (sin(2π) as double ≠ 0)
+        return ("Polygon", [ring])
+    nrm = np.array([e[1], -e[0]]) / ln
+    ang = math.atan2(nrm[1], nrm[0])
+    cap_b = _arc_grid(b[0], b[1], ang, ang + math.pi, dist, resolution)
+    cap_a = _arc_grid(a[0], a[1], ang + math.pi, ang + 2 * math.pi, dist, resolution)
+    ring = np.vstack([cap_b, cap_a])
+    ring = np.vstack([ring, ring[:1]])
+    return ("Polygon", [ring])
+
+
+def _soup_for_loop(loop_pts: np.ndarray, d: float, resolution: int,
+                   caps_at: set[int] | None = None) -> list[tuple]:
+    """Raw right-side offset edge soup for one closed directed traversal.
+
+    ``loop_pts``: vertex cycle WITHOUT repeated closing point. Each edge
+    contributes its offset segment (normal = (ey, -ex)/|e|, the right
+    side of travel); each LEFT turn (cross > 0) contributes a CCW arc of
+    radius d around the vertex; vertices listed in ``caps_at`` always
+    get the arc (polyline end caps, where the traversal reverses). Right
+    turns get nothing — their offset segments overshoot and the
+    distance-selection pass drops the overshoot."""
+    n = len(loop_pts)
+    soup: list[tuple] = []
+    for i in range(n):
+        a, b = loop_pts[i], loop_pts[(i + 1) % n]
         e = b - a
         ln = math.hypot(e[0], e[1])
         if ln == 0:
-            return ("Polygon", [_circle(a[0], a[1], dist, resolution)])
+            continue
         nrm = np.array([e[1], -e[0]]) / ln
-        ang = math.atan2(nrm[1], nrm[0])
-        cap_b = _arc(b[0], b[1], ang, ang + math.pi, dist, resolution)
-        cap_a = _arc(a[0], a[1], ang + math.pi, ang + 2 * math.pi, dist, resolution)
-        ring = np.vstack([a + nrm * dist, b + nrm * dist, cap_b,
-                          b - nrm * dist, a - nrm * dist, cap_a])
-        ring = np.vstack([ring, ring[:1]])
-        return ("Polygon", [ring])
-    if t == "Polygon":
-        return buffer_convex_polygon(payload, dist, join_style, resolution)
-    if t == "MultiPolygon":
-        parts = []
-        for rings in payload:
-            r = buffer_convex_polygon(rings, dist, join_style, resolution)
-            if r is not None:
-                parts.append(r[1])
-        if not parts:
-            return None
-        return ("Polygon", parts[0]) if len(parts) == 1 else ("MultiPolygon", parts)
-    raise NotImplementedError(f"buffer of {t} not supported")
+        p = (float(a[0] + nrm[0] * d), float(a[1] + nrm[1] * d))
+        q = (float(b[0] + nrm[0] * d), float(b[1] + nrm[1] * d))
+        soup.append((p, q))
+        # vertex joint between this edge and the next non-degenerate one
+        j = (i + 1) % n
+        c = loop_pts[(i + 2) % n] if n > 2 else loop_pts[i]
+        e2 = c - b
+        ln2 = math.hypot(e2[0], e2[1])
+        if ln2 == 0:
+            continue
+        crossz = e[0] * e2[1] - e[1] * e2[0]
+        cap = caps_at is not None and j in caps_at
+        if crossz > 0 or cap:
+            a0 = math.atan2(-e[0] / ln, e[1] / ln)      # angle of nrm
+            a1 = math.atan2(-e2[0] / ln2, e2[1] / ln2)  # angle of next nrm
+            arc = _arc_grid(b[0], b[1], a0, a1, d, resolution)
+            for k in range(len(arc) - 1):
+                pa = (float(arc[k, 0]), float(arc[k, 1]))
+                pb = (float(arc[k + 1, 0]), float(arc[k + 1, 1]))
+                if pa != pb:
+                    soup.append((pa, pb))
+    return soup
+
+
+def _dist_selector(rings: list[np.ndarray]):
+    """Vectorized min point→segment distance over all ring edges."""
+    A = np.vstack([r[:-1] for r in rings])
+    Bp = np.vstack([r[1:] for r in rings])
+    E = Bp - A
+    L2 = (E * E).sum(axis=1)
+    L2[L2 == 0] = 1.0
+
+    def dist(mx: float, my: float) -> float:
+        t = ((mx - A[:, 0]) * E[:, 0] + (my - A[:, 1]) * E[:, 1]) / L2
+        t = np.clip(t, 0.0, 1.0)
+        dx = mx - (A[:, 0] + t * E[:, 0])
+        dy = my - (A[:, 1] + t * E[:, 1])
+        return float(np.sqrt((dx * dx + dy * dy).min()))
+
+    return dist
+
+
+def _offset_select_stitch(soup: list[tuple], rings: list[np.ndarray],
+                          d: float, resolution: int,
+                          keep_inside: bool | None, flip: bool = False):
+    """Split the offset soup at pairwise intersections, keep sub-edges
+    whose midpoint sits at distance ≈ d from the source boundary (≥ the
+    chord-sagitta threshold d·cos(π/res)) and on the requested side of
+    the source polygon, then weld + stitch into rings.
+
+    The selection criterion is the DISTANCE function — smooth, so
+    tangential contacts between equal-radius offsets (which break
+    parity-based boolean classification) are harmless: borderline chords
+    all sit at dist ≈ d and are kept consistently. (Chen & McMains 2005
+    describe this offset-then-clip-by-distance construction.)"""
+    from pythongis_spark.geometry import boolean as BO
+
+    dist = _dist_selector(rings)
+    thresh = d * math.cos(math.pi / resolution) * (1.0 - 1e-9)
+    sel = []
+    for p, q in soup:
+        for sa, sb in BO._split_edge(p, q, soup):
+            mx, my = (sa[0] + sb[0]) * 0.5, (sa[1] + sb[1]) * 0.5
+            if dist(mx, my) < thresh:
+                continue
+            if keep_inside is not None:
+                inside = False
+                pxa, pya = np.array([mx]), np.array([my])
+                for r in rings:
+                    inside ^= bool(G.points_in_ring(pxa, pya, r)[0])
+                if inside != keep_inside:
+                    continue
+            sel.append((sb, sa) if flip else (sa, sb))
+    return BO._assemble(sel)
+
+
+def _buffer_polygon_general(geom, dist: float, resolution: int):
+    """Buffer of an arbitrary (concave / holed / multipart) polygon by
+    offset-ring construction + distance selection. Reference analog:
+    shapely ``buffer`` in ``pythongis/vector/manager.py:726-788``; round
+    joins only. Outward (d>0): offset every ring rightward (exterior CCW
+    → outward; holes CW → into the hole), arcs at left turns; keep
+    pieces outside the polygon at distance d. Inward (d<0): offset
+    leftward by traversing each ring REVERSED, keep pieces inside."""
+    if dist == 0:
+        return geom
+    rings = [np.asarray(r, dtype=np.float64)
+             for poly in W.iter_polygons(_orient_polygon(geom)) for r in poly]
+    soup: list[tuple] = []
+    for r in rings:
+        pts = r[:-1] if np.array_equal(r[0], r[-1]) else r
+        if dist > 0:
+            soup.extend(_soup_for_loop(pts, dist, resolution))
+        else:
+            # inward: offset the LEFT side by traversing reversed (right
+            # offset of the reverse), then flip each selected sub-edge so
+            # travel direction — hence ring orientation — is restored
+            soup.extend(_soup_for_loop(pts[::-1], -dist, resolution))
+    return _offset_select_stitch(
+        soup, rings, abs(dist), resolution, keep_inside=dist < 0,
+        flip=dist < 0,
+    )
+
+
+def _orient_polygon(geom):
+    """Exterior rings CCW, holes CW."""
+    polys = []
+    for rings in W.iter_polygons(geom):
+        fixed = []
+        for k, r in enumerate(rings):
+            ccw = G.ring_signed_area(r) > 0
+            fixed.append(r if ccw == (k == 0) else r[::-1])
+        polys.append(fixed)
+    if len(polys) == 1:
+        return ("Polygon", polys[0])
+    return ("MultiPolygon", polys)
+
+
+def _buffer_lines_general(lines: list[np.ndarray], dist: float, resolution: int):
+    """Buffer of polylines: traverse each line forward then backward as
+    one closed loop (caps = π arcs at both endpoints), offset rightward,
+    distance-select (no interior test — lines have no interior)."""
+    soup: list[tuple] = []
+    rings = []
+    for ln in lines:
+        # drop repeated consecutive points
+        keep = [0] + [i for i in range(1, len(ln))
+                      if ln[i, 0] != ln[i - 1, 0] or ln[i, 1] != ln[i - 1, 1]]
+        ln = ln[keep]
+        if len(ln) < 2:
+            continue
+        loop = np.vstack([ln, ln[-2:0:-1]])  # cycle v0..vn,vn-1..v1
+        caps = {len(ln) - 1, 0}  # u-turn vertices (both line ends)
+        soup.extend(_soup_for_loop(loop, dist, resolution, caps_at=caps))
+        rings.append(np.vstack([ln, ln[::-1]]))  # degenerate ring for dist()
+    if not soup:
+        return None
+    return _offset_select_stitch(soup, rings, dist, resolution, keep_inside=None)
 
 
 # ------------------------------------------------------------ cut

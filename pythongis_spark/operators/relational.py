@@ -163,7 +163,9 @@ def dissolve(
             try:
                 res = dissolve_touching(decoded)
             except NotImplementedError:
-                res = union_parts(decoded)
+                from pythongis_spark.geometry import boolean as BO
+
+                res = BO.union_all(decoded)
             merged = None if res is None else W.encode_wkb(res)
         elif kinds == {"Polygon"}:
             merged = W.wkb_multipolygon(parts)

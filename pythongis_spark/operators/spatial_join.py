@@ -122,11 +122,14 @@ def _make_pair_refiner(condition: str):
 def _make_pair_clipper(clip: str = "intersection"):
     """Per-pair geometry clip for matched candidates — the reference's
     ``clip=`` spatial-join mode (``vector/manager.py:208-266``):
-    intersection output coerced to the pair's lowest dimension. Engine
-    limit: convex polygonal clip windows (documented); returns NULL for
-    empty results like the reference's null-geometry replacement."""
+    intersection output coerced to the pair's lowest dimension. Convex
+    clip windows take the Sutherland–Hodgman fast path; concave/holed
+    windows route to the general boolean engine
+    (``geometry/boolean.clip_geometry``). Returns NULL for empty results
+    like the reference's null-geometry replacement."""
     if clip != "intersection":
         raise NotImplementedError("only clip='intersection' is implemented")
+    from pythongis_spark.geometry import boolean as BO
 
     def clipper(la: pd.Series, lb: pd.Series) -> pd.Series:
         out: list[bytes | None] = []
@@ -141,7 +144,10 @@ def _make_pair_clipper(clip: str = "intersection"):
                 gb = W.decode_wkb(key)
                 cache_b[key] = gb
             ga = W.decode_wkb(bytes(ab))
-            res = G.geom_intersection_convex(ga, gb)
+            try:
+                res = G.geom_intersection_convex(ga, gb)
+            except NotImplementedError:
+                res = BO.clip_geometry(ga, gb)
             out.append(None if res is None else W.encode_wkb(res))
         return pd.Series(out, index=la.index)
 

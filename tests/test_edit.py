@@ -66,11 +66,18 @@ def test_buffer_segment_capsule():
     assert G.polygon_area(b) == pytest.approx(20 + math.pi, rel=1e-3)
 
 
-def test_buffer_concave_raises():
+def test_buffer_concave_now_supported():
+    # V-notch polygon (deep reflex at (5,2)) — formerly raised; the
+    # offset-ring + distance-select path handles it (tests/test_boolean.py
+    # covers the L-shape analytics; here sanity-check topology + bounds)
     concave = ("Polygon", [np.array(
         [[0, 0], [10, 0], [10, 10], [5, 2], [0, 10], [0, 0]], float)])
-    with pytest.raises(NotImplementedError):
-        E.buffer_geom(concave, 1.0)
+    b = E.buffer_geom(concave, 0.5, resolution=64)
+    assert b is not None
+    a0 = G.polygon_area(concave)
+    assert a0 < G.polygon_area(b) < a0 + 0.5 * 60  # < A + P·d bound
+    inner = E.buffer_geom(concave, -0.5, resolution=64)
+    assert inner is not None and G.polygon_area(inner) < a0
 
 
 def test_cut_by_line():
