@@ -370,6 +370,118 @@ def _q_buffer_zone_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l_zones(spark: SparkSession):
+    """Concave L-shaped zone fixture: each 36×30 zone rectangle replaced
+    by the L covering its bottom strip (full width × 15) plus left strip
+    (18 × upper 15) — one reflex vertex per zone, all coords dyadic."""
+    import pandas as pd
+
+    from pythongis_spark.geometry import wkb as W
+
+    rows = []
+    for z in range(60):
+        x0 = -180.0 + (z % 10) * 36.0
+        y0 = -90.0 + (z // 10) * 30.0
+        x1, y1 = x0 + 36.0, y0 + 30.0
+        xm, ym = x0 + 18.0, y0 + 15.0
+        ring = [[x0, y0], [x1, y0], [x1, ym], [xm, ym], [xm, y1], [x0, y1], [x0, y0]]
+        rows.append(dict(zone_id=z, geom=W.wkb_polygon(ring)))
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+_L_ZONES_CTE = """
+lz AS (
+  SELECT z AS zone_id,
+         -180.0 + (z % 10) * 36.0 AS xmin,
+         -90.0 + CAST(FLOOR(z / 10) AS BIGINT) * 30.0 AS ymin,
+         -180.0 + (z % 10) * 36.0 + 36.0 AS xmax,
+         -90.0 + CAST(FLOOR(z / 10) AS BIGINT) * 30.0 + 30.0 AS ymax,
+         -180.0 + (z % 10) * 36.0 + 18.0 AS xm,
+         -90.0 + CAST(FLOOR(z / 10) AS BIGINT) * 30.0 + 15.0 AS ym
+  FROM (SELECT CAST(range AS BIGINT) AS z FROM range(60))
+)
+"""
+
+
+def _q_spatial_join_clip_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concave-window clip join: rects × L-shaped zones with the L as
+    the clip window, forcing the general arrangement clipper
+    (``geometry/boolean.polygon_boolean``; the convex Sutherland–Hodgman
+    path raises on the reflex vertex). Oracle: the L is two disjoint
+    axis-aligned strips, so the clip area is a sum of two box overlaps —
+    exact dyadic arithmetic in both engines."""
+    from pythongis_spark.geometry.udfs import st_area
+    from pythongis_spark.operators.spatial_join import spatial_join
+
+    rects = _shifted_rects(spark)
+    lz = _l_zones(spark)
+    out = spatial_join(rects, lz, "intersects", left_id="b_id", clip="intersection")
+    return out.select(
+        "zone_id", "b_id", st_area(F.col("clip_geom")).alias("clip_area")
+    ).filter(F.col("clip_area") > 0)
+
+
+def _q_dissolve_overlap_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve of OVERLAPPING polygons — the boundary-melding path
+    detects interior overlap and routes to the general boolean union
+    fold (``geometry/boolean.union_all``). Each zone rectangle is grown
+    rightward by 6+2·(z%3) so every row of 10 chains into one strip;
+    the union area is (maxx − minx) × 30, exact dyadic."""
+    from pythongis_spark.geometry.dissolve import dissolve
+    from pythongis_spark.geometry.udfs import st_area
+
+    import pandas as pd
+
+    from pythongis_spark.geometry import wkb as W
+
+    rows = []
+    for z in range(60):
+        x0 = -180.0 + (z % 10) * 36.0
+        y0 = -90.0 + (z // 10) * 30.0
+        x1 = x0 + 36.0 + 6.0 + 2.0 * (z % 3)
+        y1 = y0 + 30.0
+        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        rows.append(dict(row_id=z // 10, geom=W.wkb_polygon(ring)))
+    grown = spark.createDataFrame(pd.DataFrame(rows))
+    out = dissolve(grown, "row_id")
+    return out.select("row_id", "n_parts", st_area(F.col("geom")).alias("area"))
+
+
+def _q_buffer_concave_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round buffer of a CONCAVE polygon, validated by exact distance
+    membership: count integer grid probes inside buffer(L, 2.5). Probe
+    coords are integers and d²=6.25 is never an integer sum of squares,
+    so chord discretization (sagitta ≈ 3e-3) cannot flip any probe —
+    the engine's polygon membership must equal the SQL box-distance
+    test dist²(p, strip1 ∪ strip2) < 6.25."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from pythongis_spark.geometry import core as G
+    from pythongis_spark.geometry import edit as E
+    from pythongis_spark.geometry import wkb as W
+
+    lz = _l_zones(spark)
+
+    @F.pandas_udf(T.LongType())
+    def probe_count(geoms: pd.Series) -> pd.Series:
+        out = []
+        for b in geoms.to_numpy(object):
+            g = W.decode_wkb(bytes(b))
+            buf = E.buffer_geom(g, 2.5, resolution=64)
+            coords = W.all_coords(g)
+            x0, y0 = coords[:, 0].min(), coords[:, 1].min()
+            x1, y1 = coords[:, 0].max(), coords[:, 1].max()
+            px = np.arange(x0 - 3.0, x1 + 3.0 + 0.5)
+            py = np.arange(y0 - 3.0, y1 + 3.0 + 0.5)
+            xx, yy = np.meshgrid(px, py)
+            inside = G.points_in_polygon(xx.ravel(), yy.ravel(), buf)
+            out.append(int(inside.sum()))
+        return pd.Series(out)
+
+    return lz.select("zone_id", probe_count(F.col("geom")).alias("n_inside"))
+
+
 def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GeoJSON ingestion (vector/loader.py:42-199): write the 60 zone
     rectangles as a FeatureCollection, read it back through the real
@@ -907,6 +1019,9 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "spatial_join_clip_concave": _q_spatial_join_clip_concave,
+        "dissolve_overlap_rows": _q_dissolve_overlap_rows,
+        "buffer_concave_count": _q_buffer_concave_count,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
         "spatial_join_rects": _q_spatial_join_rects,
         "spatial_join_clip": _q_spatial_join_clip,
@@ -1586,6 +1701,52 @@ def oracle_sql() -> dict[str, str]:
             FROM zones z JOIN rects_b b
               ON z.xmin < b.xmax AND b.xmin < z.xmax
              AND z.ymin < b.ymax AND b.ymin < z.ymax
+        """,
+        "spatial_join_clip_concave": f"""
+            WITH {_L_ZONES_CTE}, {_RECTS_B_CTE},
+            pairs AS (
+              SELECT l.zone_id, b.b_id,
+                     GREATEST(0.0, LEAST(l.xmax, b.xmax) - GREATEST(l.xmin, b.xmin))
+                   * GREATEST(0.0, LEAST(l.ym, b.ymax) - GREATEST(l.ymin, b.ymin))
+                   + GREATEST(0.0, LEAST(l.xm, b.xmax) - GREATEST(l.xmin, b.xmin))
+                   * GREATEST(0.0, LEAST(l.ymax, b.ymax) - GREATEST(l.ym, b.ymin))
+                     AS clip_area
+              FROM lz l, rects_b b
+            )
+            SELECT zone_id, b_id, clip_area FROM pairs WHERE clip_area > 0
+        """,
+        "dissolve_overlap_rows": """
+            SELECT CAST(r AS INTEGER) AS row_id,
+                   1 AS n_parts,
+                   (  (-180.0 + 9 * 36.0 + 36.0 + 6.0 + 2.0 * ((r * 10 + 9) % 3))
+                    - (-180.0)) * 30.0 AS area
+            FROM (SELECT CAST(range AS BIGINT) AS r FROM range(6))
+        """,
+        "buffer_concave_count": f"""
+            WITH {_L_ZONES_CTE},
+            gx AS (SELECT CAST(range AS BIGINT) AS i FROM range(43)),
+            gy AS (SELECT CAST(range AS BIGINT) AS j FROM range(37)),
+            probes AS (
+              SELECT l.zone_id,
+                     l.xmin - 3.0 + gx.i AS px,
+                     l.ymin - 3.0 + gy.j AS py,
+                     l.xmin, l.ymin, l.xmax, l.ymax, l.xm, l.ym
+              FROM lz l, gx, gy
+            ),
+            d AS (
+              SELECT zone_id,
+                     -- squared box distance to strip1 [xmin,xmax]x[ymin,ym]
+                     GREATEST(0.0, xmin - px, px - xmax) * GREATEST(0.0, xmin - px, px - xmax)
+                   + GREATEST(0.0, ymin - py, py - ym) * GREATEST(0.0, ymin - py, py - ym)
+                     AS d1,
+                     -- squared box distance to strip2 [xmin,xm]x[ym,ymax]
+                     GREATEST(0.0, xmin - px, px - xm) * GREATEST(0.0, xmin - px, px - xm)
+                   + GREATEST(0.0, ym - py, py - ymax) * GREATEST(0.0, ym - py, py - ymax)
+                     AS d2
+              FROM probes
+            )
+            SELECT zone_id, COUNT(*) FILTER (WHERE LEAST(d1, d2) < 6.25) AS n_inside
+            FROM d GROUP BY zone_id
         """,
         "classify_equal_breaks": """
             WITH mm AS (SELECT MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi FROM customer),
