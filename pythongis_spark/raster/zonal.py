@@ -46,17 +46,51 @@ def _cover_fraction(g, rd: RasterDef, x: int, y: int) -> float:
     return min(1.0, covered / cell_area) if cell_area > 0 else 0.0
 
 
+DEFAULT_COVER_CELL_CAP = 262_144  # max cells one UDF row may emit (512²)
+
+
+def _grid_bbox(g, rd: RasterDef):
+    """Clamped cell-index bbox (x0, x1, y0, y1) of a geometry, or None
+    when it misses the grid."""
+    coords = W.all_coords(g)
+    xmin, ymin = coords[:, 0].min(), coords[:, 1].min()
+    xmax, ymax = coords[:, 0].max(), coords[:, 1].max()
+    x0 = max(0, int(np.floor((xmin - rd.xoffset) / rd.xscale)))
+    x1 = min(rd.width - 1, int(np.floor((xmax - rd.xoffset) / rd.xscale)))
+    # yscale negative: ymax maps to smaller y index
+    ya = int(np.floor((ymax - rd.yoffset) / rd.yscale))
+    yb = int(np.floor((ymin - rd.yoffset) / rd.yscale))
+    y0, y1 = max(0, min(ya, yb)), min(rd.height - 1, max(ya, yb))
+    if x1 < x0 or y1 < y0:
+        return None
+    return x0, x1, y0, y1
+
+
+def _window_bounds(wx0, wx1, wy0, wy1, i):
+    w = (
+        None
+        if wx0 is None or wx0.iloc[i] is None or pd.isna(wx0.iloc[i])
+        else (int(wx0.iloc[i]), int(wx1.iloc[i]), int(wy0.iloc[i]), int(wy1.iloc[i]))
+    )
+    return w
+
+
 def _cover_weights_udf(rd: RasterDef):
-    """pandas UDF: geometry WKB → array of (x, y, w) where w is the
-    covered fraction of the cell — the ``partial`` rasterize mode
-    (border cells included with fractional weight; interior cells 1.0).
-    Cover set = every cell with fraction > 0 (the reference burns
-    feature outlines to find border cells, ``manager.py:915-921``)."""
+    """pandas UDF: (geometry WKB, window bounds) → array of (x, y, w)
+    where w is the covered fraction of the cell — the ``partial``
+    rasterize mode (border cells included with fractional weight;
+    interior cells 1.0). Cover set = every cell with fraction > 0 (the
+    reference burns feature outlines to find border cells,
+    ``manager.py:915-921``). Window bounds (from ``_window_split``)
+    restrict evaluation so a giant feature never materializes the whole
+    grid in one task; per-cell fractions are independent, so windowing
+    is exact."""
 
     @F.pandas_udf("array<struct<x:int,y:int,w:double>>")
-    def coverw(geom: pd.Series) -> pd.Series:
+    def coverw(geom: pd.Series, wx0: pd.Series, wx1: pd.Series,
+               wy0: pd.Series, wy1: pd.Series) -> pd.Series:
         out = []
-        for blob in geom.to_numpy(object):
+        for i, blob in enumerate(geom.to_numpy(object)):
             if blob is None:
                 out.append(None)
                 continue
@@ -64,14 +98,15 @@ def _cover_weights_udf(rd: RasterDef):
             t = g[0]
             if t not in ("Polygon", "MultiPolygon"):
                 raise ValueError("partial rasterize needs polygonal features")
-            coords = W.all_coords(g)
-            xmin, ymin = coords[:, 0].min(), coords[:, 1].min()
-            xmax, ymax = coords[:, 0].max(), coords[:, 1].max()
-            x0 = max(0, int(np.floor((xmin - rd.xoffset) / rd.xscale)))
-            x1 = min(rd.width - 1, int(np.floor((xmax - rd.xoffset) / rd.xscale)))
-            ya = int(np.floor((ymax - rd.yoffset) / rd.yscale))
-            yb = int(np.floor((ymin - rd.yoffset) / rd.yscale))
-            y0, y1 = max(0, min(ya, yb)), min(rd.height - 1, max(ya, yb))
+            bb = _grid_bbox(g, rd)
+            if bb is None:
+                out.append([])
+                continue
+            x0, x1, y0, y1 = bb
+            win = _window_bounds(wx0, wx1, wy0, wy1, i)
+            if win is not None:
+                x0, x1 = max(x0, win[0]), min(x1, win[1])
+                y0, y1 = max(y0, win[2]), min(y1, win[3])
             cells = []
             for cx in range(x0, x1 + 1):
                 for cy in range(y0, y1 + 1):
@@ -85,40 +120,47 @@ def _cover_weights_udf(rd: RasterDef):
 
 
 def _cover_cells_udf(rd: RasterDef):
-    """pandas UDF: geometry WKB → array of covered (x, y) cell structs.
+    """pandas UDF: (geometry WKB, window bounds) → array of covered
+    (x, y) cell structs.
 
     Cover rule: a cell is covered iff its *center* is inside the polygon
     (or it contains the point / a line passes within half a cell) —
     matching the practical effect of the reference's PIL paint fill
     (``pythongis/raster/manager.py:815-869``); exact PIL scanline parity
-    is not reproduced (documented divergence).
+    is not reproduced (documented divergence). Cell membership is
+    evaluated independently per center, so restricting to a window
+    (``_window_split`` giant-feature guard) is exact.
     """
 
     @F.pandas_udf("array<struct<x:int,y:int>>")
-    def cover(geom: pd.Series) -> pd.Series:
+    def cover(geom: pd.Series, wx0: pd.Series, wx1: pd.Series,
+              wy0: pd.Series, wy1: pd.Series) -> pd.Series:
         out = []
-        for blob in geom.to_numpy(object):
+        for i, blob in enumerate(geom.to_numpy(object)):
             if blob is None:
                 out.append(None)
                 continue
             g = W.decode_wkb(bytes(blob))
             t = g[0]
+            win = _window_bounds(wx0, wx1, wy0, wy1, i)
             if t in ("Point", "MultiPoint"):
                 coords = W.all_coords(g)
                 cx = np.floor((coords[:, 0] - rd.xoffset) / rd.xscale).astype(int)
                 cy = np.floor((coords[:, 1] - rd.yoffset) / rd.yscale).astype(int)
                 keep = (cx >= 0) & (cx < rd.width) & (cy >= 0) & (cy < rd.height)
+                if win is not None:
+                    keep &= (cx >= win[0]) & (cx <= win[1])
+                    keep &= (cy >= win[2]) & (cy <= win[3])
                 out.append([{"x": int(a), "y": int(b)} for a, b in zip(cx[keep], cy[keep])])
                 continue
-            coords = W.all_coords(g)
-            xmin, ymin = coords[:, 0].min(), coords[:, 1].min()
-            xmax, ymax = coords[:, 0].max(), coords[:, 1].max()
-            x0 = max(0, int(np.floor((xmin - rd.xoffset) / rd.xscale)))
-            x1 = min(rd.width - 1, int(np.floor((xmax - rd.xoffset) / rd.xscale)))
-            # yscale negative: ymax maps to smaller y index
-            ya = int(np.floor((ymax - rd.yoffset) / rd.yscale))
-            yb = int(np.floor((ymin - rd.yoffset) / rd.yscale))
-            y0, y1 = max(0, min(ya, yb)), min(rd.height - 1, max(ya, yb))
+            bb = _grid_bbox(g, rd)
+            if bb is None:
+                out.append([])
+                continue
+            x0, x1, y0, y1 = bb
+            if win is not None:
+                x0, x1 = max(x0, win[0]), min(x1, win[1])
+                y0, y1 = max(y0, win[2]), min(y1, win[3])
             if x1 < x0 or y1 < y0:
                 out.append([])
                 continue
@@ -142,6 +184,83 @@ def _cover_cells_udf(rd: RasterDef):
         return pd.Series(out, index=geom.index)
 
     return cover
+
+
+def _bbox_struct_udf(rd: RasterDef):
+    """pandas UDF: geometry WKB → clamped cell-bbox struct (null when
+    the geometry misses the grid) — the cheap sizing pass feeding
+    ``_window_split``."""
+
+    @F.pandas_udf("struct<x0:int,x1:int,y0:int,y1:int>")
+    def bbox(geom: pd.Series) -> pd.DataFrame:
+        rows = []
+        for blob in geom.to_numpy(object):
+            if blob is None:
+                rows.append((None, None, None, None))
+                continue
+            bb = _grid_bbox(W.decode_wkb(bytes(blob)), rd)
+            rows.append(bb if bb is None else (bb[0], bb[1], bb[2], bb[3]))
+        return pd.DataFrame(
+            [(None, None, None, None) if r is None else r for r in rows],
+            columns=["x0", "x1", "y0", "y1"], index=geom.index,
+        )
+
+    return bbox
+
+
+def _window_split(vector: DataFrame, rd: RasterDef, geom: str,
+                  cell_cap: int) -> DataFrame:
+    """Explode each feature into (feature × tile-window) rows so no
+    single cover-UDF invocation evaluates more than ~``cell_cap`` cells
+    — the giant-feature guard (same failure mode ``spatial_join``'s
+    ``cell_cap`` nested-loop split fixes, ``spatial_join.py:253``).
+    Windows partition the feature's cell bbox, so the union of windowed
+    cover sets equals the unwindowed cover set with no duplicates.
+    Adds columns ``_wx0.._wy1`` (window bounds) and drops features that
+    miss the grid entirely."""
+    import math
+
+    tile = max(1, int(math.isqrt(max(1, cell_cap))))
+    bb = _bbox_struct_udf(rd)
+    v = vector.withColumn("_bb", bb(F.col(geom))).filter(
+        F.col("_bb.x0").isNotNull()
+    )
+    nxw = F.floor((F.col("_bb.x1") - F.col("_bb.x0")) / tile) + 1
+    nyw = F.floor((F.col("_bb.y1") - F.col("_bb.y0")) / tile) + 1
+    v = v.withColumn(
+        "_w", F.explode(F.sequence(F.lit(0), (nxw * nyw - 1).cast("int")))
+    )
+    wx0 = (F.col("_bb.x0") + F.pmod(F.col("_w"), nxw) * tile).cast("int")
+    wy0 = (F.col("_bb.y0") + F.floor(F.col("_w") / nxw) * tile).cast("int")
+    return (
+        v.withColumn("_wx0", wx0)
+        .withColumn("_wx1", F.least(F.col("_bb.x1"), wx0 + F.lit(tile - 1)).cast("int"))
+        .withColumn("_wy0", wy0)
+        .withColumn("_wy1", F.least(F.col("_bb.y1"), wy0 + F.lit(tile - 1)).cast("int"))
+        .drop("_bb", "_w")
+    )
+
+
+def cover_cells(vector: DataFrame, rd: RasterDef, geom: str = "geom",
+                partial: bool = False,
+                cell_cap: int = DEFAULT_COVER_CELL_CAP) -> DataFrame:
+    """Feature → covered-cell rows: all of ``vector``'s columns (minus
+    the geometry) plus ``x``, ``y`` (and ``w`` when ``partial``), with
+    the giant-feature window split applied. This is the shared front end
+    of rasterize / zonal_statistics / disperse."""
+    split = _window_split(vector, rd, geom, cell_cap)
+    udf = _cover_weights_udf(rd) if partial else _cover_cells_udf(rd)
+    cov = udf(
+        F.col(geom), F.col("_wx0"), F.col("_wx1"), F.col("_wy0"), F.col("_wy1")
+    )
+    exploded = split.withColumn("_cov", F.explode(cov))
+    keep = [c for c in vector.columns if c != geom]
+    cols = [F.col(c) for c in keep] + [
+        F.col("_cov.x").alias("x"), F.col("_cov.y").alias("y")
+    ]
+    if partial:
+        cols.append(F.col("_cov.w").alias("w"))
+    return exploded.select(*cols)
 
 
 def rasterize(
@@ -179,26 +298,14 @@ def rasterize(
     if priority_col:
         extra.append(F.col(priority_col).alias("_pri"))
     if partial:
-        coverw = _cover_weights_udf(rd)
-        cells = (
-            vector.withColumn("_cov", F.explode(coverw(F.col(geom))))
-            .select(
-                F.col("_cov.x").alias("x"),
-                F.col("_cov.y").alias("y"),
-                (val.cast("double") * F.col("_cov.w")).alias("val"),
-                *extra,
-            )
+        cells = cover_cells(vector, rd, geom, partial=True).select(
+            F.col("x"), F.col("y"),
+            (val.cast("double") * F.col("w")).alias("val"),
+            *extra,
         )
     else:
-        cover = _cover_cells_udf(rd)
-        cells = (
-            vector.withColumn("_cov", F.explode(cover(F.col(geom))))
-            .select(
-                F.col("_cov.x").alias("x"),
-                F.col("_cov.y").alias("y"),
-                val.cast("double").alias("val"),
-                *extra,
-            )
+        cells = cover_cells(vector, rd, geom).select(
+            F.col("x"), F.col("y"), val.cast("double").alias("val"), *extra
         )
     if priority_col:
         wp = Window.partitionBy("x", "y")
@@ -276,10 +383,9 @@ def zonal_statistics(
     broadcast); otherwise a shuffled hash join on (x, y) — both sides
     partition on the cell key, same result set. ``zone_cells_hint``
     skips the sizing job when the caller knows the explosion size."""
-    cover = _cover_cells_udf(rd)
-    zcells = zones.select(
-        F.col(zone_id), F.explode(cover(F.col(geom))).alias("_cov")
-    ).select(zone_id, F.col("_cov.x").alias("x"), F.col("_cov.y").alias("y"))
+    zcells = cover_cells(zones.select(zone_id, geom), rd, geom).select(
+        zone_id, "x", "y"
+    )
     n_cells = zone_cells_hint if zone_cells_hint is not None else zcells.count()
     build = F.broadcast(zcells) if n_cells <= broadcast_cells else zcells
     joined = raster_cells.join(build, ["x", "y"], "inner")
@@ -502,7 +608,6 @@ def disperse(
     """Dasymetric disperse: spread each feature's value over its covered
     cells proportional to a weight raster; overlaps add
     (``pythongis/raster/analyzer.py:436-476``)."""
-    cover = _cover_cells_udf(rd)
     # _fid must be assigned BEFORE the explode: inside the same select,
     # monotonically_increasing_id() would be evaluated per exploded row
     # (one "feature" per cell), silently breaking the per-feature shares
@@ -511,9 +616,7 @@ def disperse(
         F.col(valuekey).cast("double").alias("_v"),
         F.col(geom).alias("_g"),
     )
-    feat_cells = feats.select(
-        "_fid", "_v", F.explode(cover(F.col("_g"))).alias("_cov")
-    ).select("_fid", "_v", F.col("_cov.x").alias("x"), F.col("_cov.y").alias("y"))
+    feat_cells = cover_cells(feats, rd, "_g").select("_fid", "_v", "x", "y")
     if weight_cells is not None:
         wdf = weight_cells.select("x", "y", F.col("val").alias("_w"))
         feat_cells = feat_cells.join(wdf, ["x", "y"], "left").fillna({"_w": 0.0})

@@ -168,3 +168,53 @@ def test_distance_raster_anisotropic(spark):
     assert out[(3, 0)] == pytest.approx(6.0)   # 3 cells * 2.0 wide
     assert out[(0, 4)] == pytest.approx(4.0)   # 4 cells * 1.0 tall
     assert out[(3, 4)] == pytest.approx(np.hypot(6.0, 4.0))
+
+
+def test_giant_feature_window_split(spark):
+    """A polygon covering the whole grid must be split into tile windows
+    before the cover UDF — no single UDF row may evaluate the full grid
+    (the 100TB giant-feature guard). Results must equal the unsplit
+    cover set."""
+    import numpy as np
+    from pythongis_spark.geometry import wkb as W
+    from pythongis_spark.raster import zonal as Z
+    from pythongis_spark.raster.model import RasterDef
+
+    rd = RasterDef(width=360, height=180,
+                   affine=(1.0, 0.0, -180.0, 0.0, -1.0, 90.0))
+    ring = np.array([[-200, -100], [200, -100], [200, 100], [-200, 100],
+                     [-200, -100]], dtype=float)
+    import pandas as pd
+    pdf = pd.DataFrame({"zid": [7], "geom": [W.wkb_polygon(ring)]})
+    df = spark.createDataFrame(pdf)
+
+    # with a small cap, the split must produce many windows
+    split = Z._window_split(df, rd, "geom", cell_cap=1024)  # tile=32
+    n_windows = split.count()
+    assert n_windows == (360 // 32 + (360 % 32 > 0)) * (180 // 32 + (180 % 32 > 0))
+    # windowed cover == full grid, no dups
+    cells = Z.cover_cells(df, rd, "geom", cell_cap=1024)
+    assert cells.count() == 360 * 180
+    assert cells.select("x", "y").distinct().count() == 360 * 180
+    # partial mode: interior weights 1.0, count matches too
+    w = Z.cover_cells(df, rd, "geom", partial=True, cell_cap=1024)
+    row = w.agg(F.count("*").alias("n"), F.min("w").alias("mn"),
+                F.max("w").alias("mx")).collect()[0]
+    assert row["n"] == 360 * 180 and row["mn"] == 1.0 and row["mx"] == 1.0
+
+
+def test_window_split_small_feature_single_window(spark):
+    import numpy as np
+    import pandas as pd
+    from pythongis_spark.geometry import wkb as W
+    from pythongis_spark.raster import zonal as Z
+    from pythongis_spark.raster.model import RasterDef
+
+    rd = RasterDef(width=360, height=180,
+                   affine=(1.0, 0.0, -180.0, 0.0, -1.0, 90.0))
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    df = spark.createDataFrame(
+        pd.DataFrame({"zid": [1], "geom": [W.wkb_polygon(ring)]})
+    )
+    assert Z._window_split(df, rd, "geom", Z.DEFAULT_COVER_CELL_CAP).count() == 1
+    assert Z.cover_cells(df, rd, "geom").count() == 100
