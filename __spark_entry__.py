@@ -657,6 +657,24 @@ def _q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("band") == 0).select("x", "y", "val")
 
 
+def _q_warp_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-call CRS warp (reference reproject, raster/manager.py:
+    175-395): the 1° WGS84 grid warped onto a web-mercator target grid,
+    nearest lookup — pure Catalyst (codegen atan/exp), no Python. The
+    oracle reproduces the sphere inverse-mercator formulas in SQL; grid
+    offsets are chosen so no lookup lands near a cell boundary (trig
+    ulp differences cannot flip a floor)."""
+    from pythongis_spark.raster.model import RasterDef, warp
+
+    cells = FX.raster_cells(spark, 360, 180, 1)
+    src = RasterDef(360, 180, (1.0, 0.0, -180.0, 0.0, -1.0, 90.0))
+    dst = RasterDef(
+        100, 100, (399000.0, 0.0, -19987650.0, 0.0, -397000.0, 19876540.0)
+    )
+    out = warp(cells, src, dst, "EPSG:4326", "EPSG:3857", "nearest", spark=spark)
+    return out.filter(F.col("band") == 0).select("x", "y", "val")
+
+
 def _q_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """align (manager.py:678-722): off-grid offsets snapped onto the
     global grid's ticks + NN resample (here an integer cell shift)."""
@@ -1022,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_clip_concave": _q_spatial_join_clip_concave,
         "dissolve_overlap_rows": _q_dissolve_overlap_rows,
         "buffer_concave_count": _q_buffer_concave_count,
+        "warp_raster_webmercator": _q_warp_raster,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
         "spatial_join_rects": _q_spatial_join_rects,
         "spatial_join_clip": _q_spatial_join_clip,
@@ -1221,6 +1240,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT x, y,
                 CAST(FLOOR((((CAST(x AS DOUBLE) + 0.5) * 1.5 + -180.0) - -180.0) / 1.0) AS INTEGER) AS sx,
                 CAST(FLOOR((((CAST(y AS DOUBLE) + 0.5) * -1.5 + 90.0) - 90.0) / -1.0) AS INTEGER) AS sy
+              FROM tgt
+            )
+            SELECT m.x, m.y, r.val
+            FROM m JOIN raster r ON r.x = m.sx AND r.y = m.sy AND r.band = 0
+        """,
+        "warp_raster_webmercator": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)},
+            tgt AS (
+              SELECT CAST(i % 100 AS INTEGER) AS x,
+                     CAST(FLOOR(i / 100) AS INTEGER) AS y
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range({100 * 100}))
+            ),
+            m AS (
+              SELECT x, y,
+                CAST(FLOOR((DEGREES(((CAST(x AS DOUBLE) + 0.5) * 399000.0 + -19987650.0) / 6378137.0) + 180.0) / 1.0) AS INTEGER) AS sx,
+                CAST(FLOOR((DEGREES(2 * ATAN(EXP(((CAST(y AS DOUBLE) + 0.5) * -397000.0 + 19876540.0) / 6378137.0)) - PI() / 2) - 90.0) / -1.0) AS INTEGER) AS sy
               FROM tgt
             )
             SELECT m.x, m.y, r.val

@@ -161,6 +161,7 @@ def resample(
     dst: RasterDef,
     method: str = "nearest",
     spark=None,
+    inv_transform=None,
 ) -> DataFrame:
     """Grid-to-grid resample of a cell table — the reference's
     ``resample`` (``raster/manager.py:560-650``, PIL QUAD transform)
@@ -178,6 +179,10 @@ def resample(
     Missing source cells simply produce no row (sparse nodata), like
     every other cell-table operator here. Requires skew-free affines.
     Returns (x, y, band, val) on the ``dst`` grid.
+
+    ``inv_transform``: optional callable (gx, gy Columns in dst CRS) →
+    (gx', gy' Columns in src CRS) applied to target centers before the
+    source lookup — this turns the remap into a CRS warp (see ``warp``).
     """
     if src.xskew or src.yskew or dst.xskew or dst.yskew:
         raise NotImplementedError("skewed affine not supported")
@@ -185,6 +190,8 @@ def resample(
     tgt = _target_grid(spark, dst)
     gx = (F.col("x") + F.lit(0.5)) * dst.xscale + dst.xoffset
     gy = (F.col("y") + F.lit(0.5)) * dst.yscale + dst.yoffset
+    if inv_transform is not None:
+        gx, gy = inv_transform(gx, gy)
     u = (gx - src.xoffset) / src.xscale   # fractional source col
     v = (gy - src.yoffset) / src.yscale   # fractional source row
 
@@ -262,6 +269,51 @@ def resample(
             ).alias("val")
         )
     )
+
+
+def warp(
+    cells: DataFrame,
+    src: RasterDef,
+    dst: RasterDef,
+    src_crs: str = "EPSG:4326",
+    dst_crs: str = "EPSG:3857",
+    method: str = "nearest",
+    spark=None,
+) -> DataFrame:
+    """Single-call raster CRS warp — the reference's ``reproject``
+    (``pythongis/raster/manager.py:175-395``) as a target-driven remap:
+    every dst cell center is inverse-projected into the source CRS, then
+    looked up with the chosen resampling (same machinery as
+    :func:`resample`).
+
+    The WGS84 ↔ web-mercator pair runs PURE CATALYST (sphere formulas
+    from ``geometry/projections.py`` — exp/atan/ln codegen, no Python).
+    Any other pair: pass a callable as ``dst_crs`` mapping (gx, gy
+    Columns in the dst CRS) → (gx', gy') in the source CRS (e.g. the
+    ellipsoidal UTM/LCC/Albers inverses in ``geometry/crs`` wrapped in a
+    pandas UDF).
+    """
+    from pythongis_spark.geometry import projections as PJ
+
+    def norm(c):
+        return c.upper().replace("CRS:", "EPSG:") if isinstance(c, str) else c
+
+    s, d = norm(src_crs), norm(dst_crs)
+    if callable(d):
+        inv = d
+    elif s == d:
+        inv = None
+    elif (s, d) == ("EPSG:4326", "EPSG:3857"):
+        def inv(gx, gy):
+            return PJ.inv_webmercator_lon(gx), PJ.inv_webmercator_lat(gy)
+    elif (s, d) == ("EPSG:3857", "EPSG:4326"):
+        def inv(gx, gy):
+            return PJ.webmercator_x(gx), PJ.webmercator_y(gy)
+    else:
+        raise NotImplementedError(
+            f"warp {s}->{d}: pass a dst->src inverse callable as dst_crs"
+        )
+    return resample(cells, src, dst, method, spark=spark, inv_transform=inv)
 
 
 def align(

@@ -103,3 +103,37 @@ def test_align_snaps_offsets(spark):
     bad = RasterDef(8, 4, (2.0, 0.0, 0.0, 0.0, -2.0, 0.0))
     with pytest.raises(ValueError):
         align(cells, src, bad)
+
+
+def test_warp_webmercator_roundtripish(spark):
+    """4326→3857 nearest warp: every output value must exist in the
+    source column at the inverse-projected cell (spot-check vs a numpy
+    reimplementation), and the 3857→4326 direction works too."""
+    import math
+
+    from pythongis_spark import fixtures as FX
+    from pythongis_spark.raster.model import RasterDef, warp
+
+    cells = FX.raster_cells(spark, 360, 180, 1)
+    src = RasterDef(360, 180, (1.0, 0.0, -180.0, 0.0, -1.0, 90.0))
+    dst = RasterDef(40, 40, (999000.0, 0.0, -19987000.0, 0.0, -970000.0, 19400000.0))
+    out = warp(cells, src, dst, "EPSG:4326", "EPSG:3857", "nearest", spark=spark)
+    got = {(r["x"], r["y"]): r["val"] for r in out.filter(F.col("band") == 0).collect()}
+    R = 6378137.0
+    srcv = {(r["x"], r["y"]): r["val"]
+            for r in cells.filter(F.col("band") == 0).collect()}
+    assert len(got) > 1000
+    for (x, y), v in list(got.items())[:500]:
+        gx = (x + 0.5) * 999000.0 - 19987000.0
+        gy = (y + 0.5) * -970000.0 + 19400000.0
+        lon = math.degrees(gx / R)
+        lat = math.degrees(2 * math.atan(math.exp(gy / R)) - math.pi / 2)
+        sx = math.floor((lon + 180.0) / 1.0)
+        sy = math.floor((lat - 90.0) / -1.0)
+        assert srcv.get((sx, sy)) == v
+    # reverse direction: 3857 source grid → 4326 target
+    src2 = RasterDef(40, 40, (999000.0, 0.0, -19987000.0, 0.0, -970000.0, 19400000.0))
+    dst2 = RasterDef(90, 45, (4.0, 0.0, -180.0, 0.0, -4.0, 90.0))
+    cells2 = out  # reuse warped cells as a 3857 raster
+    back = warp(cells2, src2, dst2, "EPSG:3857", "EPSG:4326", "nearest", spark=spark)
+    assert back.count() > 500
