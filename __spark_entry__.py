@@ -183,6 +183,28 @@ def _q_join_orders_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_moving_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNGROUPED trailing window over the whole events table — runs the
+    block-carry scale path (range repartition + per-block parallel
+    frames; relational._moving_window_global), NOT a one-task global
+    window. event_id is unique so the order is total."""
+    from pythongis_spark.operators.relational import moving_window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "val_dec", F.col("value").cast("decimal(38,9)")
+    )
+    out = moving_window(
+        ev, 7,
+        [("mv_sum", "val_dec", "sum"), ("mv_n", "value", "count")],
+        order_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        F.col("mv_sum").cast("double").alias("mv_sum"),
+        F.col("mv_n").alias("mv_n"),
+    )
+
+
 def _q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.operators.relational import moving_window
 
@@ -1041,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_overlap_rows": _q_dissolve_overlap_rows,
         "buffer_concave_count": _q_buffer_concave_count,
         "warp_raster_webmercator": _q_warp_raster,
+        "moving_window_global": _q_moving_window_global,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
         "spatial_join_rects": _q_spatial_join_rects,
         "spatial_join_clip": _q_spatial_join_clip,
@@ -1500,6 +1523,14 @@ def oracle_sql() -> dict[str, str]:
                      SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS sum_price
               FROM orders GROUP BY o_custkey
             ) o ON o.o_custkey = c.c_custkey
+        """,
+        "moving_window_global": """
+            SELECT event_id,
+                   CAST(SUM(CAST(value AS DECIMAL(38,9))) OVER w AS DOUBLE) AS mv_sum,
+                   COUNT(value) OVER w AS mv_n
+            FROM events
+            WINDOW w AS (ORDER BY event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "moving_window_events": """
             SELECT event_id, user_id,

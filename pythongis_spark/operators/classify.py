@@ -50,6 +50,11 @@ def _with_global_row_number(
     rp = df.repartitionByRange(nparts, *[F.col(c) for c in order_cols]).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # freeze the physical partitioning: the counts job and the main job
+    # must see IDENTICAL partitions — without this, AQE may coalesce the
+    # range shuffle differently per job and spark_partition_id() no
+    # longer matches the offsets map (silently wrong global ranks)
+    rp = rp.localCheckpoint(eager=True)
     counts = {r["_pid"]: r["n"] for r in rp.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
     total = sum(counts.values())
     offsets = {}

@@ -238,6 +238,8 @@ def moving_window(
         if group_col is None
         else ([group_col] if isinstance(group_col, str) else list(group_col))
     )
+    if not groups:
+        return _moving_window_global(df, n, fieldmapping, order_col)
     w = Window.partitionBy(*groups).orderBy(order_col).rowsBetween(-(n - 1), 0)
     out = df
     for outname, col, stat in fieldmapping:
@@ -246,6 +248,54 @@ def moving_window(
             raise ValueError(f"stat {stat!r} not supported over a moving window")
         out = out.withColumn(outname, e.over(w))
     return out
+
+
+def _moving_window_global(
+    df: DataFrame, n: int, fieldmapping: list[tuple[str, str, str]], order_col: str
+) -> DataFrame:
+    """Ungrouped trailing window WITHOUT a single-task global sort:
+
+    1. exact global row number via range repartition
+       (``classify._with_global_row_number`` — every stage parallel);
+    2. rows bucketed into blocks of B ≥ n; the last n−1 rows of each
+       block are duplicated into the next block as carry-in context;
+    3. the trailing frame runs per block (parallel window), carried
+       copies evaluate garbage frames and are dropped.
+
+    Exact for any stat because a width-n trailing frame spans at most
+    two consecutive blocks when B ≥ n. Ties in ``order_col`` are broken
+    by the range repartition deterministically for a given partitioning
+    (callers wanting full determinism pass a unique order column, as the
+    reference's field-ordered windows also require)."""
+    import math
+
+    from pythongis_spark.operators.classify import _with_global_row_number
+
+    ranked, total = _with_global_row_number(df, [order_col], out="_rn")
+    if total == 0:
+        out = df
+        for outname, col, stat in fieldmapping:
+            out = out.withColumn(outname, F.lit(None))
+        return out
+    sess = df.sparkSession
+    nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    B = max(n, int(math.ceil(total / max(1, nparts))))
+    blk = F.floor((F.col("_rn") - 1) / B)
+    tgt = ranked.withColumn("_blk", blk).withColumn("_is_t", F.lit(True))
+    carry = (
+        ranked.filter(F.pmod(F.col("_rn") - 1, F.lit(B)) >= B - (n - 1))
+        .withColumn("_blk", blk + 1)
+        .withColumn("_is_t", F.lit(False))
+    )
+    allrows = tgt.unionByName(carry)
+    w = Window.partitionBy("_blk").orderBy("_rn").rowsBetween(-(n - 1), 0)
+    out = allrows
+    for outname, col, stat in fieldmapping:
+        e = _simple_stat_expr(stat, col, None)
+        if e is None:
+            raise ValueError(f"stat {stat!r} not supported over a moving window")
+        out = out.withColumn(outname, e.over(w))
+    return out.filter(F.col("_is_t")).drop("_rn", "_blk", "_is_t")
 
 
 def sessionize(
