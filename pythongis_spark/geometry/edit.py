@@ -459,12 +459,23 @@ def _buffer_lines_general(lines: list[np.ndarray], dist: float, resolution: int)
 
 # ------------------------------------------------------------ cut
 
+def _split_parts(g) -> list:
+    """Polygon/MultiPolygon tuple → list of single-Polygon tuples (the
+    reference's shapely.ops.split lists each connected piece)."""
+    if g is None:
+        return []
+    return [("Polygon", rings) for rings in W.iter_polygons(g)]
+
+
 def cut_by_line(geom, p0, p1):
     """Split a polygon by the infinite line through (p0, p1) — the
     half-plane form of the reference's ``cut`` (``manager.py:790-830``,
     shapely.ops.split). Returns a list of geometry tuples (1 if the line
-    misses). Exact for convex polygons; Sutherland–Hodgman bridges
-    disconnected concave pieces (documented)."""
+    misses); each connected piece is returned separately. Exact for any
+    polygon (concave pieces are NOT bridged — the halves go through the
+    general boolean engine)."""
+    from pythongis_spark.geometry import boolean as BO
+
     t, _ = geom
     if t not in ("Polygon", "MultiPolygon"):
         raise ValueError("cut_by_line expects polygonal input")
@@ -474,32 +485,108 @@ def cut_by_line(geom, p0, p1):
     ln = math.hypot(e[0], e[1])
     if ln == 0:
         return [geom]
-    nrm = np.array([-e[1], e[0]]) / ln
-    span = 1e9
-
-    def half_rect(sign):
-        a = p0 - e * span
-        b = p1 + e * span
-        return np.array([a, b, b + nrm * sign * span, a + nrm * sign * span, a])
+    e = e / ln
+    nrm = np.array([-e[1], e[0]])
+    # half-plane rectangles sized to the scene (a 1e9 span would blow up
+    # the relative epsilons in the arrangement)
+    coords = W.all_coords(geom)
+    cx, cy = coords[:, 0].mean(), coords[:, 1].mean()
+    diag = max(1.0, np.abs(coords - [cx, cy]).max() * 4.0 + abs(
+        np.dot([cx, cy] - p0, nrm)
+    ))
+    mid = p0 + e * np.dot([cx, cy] - p0, e)
 
     pieces = []
     for sign in (1.0, -1.0):
-        rect = half_rect(sign)
-        part_polys = []
-        for rings in W.iter_polygons(geom):
-            ext = G.clip_ring_to_convex(rings[0], rect)
-            if ext is None:
-                continue
-            holes = []
-            for h in rings[1:]:
-                hc = G.clip_ring_to_convex(h, rect)
-                if hc is not None:
-                    holes.append(hc)
-            part_polys.append([ext] + holes)
-        if part_polys:
-            pieces.append(
-                ("Polygon", part_polys[0])
-                if len(part_polys) == 1
-                else ("MultiPolygon", part_polys)
-            )
+        a = mid - e * diag
+        b = mid + e * diag
+        rect = np.array(
+            [a, b, b + nrm * sign * diag, a + nrm * sign * diag, a]
+        )
+        if G.ring_signed_area(rect) < 0:
+            rect = rect[::-1]
+        half = BO.polygon_boolean(geom, ("Polygon", [rect]), "intersection")
+        pieces.extend(_split_parts(half))
+    return pieces if pieces else [geom]
+
+
+def cut_by_polyline(geom, line_pts):
+    """Split a polygon by an open polyline — the reference's
+    ``shapely.ops.split`` cut (``pythongis/vector/manager.py:782-820``),
+    without concave bridging:
+
+    1. extend the polyline's end segments beyond the scene bbox;
+    2. clip the extended path to a margin rectangle (entry/exit land
+       exactly on its boundary);
+    3. close the path along the rectangle perimeter to form one side
+       region;
+    4. intersect/difference the polygon with that region via the
+       general boolean engine; every connected piece is returned
+       separately.
+
+    Requires the (extended) polyline to cross the scene in one piece —
+    a path that exits and re-enters the margin rect raises."""
+    from pythongis_spark.geometry import boolean as BO
+
+    t, _ = geom
+    if t not in ("Polygon", "MultiPolygon"):
+        raise ValueError("cut_by_polyline expects polygonal input")
+    pts = np.asarray(line_pts, dtype=np.float64)
+    if len(pts) < 2:
+        return [geom]
+    coords = W.all_coords(geom)
+    allc = np.vstack([coords, pts])
+    x0, y0 = allc[:, 0].min(), allc[:, 1].min()
+    x1, y1 = allc[:, 0].max(), allc[:, 1].max()
+    m = max(x1 - x0, y1 - y0, 1.0) * 0.5 + 1.0
+    x0, y0, x1, y1 = x0 - m, y0 - m, x1 + m, y1 + m
+    big = 4.0 * max(x1 - x0, y1 - y0)
+    u0 = pts[0] - pts[1]
+    u0 = u0 / math.hypot(*u0)
+    un = pts[-1] - pts[-2]
+    un = un / math.hypot(*un)
+    ext = np.vstack([pts[0] + u0 * big, pts, pts[-1] + un * big])
+    rect_ring = np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+    )
+    clipped = BO.clip_geometry(("LineString", ext), ("Polygon", [rect_ring]))
+    if clipped is None or clipped[0] != "LineString":
+        raise NotImplementedError(
+            "cut polyline must cross the scene in a single piece"
+        )
+    path = clipped[1]
+
+    def perim_t(p):
+        """Perimeter parameter in [0, 4) along the CCW margin rect."""
+        px, py = p
+        if abs(py - y0) < 1e-9:
+            return (px - x0) / (x1 - x0)
+        if abs(px - x1) < 1e-9:
+            return 1.0 + (py - y0) / (y1 - y0)
+        if abs(py - y1) < 1e-9:
+            return 2.0 + (x1 - px) / (x1 - x0)
+        return 3.0 + (y1 - py) / (y1 - y0)
+
+    corner_at = {
+        0: np.array([x0, y0]), 1: np.array([x1, y0]),
+        2: np.array([x1, y1]), 3: np.array([x0, y1]),
+    }
+    t_exit, t_entry = perim_t(path[-1]), perim_t(path[0])
+    dist = (t_entry - t_exit) % 4.0
+    # walk CCW from exit back to entry, collecting passed corners
+    walk = []
+    tc, traveled = t_exit, 0.0
+    while True:
+        k = math.floor(tc + 1e-12) + 1.0  # next corner's perimeter param
+        step = k - tc
+        if traveled + step >= dist - 1e-12:
+            break
+        walk.append(corner_at[int(k) % 4])
+        traveled += step
+        tc = k
+    side_ring = np.vstack([path, walk, path[:1]])
+    side = ("Polygon", [side_ring])
+    a = BO.polygon_boolean(geom, side, "intersection")
+    b = BO.polygon_boolean(geom, side, "difference")
+    pieces = _split_parts(a) + _split_parts(b)
     return pieces if pieces else [geom]

@@ -108,3 +108,39 @@ def test_udf_wrappers(spark):
     bg = W.decode_wkb(bytes(out["buf"]))
     assert G.polygon_area(bg) == pytest.approx(16 + 16 + math.pi, rel=1e-3)
     assert W.decode_wkb(bytes(out["simp"]))[0] == "Polygon"
+
+
+def test_cut_by_line_concave_no_bridging():
+    # U-shape cut horizontally through both arms: the upper half must be
+    # TWO separate pieces (the old Sutherland-Hodgman path bridged them)
+    u = ("Polygon", [np.array(
+        [[0, 0], [12, 0], [12, 10], [8, 10], [8, 3], [4, 3], [4, 10],
+         [0, 10], [0, 0]], float)])
+    pieces = E.cut_by_line(u, (-1, 5), (13, 5))
+    areas = sorted(round(abs(G.polygon_area(p)), 6) for p in pieces)
+    # below y=5: 12*3 + two arm stubs 4..5 → 36 + 2*(4*2) = 52
+    # above: two arms 4x5 each = 20, 20
+    assert len(pieces) == 3
+    assert areas == [pytest.approx(20.0), pytest.approx(20.0), pytest.approx(52.0)]
+
+
+def test_cut_by_polyline_bent_path():
+    sq = ("Polygon", [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)])
+    # staircase polyline: enters left at y=4, bends at (5,4)->(5,8), exits right at y=8
+    pieces = E.cut_by_polyline(sq, [(-2, 4), (5, 4), (5, 8), (12, 8)])
+    assert len(pieces) == 2
+    areas = sorted(abs(G.polygon_area(p)) for p in pieces)
+    # lower-right side: y<4 strip (40) + x>5,4<y<8 (20) = 60; other = 40
+    assert areas == [pytest.approx(40.0), pytest.approx(60.0)]
+    # total preserved
+    assert sum(areas) == pytest.approx(100.0)
+
+
+def test_cut_by_polyline_concave_multi_piece():
+    u = ("Polygon", [np.array(
+        [[0, 0], [12, 0], [12, 10], [8, 10], [8, 3], [4, 3], [4, 10],
+         [0, 10], [0, 0]], float)])
+    pieces = E.cut_by_polyline(u, [(-1, 5), (13, 5)])
+    assert len(pieces) == 3
+    total = sum(abs(G.polygon_area(p)) for p in pieces)
+    assert total == pytest.approx(92.0)  # U area = 120 - 28 notch
