@@ -79,3 +79,40 @@ def test_snap_points(spark):
     out = snap_points(pts, targets, 1.0, point_id="p_id").toPandas().set_index("p_id")
     assert out.loc[1, "snapped"] and out.loc[1, "lon"] == 10.0 and out.loc[1, "lat"] == 10.0
     assert not out.loc[2, "snapped"] and out.loc[2, "lon"] == 50.0
+
+
+def test_snap_geoms_all_vertices(spark):
+    """General vertex snap (reference manager.py:622-648): every vertex
+    of lines/polygons within tolerance moves to the nearest target
+    vertex; out-of-tolerance vertices stay."""
+    import pandas as pd
+    from pythongis_spark.operators.analyzer import snap_geoms
+
+    tgt_ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    targets = spark.createDataFrame(
+        pd.DataFrame({"tid": [1], "geom": [W.wkb_polygon(tgt_ring)]})
+    )
+    # line: first vertex near (0,0), middle far from any target vertex,
+    # last near (10,10)
+    line = np.array([[0.05, -0.08], [5.0, 5.0], [9.94, 10.03]], float)
+    ring = np.array([[0.1, 0.1], [9.92, 0.06], [9.95, 9.9], [0.08, 9.93],
+                     [0.1, 0.1]], float)
+    data = spark.createDataFrame(
+        pd.DataFrame({
+            "fid": [1, 2],
+            "geom": [
+                W.encode_wkb(("LineString", line)),
+                W.wkb_polygon(ring),
+            ],
+        })
+    )
+    out = {r["fid"]: r for r in
+           snap_geoms(data, targets, 0.2, feature_id="fid").collect()}
+    lg = W.decode_wkb(bytes(out[1]["geom"]))
+    assert lg[0] == "LineString"
+    assert lg[1].tolist() == [[0, 0], [5, 5], [10, 10]]
+    assert out[1]["n_snapped"] == 2
+    pg = W.decode_wkb(bytes(out[2]["geom"]))
+    assert pg[0] == "Polygon"
+    assert pg[1][0].tolist() == [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+    assert out[2]["n_snapped"] == 4
