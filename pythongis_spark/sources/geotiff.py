@@ -1,10 +1,13 @@
 """Minimal GeoTIFF reader/writer in pure stdlib struct + numpy.
 
-Scope (documented): single-image, stripped, UNCOMPRESSED TIFF 6.0 with
+Scope (documented): single-image, stripped TIFF 6.0 — uncompressed,
+Deflate (8 / legacy 32946, stdlib zlib) or PackBits strips, horizontal
+differencing predictor — with
 the GeoTIFF georeferencing tags ModelPixelScale (33550) +
-ModelTiepoint (33922) — the files GDAL writes with ``-co COMPRESS=NONE``
-and the reference reads through PIL (``pythongis/raster/loader.py``).
-Tiled or compressed TIFFs raise a clear error instead of mis-decoding.
+ModelTiepoint (33922) — the files GDAL writes with COMPRESS=NONE or
+COMPRESS=DEFLATE, which the reference reads through PIL
+(``pythongis/raster/loader.py``). Tiled or otherwise-compressed TIFFs
+raise a clear error instead of mis-decoding.
 
 Sample types: uint8/16/32, int16/32, float32/64, 1..N bands
 (contiguous planar config). Nodata from the GDAL_NODATA ASCII tag
@@ -43,6 +46,24 @@ def _read_ifd_values(buf, bo, ftype, count, val_off_raw):
     return list(struct.unpack(bo + fmt * count, data))
 
 
+def _unpackbits(data: bytes) -> bytes:
+    """PackBits RLE decode (TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out += data[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += bytes([data[i]]) * (257 - b)
+            i += 1
+        # 128: no-op
+    return bytes(out)
+
+
 def parse_geotiff(buf: bytes):
     """GeoTIFF bytes → ((h, w, bands) float array with NaN nodata,
     RasterDef)."""
@@ -69,8 +90,11 @@ def parse_geotiff(buf: bytes):
 
     w, h = int(one(256)), int(one(257))
     compression = int(one(259, 1))
-    if compression != 1:
-        raise NotImplementedError(f"compressed TIFF (compression={compression}) not supported")
+    if compression not in (1, 8, 32946, 32773):
+        raise NotImplementedError(
+            f"compression={compression} not supported "
+            "(uncompressed, Deflate, PackBits)"
+        )
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF not supported (stripped only)")
     spp = int(one(277, 1))
@@ -86,9 +110,28 @@ def parse_geotiff(buf: bytes):
     cnts = tags.get(279)
     if offs is None or cnts is None:
         raise ValueError("missing strip offsets/counts")
-    raw = b"".join(bytes(buf[o : o + c]) for o, c in zip(offs, cnts))
-    arr = np.frombuffer(raw, dtype=np.dtype(dt).newbyteorder(bo))
-    arr = arr.astype(np.float64).reshape(h, w, spp)
+    strips = []
+    for o, c in zip(offs, cnts):
+        data = bytes(buf[o : o + c])
+        if compression in (8, 32946):  # Deflate / legacy Deflate: stdlib zlib
+            import zlib
+
+            data = zlib.decompress(data)
+        elif compression == 32773:
+            data = _unpackbits(data)
+        strips.append(data)
+    raw = b"".join(strips)
+    native = np.frombuffer(raw, dtype=np.dtype(dt).newbyteorder(bo)).reshape(
+        h, w, spp
+    )
+    predictor = int(one(317, 1))
+    if predictor == 2:
+        # horizontal differencing: undo with a per-row cumulative sum,
+        # wrapping modulo the sample width (TIFF 6.0 §14)
+        native = np.cumsum(native, axis=1, dtype=np.int64).astype(dt)
+    elif predictor != 1:
+        raise NotImplementedError(f"predictor={predictor} not supported")
+    arr = native.astype(np.float64)
 
     scale = tags.get(33550)  # [sx, sy, sz]
     tie = tags.get(33922)    # [i, j, k, x, y, z]
@@ -134,10 +177,12 @@ def read_geotiff(spark: SparkSession, path: str) -> tuple[DataFrame, RasterDef]:
 
 
 def write_geotiff(
-    cells: DataFrame, rd: RasterDef, path: str, dtype: str = "float64"
+    cells: DataFrame, rd: RasterDef, path: str, dtype: str = "float64",
+    compress: str | None = None,
 ) -> None:
-    """Cell table → single-strip uncompressed GeoTIFF (float samples;
-    missing cells → nodata). Driver-side collect — tile large grids into
+    """Cell table → single-strip GeoTIFF (float samples; missing cells →
+    nodata). ``compress='deflate'`` zlib-compresses the strip
+    (compression=8). Driver-side collect — tile large grids into
     per-tile files instead."""
     from pyspark.sql import functions as F
 
@@ -152,6 +197,14 @@ def write_geotiff(
     dt = np.dtype(dtype)
     sfmt = 3 if dt.kind == "f" else (2 if dt.kind == "i" else 1)
     data = arr.astype("<" + dt.str[1:]).tobytes()
+    comp_tag = 1
+    if compress == "deflate":
+        import zlib
+
+        data = zlib.compress(data, 6)
+        comp_tag = 8
+    elif compress is not None:
+        raise NotImplementedError(f"compress={compress!r}")
 
     entries = []  # (tag, type, count, packed-value-or-data)
 
@@ -163,7 +216,7 @@ def write_geotiff(
     ent(256, 3, [rd.width], "H")
     ent(257, 3, [rd.height], "H")
     ent(258, 3, [dt.itemsize * 8] * nbands, "H")
-    ent(259, 3, [1], "H")          # no compression
+    ent(259, 3, [comp_tag], "H")   # 1 = none, 8 = Deflate
     ent(262, 3, [1], "H")          # BlackIsZero
     ent(277, 3, [nbands], "H")
     ent(278, 3, [rd.height], "H")  # one strip

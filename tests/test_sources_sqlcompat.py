@@ -110,3 +110,77 @@ def test_register_sql_functions(spark):
     ).first()
     assert row["a"] == 16.0 and row["t"] == "Polygon"
     assert 110000 < row["d"] < 112000
+
+
+def test_geotiff_deflate_roundtrip(spark, tmp_path):
+    """Deflate-compressed strips (compression=8) decode via stdlib zlib;
+    writer round-trips with compress='deflate'."""
+    import os
+
+    from pythongis_spark.sources.geotiff import (parse_geotiff, read_geotiff,
+                                                 write_geotiff)
+    from pythongis_spark.raster.model import RasterDef
+
+    rd = RasterDef(20, 10, (0.5, 0.0, -5.0, 0.0, -0.5, 2.5))
+    pdf = pd.DataFrame({
+        "x": [0, 3, 19, 7], "y": [0, 2, 9, 5], "band": [0, 0, 0, 0],
+        "val": [1.5, -2.25, 7.0, 0.0],
+    })
+    cells = spark.createDataFrame(pdf)
+    p = os.path.join(str(tmp_path), "z.tif")
+    write_geotiff(cells, rd, p, compress="deflate")
+    buf = open(p, "rb").read()
+    import struct as st
+    assert b"II" == buf[:2]
+    back, rd2 = read_geotiff(spark, p)
+    got = {(r["x"], r["y"]): r["val"] for r in back.collect()}
+    assert got == {(0, 0): 1.5, (3, 2): -2.25, (19, 9): 7.0, (7, 5): 0.0}
+    assert (rd2.xscale, rd2.yscale, rd2.xoffset, rd2.yoffset) == (
+        0.5, -0.5, -5.0, 2.5)
+
+
+def test_geotiff_predictor2_and_packbits(tmp_path):
+    """Hand-built deflate+predictor-2 and PackBits TIFFs decode right."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from pythongis_spark.sources.geotiff import parse_geotiff
+
+    def build(w, h, raw_rows, comp, extra_tags=()):
+        data = b"".join(raw_rows)
+        if comp == 8:
+            data = zlib.compress(data)
+        entries = [
+            (256, 3, 1, st.pack("<H", w).ljust(4, b"\0")),
+            (257, 3, 1, st.pack("<H", h).ljust(4, b"\0")),
+            (258, 3, 1, st.pack("<H", 8).ljust(4, b"\0")),
+            (259, 3, 1, st.pack("<H", comp).ljust(4, b"\0")),
+            (277, 3, 1, st.pack("<H", 1).ljust(4, b"\0")),
+            (278, 3, 1, st.pack("<H", h).ljust(4, b"\0")),
+            (279, 4, 1, st.pack("<I", len(data))),
+        ] + list(extra_tags)
+        n = len(entries) + 1
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * n + 4
+        entries.append((273, 4, 1, st.pack("<I", data_off)))
+        entries.sort()
+        out = b"II" + st.pack("<HI", 42, ifd_off) + st.pack("<H", n)
+        for tag, t, c, v in entries:
+            out += st.pack("<HHI", tag, t, c) + v
+        out += st.pack("<I", 0) + data
+        return out
+
+    # predictor 2: rows stored as diffs
+    row0 = bytes([10, 5, 5, 236])   # cumsum -> 10,15,20,0 (mod 256)
+    row1 = bytes([1, 255, 0, 1])    # cumsum -> 1,0,0,1
+    buf = build(4, 2, [row0, row1], 8,
+                extra_tags=[(317, 3, 1, st.pack("<H", 2).ljust(4, b"\0"))])
+    arr, rd = parse_geotiff(buf)
+    assert arr[:, :, 0].astype(int).tolist() == [[10, 15, 20, 0], [1, 0, 0, 1]]
+
+    # packbits: literal run of 3, then one byte replicated 3x
+    pb = bytes([2, 7, 8, 9, 254, 5])
+    from pythongis_spark.sources.geotiff import _unpackbits
+    assert _unpackbits(pb) == bytes([7, 8, 9, 5, 5, 5])
