@@ -117,12 +117,18 @@ def main():
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 
+    # best-of per PHASE independently: r2's apparent ingest regression
+    # was the best-query trial dragging along a noisy ingest measurement
+    # (ingest and query noise are uncorrelated co-tenant steal)
     phases = None
+    best_ingest = None
     for _ in range(trials):
         ph = image_pipeline_phases(spark, IMG_N)
         if phases is None or ph["query_sec"] < phases["query_sec"]:
             phases = ph
-    timings["image_ingest"] = round(phases["ingest_sec"], 3)
+        if best_ingest is None or ph["ingest_sec"] < best_ingest:
+            best_ingest = ph["ingest_sec"]
+    timings["image_ingest"] = round(best_ingest, 3)
     timings["image_pipeline"] = round(phases["query_sec"], 3)
 
     total = round(sum(timings.values()), 3)
