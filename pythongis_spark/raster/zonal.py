@@ -248,12 +248,20 @@ def cover_cells(vector: DataFrame, rd: RasterDef, geom: str = "geom",
     the geometry) plus ``x``, ``y`` (and ``w`` when ``partial``), with
     the giant-feature window split applied. This is the shared front end
     of rasterize / zonal_statistics / disperse."""
-    split = _window_split(vector, rd, geom, cell_cap)
     udf = _cover_weights_udf(rd) if partial else _cover_cells_udf(rd)
-    cov = udf(
-        F.col(geom), F.col("_wx0"), F.col("_wx1"), F.col("_wy0"), F.col("_wy1")
-    )
-    exploded = split.withColumn("_cov", F.explode(cov))
+    if rd.width * rd.height <= cell_cap:
+        # no feature can exceed the cap on this grid — skip the split
+        # stage entirely (its extra ArrowEvalPython pass costs real wall
+        # time on small grids and buys nothing)
+        nul = F.lit(None).cast("int")
+        cov = udf(F.col(geom), nul, nul, nul, nul)
+        exploded = vector.withColumn("_cov", F.explode(cov))
+    else:
+        split = _window_split(vector, rd, geom, cell_cap)
+        cov = udf(
+            F.col(geom), F.col("_wx0"), F.col("_wx1"), F.col("_wy0"), F.col("_wy1")
+        )
+        exploded = split.withColumn("_cov", F.explode(cov))
     keep = [c for c in vector.columns if c != geom]
     cols = [F.col(c) for c in keep] + [
         F.col("_cov.x").alias("x"), F.col("_cov.y").alias("y")
@@ -386,7 +394,13 @@ def zonal_statistics(
     zcells = cover_cells(zones.select(zone_id, geom), rd, geom).select(
         zone_id, "x", "y"
     )
-    n_cells = zone_cells_hint if zone_cells_hint is not None else zcells.count()
+    if zone_cells_hint is not None:
+        n_cells = zone_cells_hint
+    else:
+        # the sizing count would otherwise re-execute the cover UDF
+        # chain for the join — persist the (small) zone-cell side once
+        zcells = zcells.persist()
+        n_cells = zcells.count()
     build = F.broadcast(zcells) if n_cells <= broadcast_cells else zcells
     joined = raster_cells.join(build, ["x", "y"], "inner")
     return band_stats(
