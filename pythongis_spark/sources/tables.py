@@ -69,7 +69,14 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: str | None = None,
         if any(ch in path_or_table for ch in "*?["):
             return read_shapefiles(spark, path_or_table)
         return read_shapefile(spark, path_or_table)
-    raise ValueError(f"unsupported format {ext!r} (xls lib not in this image)")
+    if ext == ".xlsx":
+        from pythongis_spark.sources.xlsx import read_xlsx
+
+        return read_xlsx(spark, path_or_table)
+    raise ValueError(
+        f"unsupported format {ext!r} (.xls BIFF needs xlrd, not in this image; "
+        ".xlsx is supported)"
+    )
 
 
 def read_image_table(spark: SparkSession, path: str) -> DataFrame:

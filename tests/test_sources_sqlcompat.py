@@ -184,3 +184,31 @@ def test_geotiff_predictor2_and_packbits(tmp_path):
     pb = bytes([2, 7, 8, 9, 254, 5])
     from pythongis_spark.sources.geotiff import _unpackbits
     assert _unpackbits(pb) == bytes([7, 8, 9, 5, 5, 5])
+
+
+def test_xlsx_roundtrip_and_points(spark, tmp_path):
+    """Pure-stdlib XLSX reader (reference loader Excel branch,
+    vector/loader.py:133-150): header row -> fields, xfield/yfield ->
+    WKB point geom; writer round-trips inline strings/numbers/bools."""
+    import os
+
+    from pythongis_spark.geometry import wkb as GW
+    from pythongis_spark.sources.xlsx import parse_xlsx, read_xlsx, write_xlsx
+
+    pdf = pd.DataFrame({
+        "name": ["a", "b", "c"],
+        "v": [1, 2, 3],
+        "lon": [10.5, -46.0, 0.25],
+        "lat": [59.5, -23.0, -0.75],
+    })
+    p = os.path.join(str(tmp_path), "pts.xlsx")
+    write_xlsx(spark.createDataFrame(pdf), p)
+    df = read_xlsx(spark, p, xfield="lon", yfield="lat")
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["b"]["v"] == 2
+    t, coords = GW.decode_wkb(bytes(rows["a"]["geom"]))
+    assert t == "Point" and coords.tolist() == [[10.5, 59.5]]
+    # skip + sheet-name errors
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        read_xlsx(spark, p, sheet="nope")
