@@ -666,15 +666,31 @@ def _trace_region_rings(cells: set[tuple[int, int]]) -> list[np.ndarray]:
     def add(a, b):
         edges.setdefault(a, []).append(b)
 
-    for (x, y) in cells:
-        if (x, y - 1) not in cells:
-            add((x, y), (x + 1, y))
-        if (x + 1, y) not in cells:
-            add((x + 1, y), (x + 1, y + 1))
-        if (x, y + 1) not in cells:
-            add((x + 1, y + 1), (x, y + 1))
-        if (x - 1, y) not in cells:
-            add((x, y + 1), (x, y))
+    if isinstance(cells, dict):
+        # boundary-only form: {cell: 4-bit same-region neighbor mask}
+        # (1 = (x,y−1), 2 = (x+1,y), 4 = (x,y+1), 8 = (x−1,y) present).
+        # Interior cells (mask 15) need not be shipped at all — the
+        # distributed caller sends O(perimeter), not O(area).
+        items = cells.items()
+        for (x, y), m in items:
+            if not m & 1:
+                add((x, y), (x + 1, y))
+            if not m & 2:
+                add((x + 1, y), (x + 1, y + 1))
+            if not m & 4:
+                add((x + 1, y + 1), (x, y + 1))
+            if not m & 8:
+                add((x, y + 1), (x, y))
+    else:
+        for (x, y) in cells:
+            if (x, y - 1) not in cells:
+                add((x, y), (x + 1, y))
+            if (x + 1, y) not in cells:
+                add((x + 1, y), (x + 1, y + 1))
+            if (x, y + 1) not in cells:
+                add((x + 1, y + 1), (x, y + 1))
+            if (x - 1, y) not in cells:
+                add((x, y + 1), (x, y))
 
     rings = []
     while edges:
@@ -749,15 +765,38 @@ def vectorize_merged(
     ).select("a_id", "b_id")
     comp = connected_components(right.unionByName(down))
     labeled = cells.join(comp, cells._cid == comp.id, "left").select(
-        "x", "y", "val", F.coalesce("component", "_cid").alias("component")
+        "x", "y", "val", "_cid",
+        F.coalesce("component", "_cid").alias("component"),
     )
+    # same-region neighbor masks (1=(x,y−1), 2=(x+1,y), 4=(x,y+1),
+    # 8=(x−1,y)) so only BOUNDARY cells (mask ≠ 15) are shipped to the
+    # per-region trace: a continent-sized region costs O(perimeter) per
+    # task, not O(area) — same-value 4-neighbors are same-component by
+    # construction, so mask semantics equal the old set-membership test.
+    flags = (
+        right.select(F.col("a_id").alias("_cid"), F.lit(2).alias("_m"))
+        .unionByName(right.select(F.col("b_id").alias("_cid"), F.lit(8).alias("_m")))
+        .unionByName(down.select(F.col("a_id").alias("_cid"), F.lit(4).alias("_m")))
+        .unionByName(down.select(F.col("b_id").alias("_cid"), F.lit(1).alias("_m")))
+        .groupBy("_cid")
+        .agg(F.expr("bit_or(_m)").alias("_mask"))
+    )
+    labeled = labeled.join(flags, "_cid", "left").withColumn(
+        "_mask", F.coalesce(F.col("_mask"), F.lit(0))
+    )
+    ncells = labeled.groupBy("component").agg(F.count("*").alias("_n"))
+    boundary = labeled.filter(F.col("_mask") != 15).join(ncells, "component")
 
     xo, xs_, yo, ys_ = rd.xoffset, rd.xscale, rd.yoffset, rd.yscale
 
     def trace(pdf: pd.DataFrame) -> pd.DataFrame:
         comp_id = int(pdf["component"].iloc[0])
         val = float(pdf["val"].iloc[0])
-        cellset = set(zip(pdf["x"].astype(int), pdf["y"].astype(int)))
+        n_region = int(pdf["_n"].iloc[0])
+        cellset = {
+            (int(x), int(y)): int(m)
+            for x, y, m in zip(pdf["x"], pdf["y"], pdf["_mask"])
+        }
         rings = _trace_region_rings(cellset)
         if not rings:
             return pd.DataFrame(
@@ -793,13 +832,13 @@ def vectorize_merged(
                 {
                     "component": comp_id,
                     "val": val,
-                    "n_cells": len(cellset),
+                    "n_cells": n_region,
                     "geom": W.encode_wkb(geom),
                 }
             ]
         )
 
-    return labeled.groupBy("component").applyInPandas(
+    return boundary.groupBy("component").applyInPandas(
         trace, "component long, val double, n_cells long, geom binary"
     )
 
