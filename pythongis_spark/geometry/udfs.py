@@ -175,6 +175,9 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("st_geomtype", st_geomtype)
     spark.udf.register("st_geodetic_distance", st_geodetic_distance)
     spark.udf.register("st_haversine", st_haversine)
+    spark.udf.register("st_intersection", st_intersection)
+    spark.udf.register("st_union", st_union)
+    spark.udf.register("st_difference", st_difference)
 
 
 def with_point_geom(df, lon_col: str, lat_col: str, out: str = "geom"):
@@ -215,9 +218,9 @@ def st_simplify(tolerance: float):
 
 
 def st_buffer(dist: float, join_style: str = "round", resolution: int = 32):
-    """Column UDF: planar buffer (``manager.py:726-788`` subset: points,
-    single segments, convex polygons incl. negative inset; concave →
-    NotImplementedError, no silent wrong output)."""
+    """Column UDF: planar buffer (``manager.py:726-788``): points,
+    lines/polylines, convex polygons (incl. negative inset) and concave/
+    holed polygons (offset-ring + distance selection path)."""
     from pythongis_spark.geometry import edit as E
 
     @F.pandas_udf(T.BinaryType())
@@ -232,3 +235,32 @@ def st_buffer(dist: float, join_style: str = "round", resolution: int = 32):
         return pd.Series(out, index=geom.index)
 
     return _buf
+
+
+def _boolean_udf(op: str):
+    """Column UDF factory for per-pair polygon set ops (reference
+    shapely ops in ``pythongis/vector/manager.py:243-266``), backed by
+    the general arrangement engine (``geometry/boolean``): concave,
+    holed, multipart inputs all supported. NULL when the result has no
+    area."""
+    from pythongis_spark.geometry import boolean as BO
+
+    @F.pandas_udf(T.BinaryType())
+    def _op(ga: pd.Series, gb: pd.Series) -> pd.Series:
+        out = []
+        for a, b in zip(ga.to_numpy(object), gb.to_numpy(object)):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            res = BO.polygon_boolean(
+                W.decode_wkb(bytes(a)), W.decode_wkb(bytes(b)), op
+            )
+            out.append(None if res is None else W.encode_wkb(res))
+        return pd.Series(out, index=ga.index)
+
+    return _op
+
+
+st_intersection = _boolean_udf("intersection")
+st_union = _boolean_udf("union")
+st_difference = _boolean_udf("difference")

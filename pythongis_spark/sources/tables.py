@@ -69,10 +69,19 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: str | None = None,
         if any(ch in path_or_table for ch in "*?["):
             return read_shapefiles(spark, path_or_table)
         return read_shapefile(spark, path_or_table)
-    if ext == ".xlsx":
+    if ext == "xlsx":
         from pythongis_spark.sources.xlsx import read_xlsx
 
         return read_xlsx(spark, path_or_table)
+    if ext == "dta":
+        # Stata (reference vector/fileformats/stata.py wraps a vendored
+        # PyDTA; pandas' read_stata covers the same formats). Field
+        # names uppercased like the reference's loader.
+        import pandas as _pd
+
+        pdf = _pd.read_stata(path_or_table)
+        pdf.columns = [c.upper() for c in pdf.columns]
+        return spark.createDataFrame(pdf)
     raise ValueError(
         f"unsupported format {ext!r} (.xls BIFF needs xlrd, not in this image; "
         ".xlsx is supported)"

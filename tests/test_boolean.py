@@ -275,3 +275,27 @@ def test_dissolve_overlapping_now_unions(spark):
     assert G.polygon_area(ga) == pytest.approx(100 + 100 - 25 + 16)
     gb = W.decode_wkb(bytes(out["b"]["geom"]))
     assert G.polygon_area(gb) == pytest.approx(4.0)
+
+
+def test_st_boolean_udfs(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pythongis_spark.geometry import wkb as W
+    from pythongis_spark.geometry.udfs import (st_area, st_difference,
+                                               st_intersection, st_union)
+
+    pdf = pd.DataFrame({
+        "a": [W.encode_wkb(sq(0, 0, 10, 10)), W.encode_wkb(L_shape())],
+        "b": [W.encode_wkb(sq(5, 5, 15, 15)), W.encode_wkb(sq(2, 2, 12, 12))],
+    })
+    df = spark.createDataFrame(pdf)
+    out = df.select(
+        st_area(st_intersection(F.col("a"), F.col("b"))).alias("ai"),
+        st_area(st_union(F.col("a"), F.col("b"))).alias("au"),
+        st_area(st_difference(F.col("a"), F.col("b"))).alias("ad"),
+    ).collect()
+    assert out[0]["ai"] == pytest.approx(25.0)
+    assert out[0]["au"] == pytest.approx(175.0)
+    assert out[0]["ad"] == pytest.approx(75.0)
+    assert out[1]["ai"] == pytest.approx(28.0)  # concave L ∩ square

@@ -212,3 +212,18 @@ def test_xlsx_roundtrip_and_points(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(KeyError):
         read_xlsx(spark, p, sheet="nope")
+
+
+def test_stata_dta_read(spark, tmp_path):
+    """Stata .dta via pandas read_stata (reference stata.py analog:
+    fieldnames uppercased)."""
+    import os
+
+    p = os.path.join(str(tmp_path), "t.dta")
+    pd.DataFrame({"name": ["x", "y"], "val": [1.5, -2.0]}).to_stata(
+        p, write_index=False
+    )
+    df = S.read_table(spark, p)
+    assert set(df.columns) == {"NAME", "VAL"}
+    rows = {r["NAME"]: r["VAL"] for r in df.collect()}
+    assert rows == {"x": 1.5, "y": -2.0}
