@@ -104,13 +104,18 @@ def main():
 
     # 6. classify quantile: the window must be per-range-partition, never
     # a single-partition global window (SinglePartition feeding Window =
-    # the one-task straggler the distributed rank exists to avoid)
+    # the one-task straggler the distributed rank exists to avoid).
+    # The range repartition itself is frozen behind an eager
+    # localCheckpoint (AQE-coalescing fix in _with_global_row_number), so
+    # the downstream plan shows "Scan ExistingRDD" instead of a
+    # rangepartitioning exchange — assert the checkpoint scan is there
+    # and that NO single-partition exchange feeds the window.
     cq = E.queries()["classify_quantile"](spark, sf)
     plan = fmt(cq)
     failures += not check(
         "classify_quantile",
         plan,
-        must=[r"Window", r"rangepartitioning"],
+        must=[r"Window", r"Scan ExistingRDD|rangepartitioning"],
         must_not=[r"SinglePartition.*\n.*Window|Exchange SinglePartition"],
     )
 
