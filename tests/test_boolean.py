@@ -299,3 +299,66 @@ def test_st_boolean_udfs(spark):
     assert out[0]["au"] == pytest.approx(175.0)
     assert out[0]["ad"] == pytest.approx(75.0)
     assert out[1]["ai"] == pytest.approx(28.0)  # concave L ∩ square
+
+
+def test_randomized_diagonal_polygons_grid_oracle():
+    """Non-lattice inputs: random rotated convex quads — intersection
+    points are irrational, exercising the eps/welding paths. The probe
+    grid stays a valid oracle because probes sit far from boundaries
+    relative to float error."""
+    rng = np.random.RandomState(11)
+    for trial in range(15):
+        def rand_quad():
+            cx, cy = rng.uniform(4, 16, 2)
+            w, h = rng.uniform(3, 9, 2)
+            th = rng.uniform(0, np.pi)
+            base = np.array(
+                [[-w, -h], [w, -h], [w, h], [-w, h]], dtype=np.float64
+            )
+            rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+            pts = base @ rot.T + [cx, cy]
+            return poly(np.vstack([pts, pts[:1]]))
+
+        a, b = rand_quad(), rand_quad()
+        for op in ("intersection", "union", "difference"):
+            res = B.polygon_boolean(a, b, op)
+            xs = np.arange(-4.013, 36, 0.71)
+            xx, yy = np.meshgrid(xs, xs)
+            px, py = xx.ravel(), yy.ravel()
+            in_a = G.points_in_polygon(px, py, a)
+            in_b = G.points_in_polygon(px, py, b)
+            want = {"intersection": in_a & in_b, "union": in_a | in_b,
+                    "difference": in_a & ~in_b}[op]
+            got = (np.zeros_like(want) if res is None
+                   else G.points_in_polygon(px, py, res))
+            bad = int((got != want).sum())
+            assert bad == 0, f"trial {trial} {op}: {bad} probe mismatches"
+
+
+def test_randomized_concave_star_polygons_grid_oracle():
+    """Concave fuzz: random star-shaped polygons (radial perturbation
+    around a center — many reflex vertices)."""
+    rng = np.random.RandomState(23)
+    for trial in range(10):
+        def rand_star():
+            cx, cy = rng.uniform(6, 14, 2)
+            k = rng.randint(6, 12)
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            rad = rng.uniform(2.0, 8.0, k)
+            pts = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+            return poly(np.vstack([pts, pts[:1]]))
+
+        a, b = rand_star(), rand_star()
+        for op in ("intersection", "union", "difference"):
+            res = B.polygon_boolean(a, b, op)
+            xs = np.arange(-2.017, 24, 0.53)
+            xx, yy = np.meshgrid(xs, xs)
+            px, py = xx.ravel(), yy.ravel()
+            in_a = G.points_in_polygon(px, py, a)
+            in_b = G.points_in_polygon(px, py, b)
+            want = {"intersection": in_a & in_b, "union": in_a | in_b,
+                    "difference": in_a & ~in_b}[op]
+            got = (np.zeros_like(want) if res is None
+                   else G.points_in_polygon(px, py, res))
+            bad = int((got != want).sum())
+            assert bad == 0, f"trial {trial} {op}: {bad} probe mismatches"
