@@ -183,6 +183,43 @@ def _q_join_orders_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface (reference vector/streaming.py is an
+    empty stub — SURVEY §2.11): the events table read as a file-source
+    STREAM, watermarked 1-hour tumbling window per event type, drained
+    with trigger=availableNow into a memory sink. The oracle reproduces
+    the same windows in SQL — streaming and batch must agree exactly
+    because availableNow processes all data with a final watermark."""
+    import tempfile
+
+    from pythongis_spark.streaming import read_event_stream, windowed_counts
+    from pythongis_spark.streaming.pipeline import run_available_now
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    # the file stream source wants a DIRECTORY of drop files; the test
+    # table is a single parquet file → expose it through a temp dir
+    src_dir = tempfile.mkdtemp(prefix="evstream_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    stream = read_event_stream(spark, src_dir, schema=schema)
+    # decimal BEFORE the sum: double partial-sum order differs between
+    # engines (oracle-determinism recipe)
+    stream = stream.withColumn("value", F.col("value").cast("decimal(38,9)"))
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    name = "stream_win_counts"
+    run_available_now(
+        agg, name, tempfile.mkdtemp(prefix="ck_"), output_mode="complete",
+    )
+    return spark.table(name).select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+        "event_type", "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
 def _q_moving_window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNGROUPED trailing window over the whole events table — runs the
     block-carry scale path (range repartition + per-block parallel
@@ -1064,6 +1101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_concave_count": _q_buffer_concave_count,
         "warp_raster_webmercator": _q_warp_raster,
         "moving_window_global": _q_moving_window_global,
+        "stream_window_counts": _q_stream_window_counts,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
         "spatial_join_rects": _q_spatial_join_rects,
         "spatial_join_clip": _q_spatial_join_clip,
@@ -1523,6 +1561,13 @@ def oracle_sql() -> dict[str, str]:
                      SUM(CAST(o_totalprice AS DECIMAL(38,9))) AS sum_price
               FROM orders GROUP BY o_custkey
             ) o ON o.o_custkey = c.c_custkey
+        """,
+        "stream_window_counts": """
+            SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(38,9))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "moving_window_global": """
             SELECT event_id,
