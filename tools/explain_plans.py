@@ -119,6 +119,31 @@ def main():
         must_not=[r"SinglePartition.*\n.*Window|Exchange SinglePartition"],
     )
 
+    # 7. warp: pure Catalyst CRS remap — atan/exp stay JVM-side, the
+    # only join is the cell equi-join, no Python evaluation anywhere
+    wq = E.queries()["warp_raster_webmercator"](spark, sf)
+    plan = fmt(wq)
+    failures += not check(
+        "warp_raster",
+        plan,
+        # AQE's pre-execution formatted plan carries no codegen ids;
+        # assert the shape instead: JVM trig in the projection, one
+        # broadcast equi-join, zero Python evaluation
+        must=[r"BroadcastHashJoin", r"ATAN\(EXP\("],
+        must_not=[r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+
+    # 8. ungrouped moving window: block-carry scale path — windows
+    # partition by block, never a SinglePartition global sort window
+    mg = E.queries()["moving_window_global"](spark, sf)
+    plan = fmt(mg)
+    failures += not check(
+        "moving_window_global",
+        plan,
+        must=[r"Window", r"hashpartitioning\(_blk"],
+        must_not=[r"Exchange SinglePartition.*\n.*Window"],
+    )
+
     sys.exit(1 if failures else 0)
 
 
