@@ -163,6 +163,38 @@ def _geom_equals(ga, gb) -> bool:
 # planning helpers
 # ------------------------------------------------------------------
 
+_PLAN_STATS: dict[tuple, object] = {}
+
+
+def _sem_key(df: DataFrame):
+    """Stable per-plan cache key (None disables caching for plans that
+    can't be hashed)."""
+    try:
+        return df.semanticHash()
+    except Exception:
+        return None
+
+
+def _plan_stat(key: tuple, fn):
+    """Session-lifetime memo for plan-time sizing jobs (giant-feature
+    emptiness probes, build-side cell counts). Repeated joins against
+    the same dimension table — the common pattern the reference serves
+    with its cached r-tree — then plan with ZERO pre-jobs. Stats can go
+    stale if the underlying files change mid-session; call
+    ``clear_plan_stats()`` then (same contract as catalog statistics)."""
+    if key[1] is None:
+        return fn()
+    if key not in _PLAN_STATS:
+        if len(_PLAN_STATS) > 256:
+            _PLAN_STATS.clear()
+        _PLAN_STATS[key] = fn()
+    return _PLAN_STATS[key]
+
+
+def clear_plan_stats() -> None:
+    _PLAN_STATS.clear()
+
+
 def _prefix(df: DataFrame, prefix: str, exclude=()) -> DataFrame:
     for c in df.columns:
         if c not in exclude:
@@ -421,8 +453,14 @@ def spatial_join(
     rcnt = _bbox_cell_count_expr(z)
     left_g = left.filter(lcnt > cell_cap)
     right_g = right.filter(rcnt > cell_cap)
-    has_lg = left_g.select("bbox_xmin").limit(1).count() > 0
-    has_rg = right_g.select("bbox_xmin").limit(1).count() > 0
+    has_lg = _plan_stat(
+        ("giants", _sem_key(left), z, cell_cap),
+        lambda: left_g.select("bbox_xmin").limit(1).count() > 0,
+    )
+    has_rg = _plan_stat(
+        ("giants", _sem_key(right), z, cell_cap),
+        lambda: right_g.select("bbox_xmin").limit(1).count() > 0,
+    )
     left_n = left.filter(lcnt <= cell_cap) if has_lg else left
     right_n = right.filter(rcnt <= cell_cap) if has_rg else right
 
@@ -432,7 +470,12 @@ def spatial_join(
     rx = IU.explode_bbox_cells(right_n, z)
     rx = _prefix(rx, "r_", exclude=["cell"])
 
-    build_count = build_rows if build_rows is not None else rx.count()
+    if build_rows is not None:
+        build_count = build_rows
+    else:
+        build_count = _plan_stat(
+            ("cells", _sem_key(right), z, cell_cap), rx.count
+        )
     if build_count <= broadcast_rows:
         cand = lx.join(F.broadcast(rx), "cell", "inner")
     else:
