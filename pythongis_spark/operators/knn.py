@@ -191,7 +191,11 @@ def knn_join(
     )
     pts = points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
 
-    if n_targets <= max(k * 4, 1000) or n_targets <= broadcast_targets_rows // 100:
+    # tiny-table shortcut on an ABSOLUTE bound only: cross-join work is
+    # O(points × targets), so tying this to broadcast_targets_rows (a
+    # broadcast-SIZE knob) silently turned a raised broadcast budget into
+    # a billion-row cartesian at scale (found by the sf0.1 sweep)
+    if n_targets <= max(k * 4, 1000):
         # tiny target table: exact broadcast cross join
         return _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric, n_targets).withColumnRenamed(
             "_tid", target_id
@@ -230,7 +234,14 @@ def knn_join(
         )
         result = ok if result is None else result.unionByName(ok)
         ok_ids = ok.select(point_id).distinct()
-        pending = pending.join(ok_ids, point_id, "left_anti")
+        # cut lineage + materialize the (small) remnant: without this,
+        # each fallback round's pending embeds the whole previous round's
+        # plan MULTIPLE times (anti-join probe + next candidates + final
+        # union), and Spark recomputes the chain combinatorially — at
+        # sf0.1 the 3-round plan ran for minutes and OOMed the JVM
+        pending = pending.join(ok_ids, point_id, "left_anti").localCheckpoint(
+            eager=True
+        )
         if pending.limit(1).count() == 0:
             pending = None
             break
