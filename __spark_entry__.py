@@ -480,6 +480,39 @@ def _q_spatial_join_clip_concave(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("clip_area") > 0)
 
 
+def _q_spatial_join_clip_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clip='union' join (manager.py:227-236: output coerced to the
+    pair's HIGHEST dimension): rects × concave L-zones through the
+    general boolean engine's union selection. Oracle: by
+    inclusion–exclusion the union area is |rect| + |L| − |rect∩L| with
+    the intersection a sum of two axis-aligned strip overlaps — exact
+    dyadic arithmetic in both engines."""
+    from pythongis_spark.geometry.udfs import st_area
+    from pythongis_spark.operators.spatial_join import spatial_join
+
+    rects = _shifted_rects(spark)
+    lz = _l_zones(spark)
+    out = spatial_join(rects, lz, "intersects", left_id="b_id", clip="union")
+    return out.select(
+        "zone_id", "b_id", st_area(F.col("clip_geom")).alias("union_area")
+    )
+
+
+def _q_spatial_join_clip_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clip='difference' join (manager.py:237-241: output keeps the
+    LEFT operand's type): rect − L per matched pair, possibly multipart.
+    Oracle: |rect| − |rect∩L|, exact dyadic."""
+    from pythongis_spark.geometry.udfs import st_area
+    from pythongis_spark.operators.spatial_join import spatial_join
+
+    rects = _shifted_rects(spark)
+    lz = _l_zones(spark)
+    out = spatial_join(rects, lz, "intersects", left_id="b_id", clip="difference")
+    return out.select(
+        "zone_id", "b_id", st_area(F.col("clip_geom")).alias("diff_area")
+    )
+
+
 def _q_dissolve_overlap_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dissolve of OVERLAPPING polygons — the boundary-melding path
     detects interior overlap and routes to the general boolean union
@@ -1097,6 +1130,8 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "spatial_join_clip_concave": _q_spatial_join_clip_concave,
+        "spatial_join_clip_union": _q_spatial_join_clip_union,
+        "spatial_join_clip_difference": _q_spatial_join_clip_difference,
         "dissolve_overlap_rows": _q_dissolve_overlap_rows,
         "buffer_concave_count": _q_buffer_concave_count,
         "warp_raster_webmercator": _q_warp_raster,
@@ -1825,6 +1860,34 @@ def oracle_sql() -> dict[str, str]:
               FROM lz l, rects_b b
             )
             SELECT zone_id, b_id, clip_area FROM pairs WHERE clip_area > 0
+        """,
+        "spatial_join_clip_union": f"""
+            WITH {_L_ZONES_CTE}, {_RECTS_B_CTE},
+            pairs AS (
+              SELECT l.zone_id, b.b_id,
+                     GREATEST(0.0, LEAST(l.xmax, b.xmax) - GREATEST(l.xmin, b.xmin))
+                   * GREATEST(0.0, LEAST(l.ym, b.ymax) - GREATEST(l.ymin, b.ymin))
+                   + GREATEST(0.0, LEAST(l.xm, b.xmax) - GREATEST(l.xmin, b.xmin))
+                   * GREATEST(0.0, LEAST(l.ymax, b.ymax) - GREATEST(l.ym, b.ymin))
+                     AS inter
+              FROM lz l, rects_b b
+            )
+            SELECT zone_id, b_id, 1080.0 + 810.0 - inter AS union_area
+            FROM pairs WHERE inter > 0
+        """,
+        "spatial_join_clip_difference": f"""
+            WITH {_L_ZONES_CTE}, {_RECTS_B_CTE},
+            pairs AS (
+              SELECT l.zone_id, b.b_id,
+                     GREATEST(0.0, LEAST(l.xmax, b.xmax) - GREATEST(l.xmin, b.xmin))
+                   * GREATEST(0.0, LEAST(l.ym, b.ymax) - GREATEST(l.ymin, b.ymin))
+                   + GREATEST(0.0, LEAST(l.xm, b.xmax) - GREATEST(l.xmin, b.xmin))
+                   * GREATEST(0.0, LEAST(l.ymax, b.ymax) - GREATEST(l.ym, b.ymin))
+                     AS inter
+              FROM lz l, rects_b b
+            )
+            SELECT zone_id, b_id, 1080.0 - inter AS diff_area
+            FROM pairs WHERE inter > 0
         """,
         "dissolve_overlap_rows": """
             SELECT CAST(r AS INTEGER) AS row_id,

@@ -342,37 +342,167 @@ def clip_geometry(ga, gclip):
             return ("Point", kept)
         return ("MultiPoint", kept)
     if ta in ("LineString", "MultiLineString"):
-        rings = _oriented_rings(gclip)
-        edges = _directed_edges(rings)
-        lines = [payload] if ta == "LineString" else list(payload)
-        out = []
-        for ln in lines:
-            cur: list[tuple] = []
-            for i in range(len(ln) - 1):
-                p = (float(ln[i, 0]), float(ln[i, 1]))
-                q = (float(ln[i + 1, 0]), float(ln[i + 1, 1]))
-                if p == q:
-                    continue
-                for sa, sb in _split_edge(p, q, edges):
-                    cls = _classify_mid(sa, sb, rings, edges)
-                    if cls in ("in", "same", "opp"):
-                        if cur and cur[-1] == sa:
-                            cur.append(sb)
-                        else:
-                            if len(cur) >= 2:
-                                out.append(np.array(cur, dtype=np.float64))
-                            cur = [sa, sb]
-                    else:
-                        if len(cur) >= 2:
-                            out.append(np.array(cur, dtype=np.float64))
-                        cur = []
-            if len(cur) >= 2:
-                out.append(np.array(cur, dtype=np.float64))
-        if not out:
-            return None
-        if len(out) == 1:
-            return ("LineString", out[0])
-        return ("MultiLineString", out)
+        return _clip_line(ga, gclip, ("in", "same", "opp"))
     if ta in ("Polygon", "MultiPolygon"):
         return polygon_boolean(ga, gclip, "intersection")
     raise ValueError(f"unsupported geometry type {ta!r}")
+
+
+def _clip_line(gline, gclip, keep: tuple) -> tuple | None:
+    """Sub-segments of a (multi)linestring classified against a polygonal
+    window, keeping the classes in ``keep``: ('in','same','opp') yields
+    the inside parts (clip), ('out',) the outside parts (difference)."""
+    ta, payload = gline
+    rings = _oriented_rings(gclip)
+    edges = _directed_edges(rings)
+    lines = [payload] if ta == "LineString" else list(payload)
+    out = []
+    for ln in lines:
+        cur: list[tuple] = []
+        for i in range(len(ln) - 1):
+            p = (float(ln[i, 0]), float(ln[i, 1]))
+            q = (float(ln[i + 1, 0]), float(ln[i + 1, 1]))
+            if p == q:
+                continue
+            for sa, sb in _split_edge(p, q, edges):
+                cls = _classify_mid(sa, sb, rings, edges)
+                if cls in keep:
+                    if cur and cur[-1] == sa:
+                        cur.append(sb)
+                    else:
+                        if len(cur) >= 2:
+                            out.append(np.array(cur, dtype=np.float64))
+                        cur = [sa, sb]
+                else:
+                    if len(cur) >= 2:
+                        out.append(np.array(cur, dtype=np.float64))
+                    cur = []
+        if len(cur) >= 2:
+            out.append(np.array(cur, dtype=np.float64))
+    if not out:
+        return None
+    if len(out) == 1:
+        return ("LineString", out[0])
+    return ("MultiLineString", out)
+
+
+_DIM = {
+    "Point": 0, "MultiPoint": 0,
+    "LineString": 1, "MultiLineString": 1,
+    "Polygon": 2, "MultiPolygon": 2,
+}
+
+
+def _points_on_lines(pts: np.ndarray, gline, eps: float = 1e-9) -> np.ndarray:
+    """Boolean mask: which points lie ON a (multi)linestring (within eps
+    of some segment) — the shapely point∩line / point−line predicate."""
+    ta, payload = gline
+    lines = [payload] if ta == "LineString" else list(payload)
+    on = np.zeros(len(pts), dtype=bool)
+    for ln in lines:
+        a, b = ln[:-1], ln[1:]
+        d = b - a  # (S, 2)
+        seg_len2 = (d * d).sum(axis=1)
+        seg_len2[seg_len2 == 0] = 1.0
+        for i, (px, py) in enumerate(pts):
+            if on[i]:
+                continue
+            ap = np.array([px, py]) - a
+            t = np.clip((ap * d).sum(axis=1) / seg_len2, 0.0, 1.0)
+            proj = a + t[:, None] * d
+            dx = proj[:, 0] - px
+            dy = proj[:, 1] - py
+            if ((dx * dx + dy * dy) <= eps * eps).any():
+                on[i] = True
+    return on
+
+
+def _as_points(coords: np.ndarray) -> tuple | None:
+    if len(coords) == 0:
+        return None
+    if len(coords) == 1:
+        return ("Point", coords)
+    return ("MultiPoint", coords)
+
+
+def clip_pair(ga, gb, op: str):
+    """Pairwise clip for spatial-join ``clip=`` modes with the
+    reference's dimension-coercion rules
+    (``pythongis/vector/manager.py:210-241``): the output type is the
+    pair's LOWEST dimension for ``intersection``, HIGHEST for
+    ``union``, and the LEFT operand's for ``difference``; result parts
+    of any other dimension are dropped (the reference filters its
+    shapely GeometryCollection down to ``newtyp``). Returns a geometry
+    tuple or None (the reference's null-geometry replacement).
+
+    Documented divergences (measure-zero geometry only, never match
+    rows): line∪line concatenates parts without noding at crossings;
+    line−line / line−point return the left line unchanged (shapely
+    would re-node; the point set is identical).
+    """
+    da, db = _DIM[ga[0]], _DIM[gb[0]]
+    if op == "intersection":
+        if da == 2 and db == 2:
+            return polygon_boolean(ga, gb, "intersection")
+        if db == 2:
+            return clip_geometry(ga, gb)
+        if da == 2:  # symmetric: clip the lower-dim operand
+            return clip_geometry(gb, ga)
+        if min(da, db) == 0:
+            gp, go = (ga, gb) if da == 0 else (gb, ga)
+            pts = W.all_coords(gp)
+            if _DIM[go[0]] == 0:
+                other = W.all_coords(go)
+                keep = np.array(
+                    [bool((np.abs(other - p).max(axis=1) < 1e-12).any()) for p in pts]
+                )
+            else:
+                keep = _points_on_lines(pts, go)
+            return _as_points(pts[keep])
+        raise NotImplementedError(
+            "line×line intersection clip (collinear-overlap extraction) "
+            "is not implemented"
+        )
+    if op == "union":
+        if da == 2 and db == 2:
+            return polygon_boolean(ga, gb, "union")
+        if da == 2:
+            return ga  # highest-dim coercion drops the lower-dim operand
+        if db == 2:
+            return gb
+        if da == 1 and db == 1:
+            la = [ga[1]] if ga[0] == "LineString" else list(ga[1])
+            lb = [gb[1]] if gb[0] == "LineString" else list(gb[1])
+            parts = la + lb
+            return ("LineString", parts[0]) if len(parts) == 1 else (
+                "MultiLineString", parts
+            )
+        if da == 1:
+            return ga
+        if db == 1:
+            return gb
+        # point ∪ point: distinct coordinates (stable: a's order then b's new)
+        pa, pb = W.all_coords(ga), W.all_coords(gb)
+        new = [p for p in pb if not (np.abs(pa - p).max(axis=1) < 1e-12).any()]
+        allp = np.vstack([pa] + [np.asarray(new)]) if new else pa
+        return _as_points(allp)
+    if op == "difference":
+        if da == 2:
+            return polygon_boolean(ga, gb, "difference") if db == 2 else ga
+        if da == 1:
+            return _clip_line(ga, gb, ("out",)) if db == 2 else ga
+        # da == 0: drop points covered by b (closure semantics)
+        pts = W.all_coords(ga)
+        if db == 2:
+            drop = G.points_in_polygon(pts[:, 0], pts[:, 1], gb) | (
+                G.points_on_boundary(pts[:, 0], pts[:, 1], gb)
+            )
+        elif db == 1:
+            drop = _points_on_lines(pts, gb)
+        else:
+            other = W.all_coords(gb)
+            drop = np.array(
+                [bool((np.abs(other - p).max(axis=1) < 1e-12).any()) for p in pts]
+            )
+        return _as_points(pts[~drop])
+    raise ValueError(f"unknown clip op {op!r}")

@@ -273,9 +273,16 @@ def _moving_window_global(
 
     ranked, total = _with_global_row_number(df, [order_col], out="_rn")
     if total == 0:
+        # schema must match the non-empty path (stat-typed columns, not
+        # NullType) or a later union/write against a non-empty result
+        # fails; a single-partition window on zero rows is free
+        w0 = Window.orderBy(order_col).rowsBetween(-(n - 1), 0)
         out = df
         for outname, col, stat in fieldmapping:
-            out = out.withColumn(outname, F.lit(None))
+            e = _simple_stat_expr(stat, col, None)
+            if e is None:
+                raise ValueError(f"stat {stat!r} not supported over a moving window")
+            out = out.withColumn(outname, e.over(w0))
         return out
     sess = df.sparkSession
     nparts = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))

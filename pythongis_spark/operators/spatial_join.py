@@ -121,14 +121,22 @@ def _make_pair_refiner(condition: str):
 
 def _make_pair_clipper(clip: str = "intersection"):
     """Per-pair geometry clip for matched candidates — the reference's
-    ``clip=`` spatial-join mode (``vector/manager.py:208-266``):
-    intersection output coerced to the pair's lowest dimension. Convex
-    clip windows take the Sutherland–Hodgman fast path; concave/holed
-    windows route to the general boolean engine
-    (``geometry/boolean.clip_geometry``). Returns NULL for empty results
-    like the reference's null-geometry replacement."""
-    if clip != "intersection":
-        raise NotImplementedError("only clip='intersection' is implemented")
+    ``clip=`` spatial-join modes (``vector/manager.py:208-266``):
+    'intersection' (output coerced to the pair's lowest dimension),
+    'union' (highest dimension), 'difference' (left type). Convex
+    intersection windows take the Sutherland–Hodgman fast path; every
+    other case routes to the general boolean engine
+    (``geometry/boolean.clip_pair``). Returns NULL for empty results —
+    and, mirroring the reference's shapely TopologicalError→null
+    fallback (``manager.py:250-253``), a pair whose boolean op fails on
+    degenerate geometry warns and yields NULL rather than failing the
+    job."""
+    if clip not in ("intersection", "union", "difference"):
+        raise NotImplementedError(
+            "clip must be 'intersection', 'union' or 'difference'"
+        )
+    import warnings
+
     from pythongis_spark.geometry import boolean as BO
 
     def clipper(la: pd.Series, lb: pd.Series) -> pd.Series:
@@ -145,9 +153,18 @@ def _make_pair_clipper(clip: str = "intersection"):
                 cache_b[key] = gb
             ga = W.decode_wkb(bytes(ab))
             try:
-                res = G.geom_intersection_convex(ga, gb)
+                if clip == "intersection":
+                    try:
+                        res = G.geom_intersection_convex(ga, gb)
+                    except NotImplementedError:
+                        res = BO.clip_pair(ga, gb, "intersection")
+                else:
+                    res = BO.clip_pair(ga, gb, clip)
             except NotImplementedError:
-                res = BO.clip_geometry(ga, gb)
+                raise
+            except Exception as exc:  # reference: TopologicalError → null
+                warnings.warn(f"clip {clip} failed ({exc}); null-geometry")
+                res = None
             out.append(None if res is None else W.encode_wkb(res))
         return pd.Series(out, index=la.index)
 
@@ -429,9 +446,10 @@ def spatial_join(
     * a codegen bbox-overlap filter culls pairs before the Arrow refine
       (decode-once per distinct right geometry).
 
-    ``clip='intersection'`` adds a ``clip_geom`` WKB column with the
-    pairwise intersection coerced to the pair's lowest dimension
-    (``manager.py:208-266``; convex clip windows).
+    ``clip='intersection'|'union'|'difference'`` adds a ``clip_geom``
+    WKB column with the pairwise set-op result, dimension-coerced per
+    the reference (``manager.py:208-266``: intersection→lowest dim,
+    union→highest, difference→left type; failed ops → NULL geometry).
     """
     from pythongis_spark.geometry.udfs import with_bbox
 

@@ -352,6 +352,9 @@ def rasterize(
     return out.withColumn("band", F.lit(0).cast("int")).select("x", "y", "band", "val")
 
 
+_LAST_ZCELLS: DataFrame | None = None  # see zonal_statistics cache note
+
+
 def zonal_statistics_points(
     points: DataFrame,
     raster_cells: DataFrame,
@@ -398,8 +401,19 @@ def zonal_statistics(
         n_cells = zone_cells_hint
     else:
         # the sizing count would otherwise re-execute the cover UDF
-        # chain for the join — persist the (small) zone-cell side once
+        # chain for the join — persist the (small) zone-cell side once.
+        # The returned plan still reads the cache, so it can't be
+        # unpersisted here; instead each call releases the PREVIOUS
+        # call's cache (non-blocking), bounding executor storage to one
+        # zone-cell side in long-lived sessions.
+        global _LAST_ZCELLS
+        if _LAST_ZCELLS is not None:
+            try:
+                _LAST_ZCELLS.unpersist(blocking=False)
+            except Exception:
+                pass
         zcells = zcells.persist()
+        _LAST_ZCELLS = zcells
         n_cells = zcells.count()
     build = F.broadcast(zcells) if n_cells <= broadcast_cells else zcells
     joined = raster_cells.join(build, ["x", "y"], "inner")

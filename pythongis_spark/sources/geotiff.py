@@ -127,7 +127,15 @@ def parse_geotiff(buf: bytes):
     predictor = int(one(317, 1))
     if predictor == 2:
         # horizontal differencing: undo with a per-row cumulative sum,
-        # wrapping modulo the sample width (TIFF 6.0 §14)
+        # wrapping modulo the sample width (TIFF 6.0 §14). Defined for
+        # integer samples only — predictor 3 is the float form; a
+        # (nonconformant) predictor=2 + float file would be silently
+        # truncated by the int64 cumsum, so reject it.
+        if np.issubdtype(dt, np.floating):
+            raise NotImplementedError(
+                "predictor=2 with floating-point samples is nonconformant "
+                "(TIFF 6.0 §14; use predictor=3)"
+            )
         native = np.cumsum(native, axis=1, dtype=np.int64).astype(dt)
     elif predictor != 1:
         raise NotImplementedError(f"predictor={predictor} not supported")

@@ -83,6 +83,7 @@ def stream_pip_tag(events: DataFrame, zones: DataFrame, z: int = 6,
 
 _SESSION_STATE = T.StructType([
     T.StructField("session_id", T.LongType()),
+    T.StructField("start_ts", T.DoubleType()),
     T.StructField("last_ts", T.DoubleType()),
     T.StructField("n_events", T.LongType()),
 ])
@@ -114,33 +115,36 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 3600,
     def fn(key, pdfs, state: GroupState):
         (uid,) = key
         if state.hasTimedOut:
-            sid, last_ts, n = state.get
+            sid, first_ts, last_ts, n = state.get
             state.remove()
             yield pd.DataFrame([
                 {"user_id": uid, "session_id": sid, "n_events": n,
-                 "start_ts": pd.Timestamp(0, unit="s"),
+                 "start_ts": pd.Timestamp(first_ts, unit="s"),
                  "end_ts": pd.Timestamp(last_ts, unit="s")}
             ])
             return
         rows = []
         if state.exists:
-            sid, last_ts, n = state.get
+            sid, first_ts, last_ts, n = state.get
         else:
-            sid, last_ts, n = 0, None, 0
+            sid, first_ts, last_ts, n = 0, None, None, 0
         for pdf in pdfs:
             for ts in sorted(pdf[ts_col]):
                 t = ts.timestamp()
                 if last_ts is not None and t - last_ts > gap_seconds:
                     rows.append(
                         {"user_id": uid, "session_id": sid, "n_events": n,
-                         "start_ts": pd.Timestamp(0, unit="s"),
+                         "start_ts": pd.Timestamp(first_ts, unit="s"),
                          "end_ts": pd.Timestamp(last_ts, unit="s")}
                     )
                     sid += 1
                     n = 0
+                    first_ts = t
+                if first_ts is None:
+                    first_ts = t
                 last_ts = t
                 n += 1
-        state.update((sid, float(last_ts), int(n)))
+        state.update((sid, float(first_ts), float(last_ts), int(n)))
         # event-time timer: must be strictly beyond the current watermark
         to_ms = max(
             state.getCurrentWatermarkMs() + 1,

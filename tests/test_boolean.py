@@ -362,3 +362,63 @@ def test_randomized_concave_star_polygons_grid_oracle():
                    else G.points_in_polygon(px, py, res))
             bad = int((got != want).sum())
             assert bad == 0, f"trial {trial} {op}: {bad} probe mismatches"
+
+
+# ------------------------------------------------------- clip_pair coercion
+
+def line(*pts):
+    return ("LineString", np.array(list(pts), dtype=np.float64))
+
+
+def test_clip_pair_polygon_polygon():
+    A, Bx = sq(0, 0, 10, 10), sq(5, 5, 15, 15)
+    assert area(B.clip_pair(A, Bx, "intersection")) == 25.0
+    assert area(B.clip_pair(A, Bx, "union")) == 175.0
+    assert area(B.clip_pair(A, Bx, "difference")) == 75.0
+    # grid-oracle on a concave pair
+    L = poly(ring((0, 0), (20, 0), (20, 8), (8, 8), (8, 20), (0, 20)))
+    R = sq(4, 4, 16, 16)
+    for op in ("intersection", "union", "difference"):
+        got = B.clip_pair(L, R, op)
+        assert area(got) == area(grid_oracle(L, R, op))
+
+
+def test_clip_pair_dimension_coercion():
+    A = sq(0, 0, 10, 10)
+    ln = line((-5, 5), (20, 5))
+    pts = ("MultiPoint", np.array([[3.0, 3.0], [100.0, 3.0]]))
+    # intersection → lowest dim (symmetric: polygonal operand on either side)
+    got = B.clip_pair(A, ln, "intersection")
+    assert got[0] == "LineString" and np.allclose(got[1], [[0, 5], [10, 5]])
+    got = B.clip_pair(pts, A, "intersection")
+    assert got[0] == "Point" and np.allclose(got[1], [[3, 3]])
+    # union → highest dim (lower-dim operand dropped, manager.py:227-236)
+    assert B.clip_pair(ln, A, "union") == A
+    assert B.clip_pair(A, pts, "union") == A
+    # difference → left type (manager.py:237-241)
+    assert B.clip_pair(A, ln, "difference") == A  # poly − line = poly
+    got = B.clip_pair(pts, A, "difference")
+    assert got[0] == "Point" and np.allclose(got[1], [[100, 3]])
+    got = B.clip_pair(ln, A, "difference")
+    assert got[0] == "MultiLineString" and len(got[1]) == 2
+    # point fully inside → empty difference is None (null-geometry)
+    inside = ("Point", np.array([[3.0, 3.0]]))
+    assert B.clip_pair(inside, A, "difference") is None
+
+
+def test_clip_pair_point_point_and_line_sets():
+    p1 = ("MultiPoint", np.array([[1.0, 1.0], [2.0, 2.0]]))
+    p2 = ("MultiPoint", np.array([[2.0, 2.0], [3.0, 3.0]]))
+    got = B.clip_pair(p1, p2, "intersection")
+    assert got[0] == "Point" and np.allclose(got[1], [[2, 2]])
+    got = B.clip_pair(p1, p2, "union")
+    assert got[0] == "MultiPoint" and len(got[1]) == 3
+    got = B.clip_pair(p1, p2, "difference")
+    assert got[0] == "Point" and np.allclose(got[1], [[1, 1]])
+    # point on line: intersection keeps it, difference drops it
+    ln = line((0, 0), (4, 4))
+    onoff = ("MultiPoint", np.array([[2.0, 2.0], [2.0, 3.0]]))
+    got = B.clip_pair(onoff, ln, "intersection")
+    assert got[0] == "Point" and np.allclose(got[1], [[2, 2]])
+    got = B.clip_pair(onoff, ln, "difference")
+    assert got[0] == "Point" and np.allclose(got[1], [[2, 3]])

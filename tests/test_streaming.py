@@ -102,4 +102,5 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     assert len(out) == 1
     r = out.iloc[0]
     assert r["user_id"] == 1 and r["session_id"] == 0 and r["n_events"] == 2
+    assert str(r["start_ts"]).startswith("2026-01-01 00:00:00")
     assert str(r["end_ts"]).startswith("2026-01-01 00:10:00")
