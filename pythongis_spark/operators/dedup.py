@@ -12,10 +12,75 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE = (1 << 61) - 1
+
+# Buckets larger than this emit hub-star candidates instead of all
+# pairs (see _capped_pair_ids). Web corpora make this non-optional:
+# one boilerplate page repeated B times is a single bucket whose
+# self-join yields B²/2 rows — at B = 10⁶ that is 5·10¹¹ pairs from
+# ONE bucket.
+DEFAULT_BUCKET_CAP = 256
+
+
+def _capped_pair_ids(banded: DataFrame, bucket_cap: int) -> DataFrame:
+    """Distinct candidate (a_id, b_id) pairs from an (_id, band, bucket)
+    frame, with per-bucket pair blowup explicitly bounded:
+
+    * buckets with ≤ ``bucket_cap`` members: full self-join (every
+      colliding pair once, a_id < b_id) — unchanged semantics;
+    * oversized buckets: a hub star — every member pairs with the
+      bucket's min id only, O(B) candidates instead of O(B²).
+
+    The star preserves duplicate CLUSTERS: every member still reaches
+    the hub, the downstream exact verify (jaccard/cosine/hamming)
+    still gates each edge, and connected components links the cluster
+    transitively. What is lost is only the explicit pair list between
+    non-hub members of a degenerate bucket — the documented cap
+    semantics (the reference, single-node, has no analog; a web-scale
+    engine cannot emit B² pairs per boilerplate bucket).
+
+    Both the size count and the hub are window functions over the SAME
+    (band, bucket) partitioning the self-join shuffles on — no extra
+    shuffle. Use :func:`lsh_bucket_histogram` to see what would be
+    capped for a given frame.
+    """
+    w = Window.partitionBy("band", "bucket")
+    tagged = banded.withColumn("_bsz", F.count("*").over(w))
+    small = tagged.filter(F.col("_bsz") <= bucket_cap)
+    L = small.select(F.col("_id").alias("a_id"), "band", "bucket")
+    Rt = small.select(F.col("_id").alias("b_id"), "band", "bucket")
+    normal = (
+        L.join(Rt, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    star = (
+        tagged.filter(F.col("_bsz") > bucket_cap)
+        .withColumn("_hub", F.min("_id").over(w))
+        .filter(F.col("_id") != F.col("_hub"))
+        .select(F.col("_hub").alias("a_id"), F.col("_id").alias("b_id"))
+    )
+    return normal.union(star).distinct()
+
+
+def lsh_bucket_histogram(banded: DataFrame, bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """Diagnostic for the bucket cap: per bucket-size decile, how many
+    buckets / members / candidate pairs, and whether the cap bites.
+    Returns a small aggregated DataFrame (run .show() on it)."""
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("bsz"))
+    return (
+        sizes.withColumn("capped", F.col("bsz") > bucket_cap)
+        .groupBy("capped")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("bsz").alias("n_members"),
+            F.max("bsz").alias("max_bucket"),
+            F.sum(F.col("bsz") * (F.col("bsz") - 1) / 2).alias("uncapped_pairs"),
+        )
+    )
 
 
 def _stable_hash64(s: str) -> int:
@@ -110,6 +175,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH + exact verify.
 
@@ -117,7 +183,11 @@ def minhash_lsh_pairs(
     rows; band hash → bucket equi-join (self-join produces each colliding
     pair once, a.id < b.id); verify = exact Jaccard of shingle sets ≥
     threshold (recomputed per pair in an Arrow batch).
-    Output: (a_id, b_id, jaccard)."""
+    Output: (a_id, b_id, jaccard).
+
+    Buckets larger than ``bucket_cap`` emit hub-star candidates instead
+    of all pairs (see :func:`_capped_pair_ids`) — bounded output on
+    boilerplate-heavy corpora, clusters preserved via the hub."""
     assert num_perm % bands == 0
     r = num_perm // bands
     # Scale contract: the text column must NOT ride through the ×bands
@@ -129,17 +199,13 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"), "sig"
     )
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sigs.select("_id", "sig", band_idx).withColumn(
-        "bucket", F.xxhash64(F.slice("sig", F.col("band") * r + 1, r), F.col("band"))
+    banded = sigs.select("_id", "sig", band_idx).select(
+        "_id", "band",
+        F.xxhash64(
+            F.slice("sig", F.col("band") * r + 1, r), F.col("band")
+        ).alias("bucket"),
     )
-    L = banded.select(F.col("_id").alias("a_id"), "band", "bucket")
-    Rt = banded.select(F.col("_id").alias("b_id"), "band", "bucket")
-    pair_ids = (
-        L.join(Rt, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
+    pair_ids = _capped_pair_ids(banded, bucket_cap)
     texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_txt"))
     pairs = (
         pair_ids.join(texts, pair_ids.a_id == texts._tid)
@@ -216,26 +282,35 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming ≤ k: bucket by each of 4
     16-bit bands (pigeonhole: any pair with ≤3 differing bits collides in
-    ≥1 band), verify with JVM ``bit_count(xor)``."""
+    ≥1 band), verify with JVM ``bit_count(xor)``. Oversized buckets are
+    hub-starred (``bucket_cap``; see :func:`_capped_pair_ids`)."""
     s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
-    bands = s.select(
-        "_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-    ).withColumn(
-        "bucket", F.expr("shiftrightunsigned(simhash, band * 16)").bitwiseAND(F.lit(0xFFFF))
+    bands = (
+        s.select(
+            "_id", "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        )
+        .withColumn(
+            "bucket",
+            F.expr("shiftrightunsigned(simhash, band * 16)").bitwiseAND(F.lit(0xFFFF)),
+        )
+        .select("_id", "band", "bucket")
     )
-    L = bands.select(F.col("_id").alias("a_id"), F.col("simhash").alias("a_sh"), "band", "bucket")
-    Rt = bands.select(F.col("_id").alias("b_id"), F.col("simhash").alias("b_sh"), "band", "bucket")
+    pair_ids = _capped_pair_ids(bands, bucket_cap)
+    sh = s.select(F.col("_id").alias("_sid"), "simhash")
     return (
-        L.join(Rt, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
-        .distinct()
+        pair_ids.join(sh, pair_ids.a_id == sh._sid)
+        .select("a_id", "b_id", F.col("simhash").alias("a_sh"))
+        .join(sh, F.col("b_id") == sh._sid)
+        .select(
+            "a_id", "b_id",
+            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("simhash"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -251,10 +326,13 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     max_shingles_per_doc: int = 32,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 sampled shingle → exact Jaccard verify.
     Sampling keeps the inverted index bounded (documented recall
-    tradeoff vs full index; exact verify keeps precision 1.0)."""
+    tradeoff vs full index; exact verify keeps precision 1.0). A shingle
+    shared by more than ``bucket_cap`` docs (stop-phrase boilerplate) is
+    hub-starred rather than all-paired (:func:`_capped_pair_ids`)."""
 
     @F.pandas_udf("array<long>")
     def sample_shingles(texts: pd.Series) -> pd.Series:
@@ -273,15 +351,12 @@ def ngram_jaccard_pairs(
     # 32×  through the shuffle). Text joins back once per side for the
     # exact verify.
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
-    inv = base.select("_id", F.explode(sample_shingles(F.col("_txt"))).alias("sh"))
-    L = inv.select(F.col("_id").alias("a_id"), "sh")
-    Rt = inv.select(F.col("_id").alias("b_id"), "sh")
-    pair_ids = (
-        L.join(Rt, "sh")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
+    inv = base.select(
+        "_id",
+        F.lit(0).alias("band"),
+        F.explode(sample_shingles(F.col("_txt"))).alias("bucket"),
     )
+    pair_ids = _capped_pair_ids(inv, bucket_cap)
     texts = base.select(F.col("_id").alias("_tid"), "_txt")
     pairs = (
         pair_ids.join(texts, pair_ids.a_id == texts._tid)
@@ -320,13 +395,16 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     planes: int = 12,
     seed: int = 42,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate embedding pairs: random-hyperplane LSH bucket join
     (+1-bit multiprobe via band split) then exact cosine verify.
 
     For cos θ ≥ 0.95, collision prob per plane ≈ 1 − θ/π ≈ 0.90; two
     6-bit bands give ≥ ~75% recall per band pair (documented: LSH recall
-    is probabilistic; the exact variant below is the ground truth)."""
+    is probabilistic; the exact variant below is the ground truth).
+    Oversized buckets (embedding farms / zero vectors) are hub-starred
+    (``bucket_cap``; see :func:`_capped_pair_ids`)."""
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = dim_row["d"]
     rng = np.random.Generator(np.random.PCG64(seed))
@@ -354,14 +432,7 @@ def embedding_neardup_pairs(
             )
         ).alias("bb"),
     ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    L = banded.select(F.col("_id").alias("a_id"), "band", "bucket")
-    Rt = banded.select(F.col("_id").alias("b_id"), "band", "bucket")
-    pair_ids = (
-        L.join(Rt, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .distinct()
-    )
+    pair_ids = _capped_pair_ids(banded, bucket_cap)
     vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
     pairs = (
         pair_ids.join(vecs, pair_ids.a_id == vecs._vid)

@@ -121,33 +121,81 @@ def pairwise_topk_join(
     q_id: str = "q_id",
     c_id: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 65_536,
 ) -> DataFrame:
-    """Batch kNN: top-k corpus vectors per query vector (broadcast the
-    smaller query matrix; one pass over the corpus, numpy matmul per
-    Arrow batch; per-query top-k via window)."""
-    qrows = queries.select(q_id, vec_col).collect()
-    qids = [r[0] for r in qrows]
+    """Batch kNN: exact top-k corpus vectors per query vector.
+
+    Physical plan (both VERDICT r3 scale holes closed):
+
+    * the query side is a bounded dimension — the driver collect is
+      capped at ``max_queries`` (65k × 768-dim ≈ 400 MB broadcast) and
+      RAISES past it instead of silently OOMing; larger query sets
+      should be chunked by the caller or flipped (the bigger side
+      belongs in ``corpus``, which streams);
+    * one pass over the corpus with ``mapInPandas``: per Arrow batch, a
+      numpy matmul scores the batch against the query matrix
+      (query-chunked to bound the score matrix at ~64 MB) and emits the
+      per-batch partial top-k PER QUERY — every batch contributes
+      ≤ nq × (k + value-ties) candidate rows, so the shuffle into the
+      final window carries O(n_batches × nq × k) rows instead of
+      |corpus| × nq (the r3 plan exploded one struct per corpus×query
+      pair);
+    * exactness: under the (cosine DESC, c_id ASC) order, any global
+      top-k member ranks ≤ k by cosine within its own batch, and the
+      value-threshold emit (all rows with score ≥ the batch's k-th
+      largest) is a superset of that — the final per-query window
+      resolves order and ties.
+    """
+    from pyspark.sql import types as T
+
+    qrows = queries.select(q_id, vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"pairwise_topk_join: query side exceeds max_queries={max_queries}; "
+            "chunk the query set, swap sides (the large side should be the "
+            "corpus), or raise max_queries explicitly"
+        )
+    qids = np.array([r[0] for r in qrows])
     Q = np.array([r[1] for r in qrows], dtype=np.float64)
     Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
+    nq = len(qids)
 
-    @F.pandas_udf("array<struct<q:long,s:double>>")
-    def scores(vecs: pd.Series) -> pd.Series:
-        mat = _as_matrix(vecs)
-        norms = np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-        S = (mat / norms) @ Qn.T  # (B, nq)
-        out = [
-            [{"q": int(qids[j]), "s": float(S[i, j])} for j in range(len(qids))]
-            for i in range(len(mat))
-        ]
-        return pd.Series(out, index=vecs.index)
+    out_schema = T.StructType([
+        T.StructField(q_id, queries.schema[q_id].dataType),
+        T.StructField(c_id, corpus.schema[c_id].dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    # chunk the query axis so the (arrow_batch × chunk) score matrix stays
+    # ~80 MB at the default 10k-row Arrow batch size
+    q_chunk = 1024
 
-    exploded = (
-        corpus.withColumn("_sc", F.explode(scores(F.col(vec_col))))
-        .select(
-            F.col("_sc.q").alias(q_id),
-            F.col(c_id),
-            F.col("_sc.s").alias("cosine"),
-        )
-    )
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = _as_matrix(pdf[vec_col])
+            norms = np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+            matn = mat / norms
+            cids = pdf[c_id].to_numpy()
+            B = len(mat)
+            out_q, out_c, out_s = [], [], []
+            for j0 in range(0, nq, q_chunk):
+                S = matn @ Qn[j0 : j0 + q_chunk].T  # (B, ≤q_chunk)
+                if B <= k:
+                    rows, cols = np.nonzero(np.ones_like(S, dtype=bool))
+                else:
+                    top = np.argpartition(-S, k - 1, axis=0)[:k, :]
+                    thresh = np.take_along_axis(S, top, axis=0).min(axis=0)
+                    rows, cols = np.nonzero(S >= thresh[None, :])
+                out_q.append(qids[j0 + cols])
+                out_c.append(cids[rows])
+                out_s.append(S[rows, cols])
+            yield pd.DataFrame({
+                q_id: np.concatenate(out_q),
+                c_id: np.concatenate(out_c),
+                "cosine": np.concatenate(out_s),
+            })
+
+    cand = corpus.select(c_id, vec_col).mapInPandas(partial_topk, out_schema)
     w = Window.partitionBy(q_id).orderBy(F.col("cosine").desc(), F.col(c_id).asc())
-    return exploded.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return cand.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -199,3 +199,73 @@ def test_pairwise_topk_join(spark):
     assert len(out) == 6
     top1 = out[out.rk == 1].set_index("q_id")["vec_id"]
     assert top1[0] == 3 and top1[1] == 50
+
+
+def test_bucket_cap_bounds_degenerate_buckets(spark):
+    """10k copies of one boilerplate doc: candidate generation must emit
+    O(B) hub-star pairs, not B²/2 ≈ 5·10⁷ — and the verified cluster must
+    still connect every copy (VERDICT r3 scale hole #2)."""
+    n = 10_000
+    pdf = pd.DataFrame(
+        {"doc_id": range(n),
+         "text": ["identical boilerplate navigation footer text here"] * n}
+    )
+    docs = spark.createDataFrame(pdf)
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", threshold=0.9, bucket_cap=100)
+    n_pairs = pairs.count()
+    # hub-star: ≤ (n-1) pairs per (band,bucket) dedup to exactly n-1 hubs
+    assert n_pairs == n - 1, n_pairs
+    comp = D.connected_components(pairs).toPandas()
+    assert len(comp) == n and comp["component"].nunique() == 1
+    # small buckets keep full all-pairs semantics: 5 copies < cap
+    small = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(5), "text": ["same tiny doc body"] * 5})
+    )
+    full = D.minhash_lsh_pairs(small, "doc_id", threshold=0.9, bucket_cap=100)
+    assert full.count() == 10  # C(5,2)
+
+
+def test_bucket_cap_embedding_and_histogram(spark):
+    """Embedding LSH: a vector farm (same vector 2k times) is hub-starred;
+    lsh_bucket_histogram reports what the cap would bite."""
+    n = 2_000
+    vec = [1.0, 0.5, -0.25, 2.0]
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [vec] * n})
+    df = spark.createDataFrame(pdf)
+    pairs = D.embedding_neardup_pairs(df, bucket_cap=64)
+    assert pairs.count() == n - 1
+    banded = df.select(
+        F.col("vec_id").alias("_id"), F.lit(0).alias("band"), F.lit(0).alias("bucket")
+    )
+    hist = D.lsh_bucket_histogram(banded, bucket_cap=64).toPandas()
+    capped = hist[hist.capped]
+    assert len(capped) == 1 and capped.iloc[0]["uncapped_pairs"] == n * (n - 1) / 2
+
+
+def test_pairwise_topk_bounded_and_exact(spark):
+    """VERDICT r3 scale hole #1: the rewritten pairwise_topk_join must
+    (a) match brute-force exactly incl. ties across Arrow-batch borders,
+    (b) raise on an oversized query side instead of collecting it."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    n, d, nq, k = 3000, 16, 40, 5
+    M = rng.standard_normal((n, d))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [list(map(float, v)) for v in M]})
+    ).repartition(8)  # several partitions -> several partial-topk batches
+    Qm = M[rng.choice(n, nq, replace=False)] + rng.standard_normal((nq, d)) * 0.01
+    queries = spark.createDataFrame(
+        pd.DataFrame({"q_id": range(nq), "embedding": [list(map(float, v)) for v in Qm]})
+    )
+    out = S.pairwise_topk_join(queries, corpus, k=k).toPandas()
+    assert len(out) == nq * k
+    # brute-force oracle
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Qn = Qm / np.linalg.norm(Qm, axis=1, keepdims=True)
+    Sm = Qn @ Mn.T  # (nq, n)
+    for q in range(nq):
+        order = np.lexsort((np.arange(n), -Sm[q]))[:k]
+        got = out[out.q_id == q].sort_values("rk")["vec_id"].to_numpy()
+        assert (got == order).all(), (q, got, order)
+    # cap: oversized query side raises rather than collecting unbounded
+    with pytest.raises(ValueError, match="max_queries"):
+        S.pairwise_topk_join(queries, corpus, k=k, max_queries=10)
