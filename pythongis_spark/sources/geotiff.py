@@ -1,13 +1,14 @@
 """Minimal GeoTIFF reader/writer in pure stdlib struct + numpy.
 
-Scope (documented): single-image, stripped TIFF 6.0 — uncompressed,
-Deflate (8 / legacy 32946, stdlib zlib) or PackBits strips, horizontal
-differencing predictor — with
-the GeoTIFF georeferencing tags ModelPixelScale (33550) +
-ModelTiepoint (33922) — the files GDAL writes with COMPRESS=NONE or
-COMPRESS=DEFLATE, which the reference reads through PIL
-(``pythongis/raster/loader.py``). Tiled or otherwise-compressed TIFFs
-raise a clear error instead of mis-decoding.
+Scope (documented): single-image TIFF 6.0 in STRIPPED or TILED (§15)
+layout — uncompressed, Deflate (8 / legacy 32946, stdlib zlib),
+PackBits (§9) or LZW (§13, MSB-first variable-width codes with the
+early-change convention) blocks, horizontal differencing predictor —
+with the GeoTIFF georeferencing tags ModelPixelScale (33550) +
+ModelTiepoint (33922) — i.e. the files GDAL writes with
+COMPRESS=NONE/DEFLATE/LZW/PACKBITS, which the reference reads through
+PIL (``pythongis/raster/loader.py:235``). Other compressions raise a
+clear error instead of mis-decoding.
 
 Sample types: uint8/16/32, int16/32, float32/64, 1..N bands
 (contiguous planar config). Nodata from the GDAL_NODATA ASCII tag
@@ -64,6 +65,127 @@ def _unpackbits(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW decode (TIFF 6.0 §13): MSB-first bit packing,
+    9→12-bit variable-width codes, ClearCode=256 / EOI=257, and the
+    early-change convention (width grows when the NEXT table index
+    reaches 2^w − 1, matching libtiff/PIL output)."""
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    code_w = 9
+
+    def fresh():
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = fresh()
+    prev: bytes | None = None
+    while bitpos + code_w <= nbits:
+        i0 = bitpos >> 3
+        chunk = int.from_bytes(data[i0 : i0 + 3].ljust(3, b"\x00"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - code_w)) & ((1 << code_w) - 1)
+        bitpos += code_w
+        if code == 256:  # Clear
+            table = fresh()
+            code_w = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream (code beyond table)")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << code_w) - 1 and code_w < 12:
+            code_w += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encode (§13, early change) — driver-side export
+    helper, dict-based; mirrors :func:`_lzw_decode` exactly."""
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+
+    def write(code: int, width: int):
+        nonlocal acc, acc_bits
+        acc = (acc << width) | code
+        acc_bits += width
+        while acc_bits >= 8:
+            acc_bits -= 8
+            out.append((acc >> acc_bits) & 0xFF)
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    code_w = 9
+    write(256, code_w)
+    table = fresh()
+    next_code = 258
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        write(table[prev], code_w)
+        table[cur] = next_code
+        next_code += 1
+        # §13 early change: "increase the code length as soon as table
+        # entry 511 (1023, 2047) is added" — entry index next_code-1
+        if next_code >= (1 << code_w) and code_w < 12:
+            code_w += 1
+        if next_code > 4093:  # table nearly full: restart
+            write(256, code_w)
+            table = fresh()
+            next_code = 258
+            code_w = 9
+        prev = bytes([byte])
+    if prev:
+        write(table[prev], code_w)
+    write(257, code_w)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
+def _decode_block(data: bytes, compression: int) -> bytes:
+    if compression in (8, 32946):  # Deflate / legacy Deflate
+        import zlib
+
+        return zlib.decompress(data)
+    if compression == 32773:
+        return _unpackbits(data)
+    if compression == 5:
+        return _lzw_decode(data)
+    return data
+
+
+def _undo_predictor(native: np.ndarray, predictor: int, dt) -> np.ndarray:
+    """Undo horizontal differencing (§14) on an (h, w, spp) block. Rows
+    are differenced within each strip/tile independently, but since
+    differencing is per ROW the same undo applies to any block shape."""
+    if predictor == 1:
+        return native
+    if predictor == 2:
+        if np.issubdtype(dt, np.floating):
+            raise NotImplementedError(
+                "predictor=2 with floating-point samples is nonconformant "
+                "(TIFF 6.0 §14; use predictor=3)"
+            )
+        return np.cumsum(native, axis=1, dtype=np.int64).astype(dt)
+    raise NotImplementedError(f"predictor={predictor} not supported")
+
+
 def parse_geotiff(buf: bytes):
     """GeoTIFF bytes → ((h, w, bands) float array with NaN nodata,
     RasterDef)."""
@@ -90,13 +212,11 @@ def parse_geotiff(buf: bytes):
 
     w, h = int(one(256)), int(one(257))
     compression = int(one(259, 1))
-    if compression not in (1, 8, 32946, 32773):
+    if compression not in (1, 5, 8, 32946, 32773):
         raise NotImplementedError(
             f"compression={compression} not supported "
-            "(uncompressed, Deflate, PackBits)"
+            "(uncompressed, LZW, Deflate, PackBits)"
         )
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported (stripped only)")
     spp = int(one(277, 1))
     bps = tags.get(258, [8])
     bps0 = int(bps[0] if isinstance(bps, list) else bps)
@@ -106,39 +226,41 @@ def parse_geotiff(buf: bytes):
           (3, 32): np.float32, (3, 64): np.float64}.get((sfmt, bps0))
     if dt is None:
         raise NotImplementedError(f"sample format {sfmt}/{bps0} not supported")
-    offs = tags.get(273)
-    cnts = tags.get(279)
-    if offs is None or cnts is None:
-        raise ValueError("missing strip offsets/counts")
-    strips = []
-    for o, c in zip(offs, cnts):
-        data = bytes(buf[o : o + c])
-        if compression in (8, 32946):  # Deflate / legacy Deflate: stdlib zlib
-            import zlib
-
-            data = zlib.decompress(data)
-        elif compression == 32773:
-            data = _unpackbits(data)
-        strips.append(data)
-    raw = b"".join(strips)
-    native = np.frombuffer(raw, dtype=np.dtype(dt).newbyteorder(bo)).reshape(
-        h, w, spp
-    )
     predictor = int(one(317, 1))
-    if predictor == 2:
-        # horizontal differencing: undo with a per-row cumulative sum,
-        # wrapping modulo the sample width (TIFF 6.0 §14). Defined for
-        # integer samples only — predictor 3 is the float form; a
-        # (nonconformant) predictor=2 + float file would be silently
-        # truncated by the int64 cumsum, so reject it.
-        if np.issubdtype(dt, np.floating):
-            raise NotImplementedError(
-                "predictor=2 with floating-point samples is nonconformant "
-                "(TIFF 6.0 §14; use predictor=3)"
-            )
-        native = np.cumsum(native, axis=1, dtype=np.int64).astype(dt)
-    elif predictor != 1:
-        raise NotImplementedError(f"predictor={predictor} not supported")
+    ndt = np.dtype(dt).newbyteorder(bo)
+    if 322 in tags or 323 in tags:
+        # tiled layout (TIFF 6.0 §15): fixed-size tiles, row-major tile
+        # grid, edge tiles padded in the file to full tile size; the
+        # predictor is undone PER TILE (rows are differenced within a
+        # tile) before placement
+        tw, tl = int(one(322)), int(one(323))
+        offs = tags.get(324)
+        cnts = tags.get(325)
+        if offs is None or cnts is None:
+            raise ValueError("missing tile offsets/counts")
+        tiles_across = (w + tw - 1) // tw
+        native = np.zeros((h, w, spp), dtype=dt)
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            data = _decode_block(bytes(buf[o : o + c]), compression)
+            tile = np.frombuffer(data, dtype=ndt).reshape(tl, tw, spp)
+            tile = _undo_predictor(tile, predictor, dt)
+            ty, tx = divmod(idx, tiles_across)
+            y0, x0 = ty * tl, tx * tw
+            hh, ww = min(tl, h - y0), min(tw, w - x0)
+            native[y0 : y0 + hh, x0 : x0 + ww] = tile[:hh, :ww]
+    else:
+        offs = tags.get(273)
+        cnts = tags.get(279)
+        if offs is None or cnts is None:
+            raise ValueError("missing strip offsets/counts")
+        raw = b"".join(
+            _decode_block(bytes(buf[o : o + c]), compression)
+            for o, c in zip(offs, cnts)
+        )
+        native = np.frombuffer(raw, dtype=ndt).reshape(h, w, spp)
+        # strip rows are full image rows, so the per-row predictor undo
+        # is valid on the assembled array
+        native = _undo_predictor(native, predictor, dt)
     arr = native.astype(np.float64)
 
     scale = tags.get(33550)  # [sx, sy, sz]
@@ -184,13 +306,58 @@ def read_geotiff(spark: SparkSession, path: str) -> tuple[DataFrame, RasterDef]:
     return spark.createDataFrame(pdf, "x int, y int, band int, val double"), rd
 
 
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE encode (TIFF 6.0 §9): repeat packets for runs ≥ 2,
+    literal packets otherwise (run scan breaks literals at a 3-repeat)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        while j < n and j - i < 128:
+            if j < n - 2 and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+_COMPRESSORS = {
+    None: (1, lambda d: d),
+    "deflate": (8, None),  # filled below (lazy zlib import)
+    "packbits": (32773, _packbits_encode),
+    "lzw": (5, _lzw_encode),
+}
+
+
+def _compress_block(data: bytes, compress: str | None) -> tuple[int, bytes]:
+    if compress == "deflate":
+        import zlib
+
+        return 8, zlib.compress(data, 6)
+    if compress not in _COMPRESSORS:
+        raise NotImplementedError(f"compress={compress!r}")
+    tag, fn = _COMPRESSORS[compress]
+    return tag, fn(data)
+
+
 def write_geotiff(
     cells: DataFrame, rd: RasterDef, path: str, dtype: str = "float64",
-    compress: str | None = None,
+    compress: str | None = None, tile: tuple[int, int] | None = None,
 ) -> None:
-    """Cell table → single-strip GeoTIFF (float samples; missing cells →
-    nodata). ``compress='deflate'`` zlib-compresses the strip
-    (compression=8). Driver-side collect — tile large grids into
+    """Cell table → GeoTIFF (float samples; missing cells → nodata).
+
+    ``compress``: None | 'deflate' | 'packbits' | 'lzw'.
+    ``tile=(tw, th)``: tiled layout (§15; tw/th multiples of 16) instead
+    of a single strip. Driver-side collect — tile large grids into
     per-tile files instead."""
     from pyspark.sql import functions as F
 
@@ -204,15 +371,24 @@ def write_geotiff(
         pdf["band"][ok].to_numpy(int)] = pdf["val"][ok]
     dt = np.dtype(dtype)
     sfmt = 3 if dt.kind == "f" else (2 if dt.kind == "i" else 1)
-    data = arr.astype("<" + dt.str[1:]).tobytes()
-    comp_tag = 1
-    if compress == "deflate":
-        import zlib
+    native = arr.astype("<" + dt.str[1:])
 
-        data = zlib.compress(data, 6)
-        comp_tag = 8
-    elif compress is not None:
-        raise NotImplementedError(f"compress={compress!r}")
+    blocks: list[bytes] = []
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16:
+            raise ValueError("tile dims must be multiples of 16 (TIFF 6.0 §15)")
+        for y0 in range(0, rd.height, tl):
+            for x0 in range(0, rd.width, tw):
+                t = np.full((tl, tw, nbands), float(rd.nodata), dtype=native.dtype)
+                hh = min(tl, rd.height - y0)
+                ww = min(tw, rd.width - x0)
+                t[:hh, :ww] = native[y0 : y0 + hh, x0 : x0 + ww]
+                comp_tag, blk = _compress_block(t.tobytes(), compress)
+                blocks.append(blk)
+    else:
+        comp_tag, blk = _compress_block(native.tobytes(), compress)
+        blocks.append(blk)
 
     entries = []  # (tag, type, count, packed-value-or-data)
 
@@ -224,39 +400,60 @@ def write_geotiff(
     ent(256, 3, [rd.width], "H")
     ent(257, 3, [rd.height], "H")
     ent(258, 3, [dt.itemsize * 8] * nbands, "H")
-    ent(259, 3, [comp_tag], "H")   # 1 = none, 8 = Deflate
+    ent(259, 3, [comp_tag], "H")
     ent(262, 3, [1], "H")          # BlackIsZero
     ent(277, 3, [nbands], "H")
-    ent(278, 3, [rd.height], "H")  # one strip
-    ent(279, 4, [len(data)], "I")
     ent(284, 3, [1], "H")          # contiguous
     ent(339, 3, [sfmt] * nbands, "H")
+    if tile is not None:
+        ent(322, 3, [tile[0]], "H")
+        ent(323, 3, [tile[1]], "H")
+        ent(325, 4, [len(b) for b in blocks], "I")
+        entries.append((324, 4, len(blocks), b"\x00" * 4 * len(blocks)))
+        offsets_tag = 324
+    else:
+        ent(278, 3, [rd.height], "H")  # one strip
+        ent(279, 4, [len(blocks[0])], "I")
+        entries.append((273, 4, 1, b"\x00\x00\x00\x00"))
+        offsets_tag = 273
     entries.append((33550, 12, 3, struct.pack("<3d", rd.xscale, -rd.yscale, 0.0)))
     entries.append((33922, 12, 6, struct.pack("<6d", 0, 0, 0, rd.xoffset, rd.yoffset, 0)))
     entries.append((42113, 2, len(nd_ascii), nd_ascii))
-    # StripOffsets placeholder added after layout
-    entries.append((273, 4, 1, b"\x00\x00\x00\x00"))
     entries.sort(key=lambda t: t[0])
 
     n = len(entries)
     ifd_off = 8
     ifd_size = 2 + 12 * n + 4
     ext_off = ifd_off + ifd_size
+    # first pass: lay out ext payloads (offsets array included, zeroed)
     ext = bytearray()
     packed = []
+    ext_pos = {}  # tag -> position of its payload in ext (for patching)
     for tag, ftype, count, payload in entries:
         if len(payload) <= 4:
             val = payload.ljust(4, b"\x00")
+            ext_pos[tag] = None
         else:
+            ext_pos[tag] = len(ext)
             val = struct.pack("<I", ext_off + len(ext))
             ext += payload
         packed.append((tag, ftype, count, val))
     data_off = ext_off + len(ext)
-    # patch StripOffsets
-    packed = [
-        (tag, ftype, count, struct.pack("<I", data_off) if tag == 273 else val)
-        for tag, ftype, count, val in packed
-    ]
+    # second pass: patch block offsets now that the data start is known
+    offs = []
+    pos = data_off
+    for b in blocks:
+        offs.append(pos)
+        pos += len(b)
+    offs_payload = struct.pack("<" + "I" * len(offs), *offs)
+    if ext_pos.get(offsets_tag) is not None:
+        p = ext_pos[offsets_tag]
+        ext[p : p + len(offs_payload)] = offs_payload
+    else:
+        packed = [
+            (tag, ftype, count, offs_payload.ljust(4, b"\x00") if tag == offsets_tag else val)
+            for tag, ftype, count, val in packed
+        ]
     out = bytearray()
     out += b"II" + struct.pack("<HI", 42, ifd_off)
     out += struct.pack("<H", n)
@@ -264,6 +461,7 @@ def write_geotiff(
         out += struct.pack("<HHI", tag, ftype, count) + val
     out += struct.pack("<I", 0)  # no next IFD
     out += ext
-    out += data
+    for b in blocks:
+        out += b
     with open(path, "wb") as fh:
         fh.write(bytes(out))

@@ -227,3 +227,86 @@ def test_stata_dta_read(spark, tmp_path):
     assert set(df.columns) == {"NAME", "VAL"}
     rows = {r["NAME"]: r["VAL"] for r in df.collect()}
     assert rows == {"x": 1.5, "y": -2.0}
+
+
+def test_geotiff_lzw_and_tiled_roundtrip(spark, tmp_path):
+    """LZW strips (compression=5, §13 early-change codes) and tiled
+    layout (§15, incl. edge tiles + LZW + multiband) round-trip exactly;
+    float32 values chosen dyadic so the narrowing cast is lossless."""
+    import os
+
+    import numpy as np
+
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.geotiff import (parse_geotiff, read_geotiff,
+                                                 write_geotiff)
+
+    w, h = 37, 23  # NOT multiples of the 16x16 tile -> padded edge tiles
+    rng = np.random.Generator(np.random.PCG64(5))
+    vals = (rng.integers(-100, 100, size=(h, w)) / 4.0)
+    pdf = pd.DataFrame({
+        "x": np.tile(np.arange(w), h), "y": np.repeat(np.arange(h), w),
+        "band": 0, "val": vals.ravel(),
+    })
+    cells = spark.createDataFrame(pdf)
+    rd = RasterDef(w, h, (0.25, 0.0, -3.0, 0.0, -0.25, 5.0))
+
+    for kw in (dict(compress="lzw"), dict(tile=(16, 16)),
+               dict(compress="lzw", tile=(16, 16)),
+               dict(compress="packbits", tile=(16, 16))):
+        p = os.path.join(str(tmp_path), "t.tif")
+        write_geotiff(cells, rd, p, dtype="float32", **kw)
+        back, rd2 = read_geotiff(spark, p)
+        got = back.toPandas().sort_values(["y", "x"])
+        assert len(got) == w * h, kw
+        assert (got["val"].to_numpy() == vals.ravel()).all(), kw
+        assert (rd2.xscale, rd2.yscale, rd2.xoffset, rd2.yoffset) == (
+            0.25, -0.25, -3.0, 5.0)
+
+    # multiband tiled + predictor-free uint8 path through int dtype
+    pdf2 = pd.concat([
+        pdf.assign(band=0),
+        pdf.assign(band=1, val=(pdf["val"] * 2)),
+    ])
+    cells2 = spark.createDataFrame(pdf2)
+    p2 = os.path.join(str(tmp_path), "mb.tif")
+    write_geotiff(cells2, rd, p2, dtype="float64", compress="lzw", tile=(16, 16))
+    arr, _ = parse_geotiff(open(p2, "rb").read())
+    assert arr.shape == (h, w, 2)
+    assert (arr[:, :, 0] == vals).all() and (arr[:, :, 1] == vals * 2).all()
+
+
+def test_geotiff_lzw_predictor2_strips(tmp_path):
+    """LZW + horizontal-differencing predictor on a hand-built stripped
+    file: decode path must undo the predictor after LZW expansion."""
+    import struct as st
+
+    import numpy as np
+
+    from pythongis_spark.sources.geotiff import _lzw_encode, parse_geotiff
+
+    w, h = 6, 3
+    base = np.arange(w * h, dtype=np.uint8).reshape(h, w) * 3
+    diff = base.astype(np.int16)
+    diff[:, 1:] = diff[:, 1:] - diff[:, :-1]
+    data = _lzw_encode(diff.astype(np.uint8).tobytes())
+    entries = [
+        (256, 3, 1, st.pack("<H", w).ljust(4, b"\0")),
+        (257, 3, 1, st.pack("<H", h).ljust(4, b"\0")),
+        (258, 3, 1, st.pack("<H", 8).ljust(4, b"\0")),
+        (259, 3, 1, st.pack("<H", 5).ljust(4, b"\0")),
+        (277, 3, 1, st.pack("<H", 1).ljust(4, b"\0")),
+        (278, 3, 1, st.pack("<H", h).ljust(4, b"\0")),
+        (279, 4, 1, st.pack("<I", len(data))),
+        (317, 3, 1, st.pack("<H", 2).ljust(4, b"\0")),
+    ]
+    n = len(entries) + 1
+    data_off = 8 + 2 + 12 * n + 4
+    entries.append((273, 4, 1, st.pack("<I", data_off)))
+    entries.sort()
+    out = b"II" + st.pack("<HI", 42, 8) + st.pack("<H", n)
+    for tag, t, c, v in entries:
+        out += st.pack("<HHI", tag, t, c) + v
+    out += st.pack("<I", 0) + data
+    arr, _ = parse_geotiff(out)
+    assert (arr[:, :, 0] == base).all()
