@@ -1,17 +1,21 @@
-"""Deterministic image codec + perceptual hash for the north-rule payload.
+"""Image codecs + perceptual hash for the north-rule payload.
 
-PIL/image libraries are NOT installed in this environment, so the *codec*
-is a clearly-marked deterministic stand-in (`FPNG`/`FBMP` lossless via
-zlib, `FJPG` lossy via channel quantization). Everything around it — the
-(image_id, bytes, w, h, fmt, caption, phash) schema from
-BASELINE.json input_hint, Arrow batch shapes, mapInPandas decode
-plumbing, PSNR/allclose verification — is real and tested; swapping in a
-real PNG/JPEG codec is a drop-in replacement of `encode_image` /
-`decode_image` only.
+PNG and BMP are REAL, implemented from their public specs in pure
+stdlib + numpy: PNG (RFC 2083 / W3C PNG spec: IHDR/IDAT/IEND chunks,
+zlib stream, all five scanline filters incl. Paeth, 8-bit truecolor ±
+alpha and grayscale on decode) and Windows BMP (BITMAPINFOHEADER,
+24-bit BI_RGB, bottom-up padded rows). JPEG remains a clearly-marked
+deterministic stand-in (`FJPG`, lossy via channel quantization) — a
+spec-faithful DCT codec is out of scope without an image library, and
+the stand-in's PSNR ≈ 43.4 dB (MSE ≈ 6²/12 = 3) keeps the 40 dB gate
+meaningful. The legacy `FPNG`/`FBMP` stand-in containers remain
+readable for blobs written by earlier rounds.
 
-Lossy gate: FJPG quantizes channels with step 6 → MSE ≈ 6²/12 = 3 →
-PSNR ≈ 43.4 dB, above the 40 dB requirement; lossless formats round-trip
-bit-exact (allclose).
+Everything around the codecs — the (image_id, bytes, w, h, fmt,
+caption, phash) schema from BASELINE.json input_hint, Arrow batch
+shapes, mapInPandas decode plumbing, PSNR/allclose verification — is
+shared across formats; `decode_image` dispatches on the container
+signature.
 """
 
 from __future__ import annotations
@@ -26,6 +30,184 @@ MAGIC_LOSSY = b"FJPG"
 FMT_MAGIC = {"png": b"FPNG", "bmp": b"FBMP", "jpeg": b"FJPG"}
 MAGIC_FMT = {v: k for k, v in FMT_MAGIC.items()}
 _Q = 6  # lossy quantization step
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ------------------------------------------------------------------
+# real PNG (public W3C spec) — 8-bit truecolor encode; truecolor,
+# truecolor+alpha and grayscale decode; all five filters
+# ------------------------------------------------------------------
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_pred(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §6.6), vectorized over int16+ arrays."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0, level: int = 1) -> bytes:
+    """(h, w, 3) uint8 → real PNG bytes (8-bit truecolor). One filter
+    for all scanlines; all five filter types supported (the filters act
+    on RAW bytes so every one vectorizes on encode)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    raw = pixels.reshape(h, w * 3).astype(np.uint8)
+    prev = np.zeros((h, w * 3), dtype=np.uint8)
+    prev[1:] = raw[:-1]
+    left = np.zeros_like(raw)
+    left[:, 3:] = raw[:, :-3]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 3:] = raw[:-1, :-3]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:  # Sub
+        filt = raw - left
+    elif filter_type == 2:  # Up
+        filt = raw - prev
+    elif filter_type == 3:  # Average
+        filt = raw - ((left.astype(np.int16) + prev.astype(np.int16)) // 2).astype(np.uint8)
+    elif filter_type == 4:  # Paeth
+        filt = raw - _paeth_pred(left, prev, upleft).astype(np.uint8)
+    else:
+        raise ValueError(f"bad PNG filter {filter_type}")
+    stream = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    stream[:, 0] = filter_type
+    stream[:, 1:] = filt
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(stream.tobytes(), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(blob: bytes) -> np.ndarray:
+    """Real PNG bytes → (h, w, 3) uint8. Supports 8-bit color types 0
+    (grayscale → replicated), 2 (truecolor) and 6 (truecolor+alpha →
+    alpha dropped); non-interlaced."""
+    if bytes(blob[:8]) != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    n = len(blob)
+    while pos + 8 <= n:
+        (clen,) = struct.unpack_from(">I", blob, pos)
+        ctype = bytes(blob[pos + 4 : pos + 8])
+        data = bytes(blob[pos + 8 : pos + 8 + clen])
+        pos += 12 + clen  # len + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_v, comp, filt_m, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_m != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth}/interlace {interlace} not supported (8-bit non-interlaced)"
+        )
+    nch = {0: 1, 2: 3, 6: 4}.get(ctype_v)
+    if nch is None:
+        raise NotImplementedError(f"PNG color type {ctype_v} not supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = rows[:, 0]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(ftypes[y])
+        line = rows[y, 1:].copy()
+        up = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            recon[y] = line
+        elif ft == 1:  # Sub: per-lane cumsum mod 256
+            lanes = line.reshape(w, nch)
+            recon[y] = (np.cumsum(lanes, axis=0, dtype=np.uint32) % 256).astype(
+                np.uint8
+            ).reshape(stride)
+        elif ft == 2:  # Up
+            recon[y] = line + up
+        elif ft == 3:  # Average (left-sequential per pixel)
+            out = np.zeros(stride, dtype=np.uint8)
+            left = np.zeros(nch, dtype=np.uint8)
+            for x in range(w):
+                s = slice(x * nch, (x + 1) * nch)
+                left = (
+                    line[s]
+                    + ((left.astype(np.int16) + up[s].astype(np.int16)) // 2).astype(np.uint8)
+                )
+                out[s] = left
+            recon[y] = out
+        elif ft == 4:  # Paeth (left-sequential per pixel)
+            out = np.zeros(stride, dtype=np.uint8)
+            left = np.zeros(nch, dtype=np.uint8)
+            ul = np.zeros(nch, dtype=np.uint8)
+            for x in range(w):
+                s = slice(x * nch, (x + 1) * nch)
+                u = up[s]
+                left = line[s] + _paeth_pred(left, u, ul).astype(np.uint8)
+                out[s] = left
+                ul = u
+            recon[y] = out
+        else:
+            raise ValueError(f"bad PNG filter byte {ft}")
+    img = recon.reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])
+
+
+# ------------------------------------------------------------------
+# real BMP (Windows BITMAPINFOHEADER, 24-bit BI_RGB)
+# ------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → real 24-bit BMP (bottom-up BGR, 4-byte-padded
+    rows)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row_len = (w * 3 + 3) & ~3
+    body = np.zeros((h, row_len), dtype=np.uint8)
+    body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    return header + info + data
+
+
+def decode_bmp(blob: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 (top-down or bottom-up)."""
+    if bytes(blob[:2]) != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", blob, 14)
+    planes, bpp = struct.unpack_from("<HH", blob, 26)
+    (compression,) = struct.unpack_from("<I", blob, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp}/compression={compression} not supported")
+    h = abs(h_signed)
+    row_len = (w * 3 + 3) & ~3
+    body = np.frombuffer(bytes(blob[data_off : data_off + h * row_len]),
+                         dtype=np.uint8).reshape(h, row_len)
+    img = body[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if h_signed > 0:
+        img = img[::-1]  # bottom-up
+    return np.ascontiguousarray(img)
 
 
 def make_pixels(i: int, w: int, h: int) -> np.ndarray:
@@ -53,12 +235,17 @@ def quantize_lossy(pixels: np.ndarray) -> np.ndarray:
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """uint8 (h, w, 3) → bytes in the deterministic container format."""
+    """uint8 (h, w, 3) → bytes: REAL PNG/BMP; FJPG stand-in for jpeg.
+
+    PNG uses filter 0 + zlib level 1: deterministic, and compression
+    ratio is irrelevant to the correctness gates."""
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "bmp":
+        return encode_bmp(pixels)
     h, w, c = pixels.shape
     assert c == 3
     magic = FMT_MAGIC[fmt]
-    # fixed level 1: deterministic and ~3x faster than 6; compression
-    # ratio is irrelevant to the correctness gates
     if magic == MAGIC_LOSSY:
         payload = zlib.compress(quantize_lossy(pixels).tobytes(), 1)
     else:
@@ -67,8 +254,14 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """bytes → uint8 (h, w, 3) pixels."""
-    magic = bytes(blob[:4])
+    """bytes → uint8 (h, w, 3) pixels; container detected by signature
+    (real PNG / real BMP / legacy FPNG-FBMP-FJPG stand-ins)."""
+    sig = bytes(blob[:8])
+    if sig == PNG_SIG:
+        return decode_png(blob)
+    if sig[:2] == b"BM":
+        return decode_bmp(blob)
+    magic = sig[:4]
     if magic not in MAGIC_FMT:
         raise ValueError(f"unknown image container {magic!r}")
     w, h = struct.unpack_from("<HH", blob, 4)

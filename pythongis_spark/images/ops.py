@@ -146,10 +146,16 @@ def phash_hamming_expr(a, b):
 
 
 def decode_stub_external(fmt: str):
-    """Where a *real* decoder would plug in. PIL/libjpeg are not installed
-    in this environment; calling this is an explicit, documented stub."""
+    """Where a decoder for formats beyond the built-ins would plug in.
+    PNG and BMP are implemented for real in
+    ``pythongis_spark.images.codec`` (pure stdlib, public specs); JPEG
+    and the exotic formats need an image library (PIL/libjpeg) not
+    present in this environment — calling this is an explicit,
+    documented stub (the deterministic FJPG quantizer is the jpeg
+    stand-in)."""
     raise NotImplementedError(
-        f"real {fmt} decode requires an image library (PIL) not present in "
-        "this environment; the deterministic FPNG/FBMP/FJPG codec in "
-        "pythongis_spark.images.codec is the drop-in stand-in"
+        f"real {fmt} decode requires an image library (PIL/libjpeg) not "
+        "present in this environment; PNG/BMP are implemented natively in "
+        "pythongis_spark.images.codec, jpeg uses the documented FJPG "
+        "quantizer stand-in"
     )
