@@ -190,6 +190,7 @@ def _q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with trigger=availableNow into a memory sink. The oracle reproduces
     the same windows in SQL — streaming and batch must agree exactly
     because availableNow processes all data with a final watermark."""
+    import shutil
     import tempfile
 
     from pythongis_spark.streaming import read_event_stream, windowed_counts
@@ -198,21 +199,27 @@ def _q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = ("event_id bigint, ts timestamp, user_id bigint, "
               "event_type string, value double, props string")
     # the file stream source wants a DIRECTORY of drop files; the test
-    # table is a single parquet file → expose it through a temp dir
+    # table is a single parquet file → expose it through a temp dir.
+    # Both temp dirs are removed after the availableNow drain completes:
+    # the memory-sink table the caller reads lives in the session, not
+    # on disk, and the checkpoint is only needed while the query runs.
     src_dir = tempfile.mkdtemp(prefix="evstream_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"),
-        os.path.join(src_dir, "events.parquet"),
-    )
-    stream = read_event_stream(spark, src_dir, schema=schema)
-    # decimal BEFORE the sum: double partial-sum order differs between
-    # engines (oracle-determinism recipe)
-    stream = stream.withColumn("value", F.col("value").cast("decimal(38,9)"))
-    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
-    name = "stream_win_counts"
-    run_available_now(
-        agg, name, tempfile.mkdtemp(prefix="ck_"), output_mode="complete",
-    )
+    ck_dir = tempfile.mkdtemp(prefix="ck_")
+    try:
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            os.path.join(src_dir, "events.parquet"),
+        )
+        stream = read_event_stream(spark, src_dir, schema=schema)
+        # decimal BEFORE the sum: double partial-sum order differs between
+        # engines (oracle-determinism recipe)
+        stream = stream.withColumn("value", F.col("value").cast("decimal(38,9)"))
+        agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+        name = "stream_win_counts"
+        run_available_now(agg, name, ck_dir, output_mode="complete")
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ck_dir, ignore_errors=True)
     return spark.table(name).select(
         F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
         "event_type", "n",
@@ -995,7 +1002,7 @@ def _q_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.operators.relational import describe
 
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    return describe(cust).select("field", "valid", "missing")
+    return describe(cust).select("field", "valid", "missing", "min", "max", "mean")
 
 
 def _q_field_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1284,11 +1291,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "describe_customer": """
-            SELECT 'c_custkey' AS field, COUNT(c_custkey) AS valid, COUNT(*) - COUNT(c_custkey) AS missing FROM customer
-            UNION ALL SELECT 'c_name', COUNT(c_name), COUNT(*) - COUNT(c_name) FROM customer
-            UNION ALL SELECT 'c_nationkey', COUNT(c_nationkey), COUNT(*) - COUNT(c_nationkey) FROM customer
-            UNION ALL SELECT 'c_acctbal', COUNT(c_acctbal), COUNT(*) - COUNT(c_acctbal) FROM customer
-            UNION ALL SELECT 'c_mktsegment', COUNT(c_mktsegment), COUNT(*) - COUNT(c_mktsegment) FROM customer
+            SELECT 'c_custkey' AS field, COUNT(c_custkey) AS valid,
+                   COUNT(*) - COUNT(c_custkey) AS missing,
+                   CAST(MIN(c_custkey) AS DOUBLE) AS min,
+                   CAST(MAX(c_custkey) AS DOUBLE) AS max,
+                   CAST(SUM(CAST(c_custkey AS DECIMAL(30,8))) AS DOUBLE) / COUNT(c_custkey) AS mean
+            FROM customer
+            UNION ALL SELECT 'c_name', COUNT(c_name), COUNT(*) - COUNT(c_name),
+                   NULL, NULL, NULL FROM customer
+            UNION ALL SELECT 'c_nationkey', COUNT(c_nationkey), COUNT(*) - COUNT(c_nationkey),
+                   CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE),
+                   CAST(SUM(CAST(c_nationkey AS DECIMAL(30,8))) AS DOUBLE) / COUNT(c_nationkey)
+            FROM customer
+            UNION ALL SELECT 'c_acctbal', COUNT(c_acctbal), COUNT(*) - COUNT(c_acctbal),
+                   CAST(MIN(c_acctbal) AS DOUBLE), CAST(MAX(c_acctbal) AS DOUBLE),
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / COUNT(c_acctbal)
+            FROM customer
+            UNION ALL SELECT 'c_mktsegment', COUNT(c_mktsegment), COUNT(*) - COUNT(c_mktsegment),
+                   NULL, NULL, NULL FROM customer
         """,
         "field_values_segment": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment

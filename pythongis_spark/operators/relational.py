@@ -471,16 +471,41 @@ def histogram(df: DataFrame, col: str, bins: int = 10) -> DataFrame:
 
 
 def describe(df: DataFrame) -> DataFrame:
-    """Per-column valid/missing counts (``pythongis/vector/data.py:731``)."""
-    rows = []
+    """Per-column type + valid/missing counts, plus min/max/mean for
+    numeric fields (null for text) — the reference's ``describe`` and
+    ``summarystats`` combined (``pythongis/vector/data.py:731-823``).
+    One job: every statistic is a column of a single agg. The mean is
+    computed as an exact decimal sum divided by the count, so its value
+    is independent of partition/summation order (oracle determinism)."""
+    from pyspark.sql import types as T
+
+    numeric = [
+        c for c in df.columns if isinstance(df.schema[c].dataType, T.NumericType)
+    ]
     aggs = []
     for c in df.columns:
         aggs.append(F.count(F.col(c)).alias(f"{c}__valid"))
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__missing"))
+        if c in numeric:
+            aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+            aggs.append(
+                (
+                    F.sum(F.col(c).cast("decimal(30,8)")).cast("double")
+                    / F.count(F.col(c))
+                ).alias(f"{c}__mean")
+            )
     stats = df.agg(*aggs).first().asDict()
-    spark = df.sparkSession
+    rows = []
     for c in df.columns:
-        rows.append(
-            (c, df.schema[c].dataType.simpleString(), stats[f"{c}__valid"], stats[f"{c}__missing"])
-        )
-    return spark.createDataFrame(rows, "field string, type string, valid long, missing long")
+        rows.append((
+            c, df.schema[c].dataType.simpleString(),
+            stats[f"{c}__valid"], stats[f"{c}__missing"],
+            stats.get(f"{c}__min"), stats.get(f"{c}__max"),
+            stats.get(f"{c}__mean"),
+        ))
+    return df.sparkSession.createDataFrame(
+        rows,
+        "field string, type string, valid long, missing long, "
+        "min double, max double, mean double",
+    )

@@ -1,0 +1,310 @@
+"""Legacy Excel 97 ``.xls`` (BIFF5/BIFF8) reader in pure stdlib.
+
+Reference analog: ``pythongis/vector/loader.py:135-141`` (xlrd path).
+Implemented from the public [MS-CFB] compound-file and [MS-XLS] BIFF
+specs:
+
+* OLE2/CDF container: DIFAT → FAT chains, directory entries, and the
+  mini-FAT/mini-stream for streams under the 4096-byte cutoff;
+  ``Workbook`` (BIFF8) or ``Book`` (BIFF5) stream located by name.
+* BIFF records: BOF/EOF substreams, BOUNDSHEET sheet directory, SST
+  shared strings (compressed latin-1 and UTF-16LE, rich-text/ext runs
+  skipped), and the cell records NUMBER, RK, MULRK, LABELSST, LABEL
+  (BIFF5 inline + BIFF8 unicode), BOOLERR, BLANK/MULBLANK, and FORMULA
+  (cached numeric results).
+
+Documented boundary: an SST string that straddles a CONTINUE record
+boundary raises NotImplementedError (only workbooks with >8 KB of
+distinct strings hit this); encrypted workbooks (FILEPASS) raise.
+
+The DataFrame surface mirrors :func:`sources.xlsx.read_xlsx` — first
+row as field names, optional sheet selection — so ``.xls`` and
+``.xlsx`` load identically, like the reference's two excel branches.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+_ENDOFCHAIN = 0xFFFFFFFE
+_FREESECT = 0xFFFFFFFF
+
+
+# ------------------------------------------------------------------
+# OLE2 / compound file ([MS-CFB])
+# ------------------------------------------------------------------
+
+def _ole2_streams(buf: bytes) -> dict[str, bytes]:
+    """Compound file → {stream name: bytes} for all stream entries."""
+    if buf[:8] != bytes.fromhex("D0CF11E0A1B11AE1"):
+        raise ValueError("not an OLE2 compound file (.xls)")
+    (ssz_pow,) = struct.unpack_from("<H", buf, 30)
+    (mssz_pow,) = struct.unpack_from("<H", buf, 32)
+    ssz, mssz = 1 << ssz_pow, 1 << mssz_pow
+    (n_fat,) = struct.unpack_from("<I", buf, 44)
+    (dir_start,) = struct.unpack_from("<I", buf, 48)
+    (mini_cutoff,) = struct.unpack_from("<I", buf, 56)
+    (minifat_start,) = struct.unpack_from("<I", buf, 60)
+    (difat_start,) = struct.unpack_from("<I", buf, 68)
+
+    def sector(sect: int) -> bytes:
+        off = (sect + 1) * ssz
+        return buf[off : off + ssz]
+
+    # DIFAT: first 109 FAT sector ids in the header, then chained sectors
+    difat = list(struct.unpack_from("<109I", buf, 76))
+    nxt = difat_start
+    while nxt not in (_ENDOFCHAIN, _FREESECT):
+        s = sector(nxt)
+        vals = struct.unpack("<%dI" % (ssz // 4), s)
+        difat += vals[:-1]
+        nxt = vals[-1]
+    fat: list[int] = []
+    for sect in difat[:n_fat]:
+        if sect in (_ENDOFCHAIN, _FREESECT):
+            continue
+        fat += struct.unpack("<%dI" % (ssz // 4), sector(sect))
+
+    def chain(start: int) -> bytes:
+        out = bytearray()
+        sect = start
+        seen = 0
+        while sect not in (_ENDOFCHAIN, _FREESECT):
+            out += sector(sect)
+            sect = fat[sect]
+            seen += 1
+            if seen > len(fat) + 1:
+                raise ValueError("corrupt FAT chain")
+        return bytes(out)
+
+    dirdata = chain(dir_start)
+    entries = []
+    for off in range(0, len(dirdata) - 127, 128):
+        (name_len,) = struct.unpack_from("<H", dirdata, off + 64)
+        if name_len < 2:
+            continue
+        name = dirdata[off : off + name_len - 2].decode("utf-16-le", "replace")
+        etype = dirdata[off + 66]
+        (start,) = struct.unpack_from("<I", dirdata, off + 116)
+        (size,) = struct.unpack_from("<I", dirdata, off + 120)
+        entries.append((name, etype, start, size))
+
+    root = next((e for e in entries if e[1] == 5), None)
+    ministream = chain(root[2])[: root[3]] if root else b""
+    minifat: list[int] = []
+    if minifat_start not in (_ENDOFCHAIN, _FREESECT):
+        mf = chain(minifat_start)
+        minifat = list(struct.unpack("<%dI" % (len(mf) // 4), mf))
+
+    def mini_chain(start: int) -> bytes:
+        out = bytearray()
+        sect = start
+        seen = 0
+        while sect not in (_ENDOFCHAIN, _FREESECT):
+            out += ministream[sect * mssz : (sect + 1) * mssz]
+            sect = minifat[sect]
+            seen += 1
+            if seen > len(minifat) + 1:
+                raise ValueError("corrupt miniFAT chain")
+        return bytes(out)
+
+    streams = {}
+    for name, etype, start, size in entries:
+        if etype != 2:  # stream entries only
+            continue
+        data = mini_chain(start) if size < mini_cutoff else chain(start)
+        streams[name] = data[:size]
+    return streams
+
+
+# ------------------------------------------------------------------
+# BIFF records ([MS-XLS])
+# ------------------------------------------------------------------
+
+def _records(data: bytes):
+    pos = 0
+    n = len(data)
+    while pos + 4 <= n:
+        op, ln = struct.unpack_from("<HH", data, pos)
+        yield op, pos, data[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+
+
+def _rk_value(v: int) -> float:
+    val: float
+    if v & 2:  # 30-bit signed integer
+        iv = v >> 2
+        if iv & 0x20000000:
+            iv -= 0x40000000
+        val = float(iv)
+    else:  # top 30 bits of an IEEE double
+        val = struct.unpack("<d", struct.pack("<II", 0, v & 0xFFFFFFFC))[0]
+    return val / 100.0 if v & 1 else val
+
+
+def _unicode_string(payload: bytes, pos: int) -> tuple[str, int]:
+    """XLUnicodeRichExtendedString (BIFF8): returns (text, next pos)."""
+    (cch,) = struct.unpack_from("<H", payload, pos)
+    flags = payload[pos + 2]
+    pos += 3
+    nrich = 0
+    next_ = 0
+    if flags & 0x08:
+        (nrich,) = struct.unpack_from("<H", payload, pos)
+        pos += 2
+    if flags & 0x04:
+        (next_,) = struct.unpack_from("<i", payload, pos)
+        pos += 4
+    if flags & 0x01:
+        raw = payload[pos : pos + 2 * cch]
+        if len(raw) < 2 * cch:
+            raise NotImplementedError(
+                "SST string spans a CONTINUE record boundary (documented "
+                "limit: >8KB of distinct strings)"
+            )
+        text = raw.decode("utf-16-le")
+        pos += 2 * cch
+    else:
+        raw = payload[pos : pos + cch]
+        if len(raw) < cch:
+            raise NotImplementedError(
+                "SST string spans a CONTINUE record boundary (documented "
+                "limit: >8KB of distinct strings)"
+            )
+        text = raw.decode("latin-1")
+        pos += cch
+    pos += 4 * nrich + next_
+    return text, pos
+
+
+def parse_xls(path: str, sheet: str | None = None) -> list[list]:
+    """.xls → dense list-of-rows (None-padded), mirroring
+    ``xlsx.parse_xlsx``. ``sheet`` selects by BOUNDSHEET name (default:
+    first worksheet substream)."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    streams = _ole2_streams(buf)
+    wb = streams.get("Workbook") or streams.get("Book")
+    if wb is None:
+        raise ValueError(f".xls has no Workbook/Book stream (found {list(streams)})")
+
+    recs = list(_records(wb))
+    biff_ver = 8
+    sst: list[str] = []
+    sheets: list[tuple[int, str]] = []  # (stream offset, name)
+    # ---- globals substream: version, SST, BOUNDSHEET directory
+    for op, pos, payload in recs:
+        if op == 0x0809 and pos == 0:
+            (ver,) = struct.unpack_from("<H", payload, 0)
+            biff_ver = 8 if ver >= 0x0600 else 5
+        elif op == 0x002F:  # FILEPASS
+            raise NotImplementedError("encrypted .xls (FILEPASS) not supported")
+        elif op == 0x0085:  # BOUNDSHEET
+            (sh_off,) = struct.unpack_from("<I", payload, 0)
+            if biff_ver == 8:
+                cch = payload[6]
+                hi = payload[7] & 1
+                name = (
+                    payload[8 : 8 + 2 * cch].decode("utf-16-le")
+                    if hi
+                    else payload[8 : 8 + cch].decode("latin-1")
+                )
+            else:
+                cch = payload[6]
+                name = payload[7 : 7 + cch].decode("latin-1")
+            sheets.append((sh_off, name))
+        elif op == 0x00FC:  # SST (BIFF8)
+            (_total, nuniq) = struct.unpack_from("<ii", payload, 0)
+            p = 8
+            for _ in range(nuniq):
+                text, p = _unicode_string(payload, p)
+                sst.append(text)
+        elif op == 0x000A:
+            break  # end of globals
+
+    if not sheets:
+        raise ValueError("no BOUNDSHEET records in workbook globals")
+    if sheet is not None:
+        match = [o for o, nm in sheets if nm == sheet]
+        if not match:
+            raise ValueError(f"sheet {sheet!r} not found ({[n for _, n in sheets]})")
+        start = match[0]
+    else:
+        start = sheets[0][0]
+
+    cells: dict[tuple[int, int], object] = {}
+    in_sheet = False
+    for op, pos, payload in recs:
+        if pos < start:
+            continue
+        if op == 0x0809:
+            if in_sheet:
+                break
+            in_sheet = True
+            continue
+        if not in_sheet:
+            continue
+        if op == 0x000A:  # EOF of this sheet
+            break
+        if op == 0x0203:  # NUMBER
+            r, c = struct.unpack_from("<HH", payload, 0)
+            cells[(r, c)] = struct.unpack_from("<d", payload, 6)[0]
+        elif op == 0x027E:  # RK
+            r, c = struct.unpack_from("<HH", payload, 0)
+            cells[(r, c)] = _rk_value(struct.unpack_from("<I", payload, 6)[0])
+        elif op == 0x00BD:  # MULRK
+            r, c0 = struct.unpack_from("<HH", payload, 0)
+            ncell = (len(payload) - 6) // 6
+            for i in range(ncell):
+                (rk,) = struct.unpack_from("<I", payload, 4 + i * 6 + 2)
+                cells[(r, c0 + i)] = _rk_value(rk)
+        elif op == 0x00FD:  # LABELSST
+            r, c = struct.unpack_from("<HH", payload, 0)
+            (isst,) = struct.unpack_from("<I", payload, 6)
+            cells[(r, c)] = sst[isst]
+        elif op == 0x0204:  # LABEL (inline string)
+            r, c = struct.unpack_from("<HH", payload, 0)
+            if biff_ver == 8:
+                cells[(r, c)], _ = _unicode_string(payload, 6)
+            else:
+                (cch,) = struct.unpack_from("<H", payload, 6)
+                cells[(r, c)] = payload[8 : 8 + cch].decode("latin-1")
+        elif op == 0x0205:  # BOOLERR
+            r, c = struct.unpack_from("<HH", payload, 0)
+            if payload[7] == 0:  # boolean (1 = error code -> None)
+                cells[(r, c)] = bool(payload[6])
+        elif op == 0x0006:  # FORMULA: cached numeric result only
+            r, c = struct.unpack_from("<HH", payload, 0)
+            res = payload[6:14]
+            if res[6:8] != b"\xff\xff":
+                cells[(r, c)] = struct.unpack("<d", res)[0]
+
+    if not cells:
+        return []
+    nrows = max(r for r, _ in cells) + 1
+    ncols = max(c for _, c in cells) + 1
+    return [[cells.get((r, c)) for c in range(ncols)] for r in range(nrows)]
+
+
+def read_xls(
+    spark,
+    path: str,
+    sheet: str | None = None,
+    skip: int = 0,
+    last: int | None = None,
+    xfield: str | None = None,
+    yfield: str | None = None,
+):
+    """.xls → Spark DataFrame with the same surface as
+    :func:`sources.xlsx.read_xlsx` (first row = header, xy geokey)."""
+    from pythongis_spark.sources.xlsx import _rows_to_df
+
+    rows = parse_xls(path, sheet=sheet)[skip:]
+    if last is not None:
+        rows = rows[: last + 2]
+    if not rows:
+        raise ValueError("empty sheet")
+    return _rows_to_df(spark, rows, xfield, yfield)

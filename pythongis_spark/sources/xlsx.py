@@ -117,13 +117,19 @@ def read_xlsx(
     """.xlsx → Spark DataFrame; first (post-``skip``) row is the header
     (reference loader semantics). ``xfield``/``yfield`` add a WKB point
     ``geom`` column like the reference's xy geokey."""
-    from pythongis_spark.geometry import wkb as W
-
     rows = parse_xlsx(path, sheet=sheet)[skip:]
     if last is not None:
         rows = rows[: last + 2]  # header + rows 0..last (reference: i <= last)
     if not rows:
         raise ValueError("empty sheet")
+    return _rows_to_df(spark, rows, xfield, yfield)
+
+
+def _rows_to_df(spark, rows: list[list], xfield: str | None, yfield: str | None):
+    """Shared header-row + geokey + dtype-normalization tail for the
+    spreadsheet readers (.xlsx here, .xls in :mod:`sources.xls`)."""
+    from pythongis_spark.geometry import wkb as W
+
     fields = [str(f) if f is not None else f"col{i}" for i, f in enumerate(rows[0])]
     pdf = pd.DataFrame(rows[1:], columns=fields)
     if xfield and yfield:

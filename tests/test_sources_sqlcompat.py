@@ -310,3 +310,143 @@ def test_geotiff_lzw_predictor2_strips(tmp_path):
     out += st.pack("<I", 0) + data
     arr, _ = parse_geotiff(out)
     assert (arr[:, :, 0] == base).all()
+
+
+def _build_xls(rows_spec) -> bytes:
+    """Hand-assemble a minimal-but-real BIFF8 .xls: OLE2 container
+    (FAT + directory) wrapping a Workbook stream with SST, BOUNDSHEET,
+    and NUMBER/RK/MULRK/LABELSST/BOOLERR/FORMULA cell records."""
+    import struct as st
+
+    def rec(op, payload=b""):
+        return st.pack("<HH", op, len(payload)) + payload
+
+    # collect shared strings
+    sst_list = []
+    for r, c, v in rows_spec:
+        if isinstance(v, str) and v not in sst_list:
+            sst_list.append(v)
+
+    sst_payload = st.pack("<ii", len(sst_list), len(sst_list))
+    for i, s in enumerate(sst_list):
+        if i == 0:  # exercise the UTF-16 branch on the first string
+            sst_payload += st.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+        else:
+            sst_payload += st.pack("<HB", len(s), 0) + s.encode("latin-1")
+
+    name = b"Sheet1"
+    bs_payload_len = 4 + 2 + 2 + len(name)
+    globals_part = (
+        rec(0x0809, st.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+        + rec(0x00FC, sst_payload)
+    )
+    # BOUNDSHEET with offset patched afterwards
+    bs_pos = len(globals_part)
+    globals_part += rec(
+        0x0085, st.pack("<IHB", 0, 0, len(name)) + b"\x00" + name
+    )
+    globals_part += rec(0x000A)
+    sheet_off = len(globals_part)
+
+    sheet = rec(0x0809, st.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    for r, c, v in rows_spec:
+        if isinstance(v, str):
+            sheet += rec(0x00FD, st.pack("<HHHI", r, c, 0, sst_list.index(v)))
+        elif isinstance(v, bool):
+            sheet += rec(0x0205, st.pack("<HHHBB", r, c, 0, int(v), 0))
+        elif isinstance(v, tuple) and v[0] == "rk":
+            sheet += rec(0x027E, st.pack("<HHHI", r, c, 0, v[1]))
+        elif isinstance(v, tuple) and v[0] == "mulrk":
+            body = st.pack("<HH", r, c)
+            for rk in v[1]:
+                body += st.pack("<HI", 0, rk)
+            body += st.pack("<H", c + len(v[1]) - 1)
+            sheet += rec(0x00BD, body)
+        elif isinstance(v, tuple) and v[0] == "formula":
+            res = st.pack("<d", v[1])
+            sheet += rec(0x0006, st.pack("<HHH", r, c, 0) + res + b"\x00" * 8)
+        else:
+            sheet += rec(0x0203, st.pack("<HHH", r, c, 0) + st.pack("<d", float(v)))
+    sheet += rec(0x000A)
+
+    wb = bytearray(globals_part + sheet)
+    wb[bs_pos + 4 : bs_pos + 8] = st.pack("<I", sheet_off)  # patch BOUNDSHEET
+    wb = bytes(wb).ljust(4096, b"\x00")  # >= mini cutoff: plain FAT chain
+
+    # ---- OLE2 container: header + FAT(sector 0) + dir(sector 1) + 8 data
+    FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    fat = [FATSECT, END] + [i + 1 for i in range(2, 9)] + [END] + [FREE] * 118
+    fat_sector = st.pack("<128I", *fat[:128])
+
+    def direntry(name, etype, start, size):
+        nm = name.encode("utf-16-le") + b"\x00\x00"
+        e = nm.ljust(64, b"\x00")
+        e += st.pack("<H", len(nm)) + bytes([etype, 0])
+        e += st.pack("<3i", -1, -1, -1)  # siblings/child
+        e = e[:80].ljust(116, b"\x00")   # clsid+state+times zeroed
+        e += st.pack("<II", start & 0xFFFFFFFF, size)
+        return e.ljust(128, b"\x00")
+
+    root = direntry("Root Entry", 5, END, 0)
+    wbent = direntry("Workbook", 2, 2, len(wb))
+    empty = b"\x00" * 128
+    dir_sector = (root + wbent + empty + empty)[:512]
+
+    header = bytearray(512)
+    header[0:8] = bytes.fromhex("D0CF11E0A1B11AE1")
+    st.pack_into("<H", header, 24, 0x3E)    # minor
+    st.pack_into("<H", header, 26, 3)       # major (512-byte sectors)
+    st.pack_into("<H", header, 28, 0xFFFE)  # little-endian
+    st.pack_into("<H", header, 30, 9)       # sector shift
+    st.pack_into("<H", header, 32, 6)       # mini sector shift
+    st.pack_into("<I", header, 44, 1)       # one FAT sector
+    st.pack_into("<I", header, 48, 1)       # directory at sector 1
+    st.pack_into("<I", header, 56, 4096)    # mini cutoff
+    st.pack_into("<I", header, 60, END)     # no miniFAT
+    st.pack_into("<I", header, 68, END)     # no extra DIFAT
+    st.pack_into("<I", header, 76, 0)       # DIFAT[0] -> FAT in sector 0
+    for i in range(1, 109):
+        st.pack_into("<I", header, 76 + 4 * i, FREE)
+
+    return bytes(header) + fat_sector + dir_sector + wb
+
+
+def test_xls_biff8_read(spark, tmp_path):
+    """BIFF5/8 .xls read (reference vector/loader.py:135-141 via xlrd;
+    pure [MS-CFB]+[MS-XLS] here): numbers, RK/MULRK packed numbers,
+    shared strings (UTF-16 + latin-1), booleans, cached formula
+    results — through a hand-assembled real OLE2 container."""
+    import os
+    import struct as st
+
+    from pythongis_spark.sources.xls import parse_xls, read_xls
+
+    rk_int = (123 << 2) | 2              # integer RK: 123
+    rk_cents = ((12345 << 2) | 2) | 1    # int/100 RK: 123.45
+    d = st.unpack("<Q", st.pack("<d", 2.5))[0]
+    rk_float = int(d >> 32) & 0xFFFFFFFC  # high-30-bit float RK: 2.5
+    rows_spec = [
+        (0, 0, "id"), (0, 1, "value"), (0, 2, "name"),
+        (1, 0, 1.0), (1, 1, ("rk", rk_int)), (1, 2, "alpha"),
+        (2, 0, 2.0), (2, 1, ("rk", rk_cents)), (2, 2, "béta"),
+        (3, 0, 3.0), (3, 1, ("rk", rk_float)), (3, 2, "alpha"),
+        (4, 0, 4.0), (4, 1, ("formula", 99.5)), (4, 2, "gamma"),
+        (5, 0, 5.0), (5, 1, ("mulrk", [rk_int, rk_int])), (5, 3, True),
+    ]
+    p = os.path.join(str(tmp_path), "t.xls")
+    with open(p, "wb") as fh:
+        fh.write(_build_xls(rows_spec))
+
+    rows = parse_xls(p)
+    assert rows[0] == ["id", "value", "name", None]
+    assert rows[1][:3] == [1.0, 123.0, "alpha"]
+    assert rows[2][:3] == [2.0, 123.45, "béta"]
+    assert rows[3][:3] == [3.0, 2.5, "alpha"]
+    assert rows[4][:3] == [4.0, 99.5, "gamma"]
+    assert rows[5] == [5.0, 123.0, 123.0, True]
+
+    df = read_xls(spark, p)
+    pdf = df.toPandas()
+    assert list(pdf.columns)[:3] == ["id", "value", "name"]
+    assert len(pdf) == 5
+    assert pdf["value"].tolist() == [123.0, 123.45, 2.5, 99.5, 123.0]
