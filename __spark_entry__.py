@@ -910,6 +910,77 @@ def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (inverted index over sampled
+    shingles + exact verify, operators/dedup.ngram_jaccard_pairs);
+    ids-only output — the sampled index achieves full recall on the
+    planted-cluster fixture, and the exact verify makes precision 1.0,
+    so the pair set equals the brute-force SQL jaccard join."""
+    from pythongis_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, "doc_id", threshold=0.5).select("a_id", "b_id")
+
+
+def _q_pairwise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN join (operators/similarity.pairwise_topk_join): top-10
+    corpus vectors for each of 5 query vectors through the bounded
+    partial-top-k mapInPandas path. Ids + rank only: cosine values are
+    numpy-BLAS sums whose rounding differs from the SQL chain, but the
+    fixture's score margins are far above float error (same contract as
+    ann_topk_ids)."""
+    from pythongis_spark.operators.similarity import pairwise_topk_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = pairwise_topk_join(queries, emb, k=10)
+    return out.select("q_id", "vec_id", F.col("rk").cast("int").alias("rk"))
+
+
+def _q_image_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image+world-file raster I/O (sources/image_raster; the
+    reference's png+.pgw pattern, raster/loader.py:35-115): write a
+    3-band synthetic uint8 raster as a REAL PNG with a .pgw sidecar,
+    read it back, and return every cell — byte-exact through the real
+    codec, affine through the world file."""
+    import os
+    import shutil
+    import tempfile
+
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.image_raster import (read_image_raster,
+                                                      write_image_raster)
+
+    w, h = 64, 40
+    cells = (
+        spark.range(w * h * 3)
+        .select(
+            (F.col("id") % w).cast("int").alias("x"),
+            ((F.col("id") / w) % h).cast("int").alias("y"),
+            (F.col("id") / (w * h)).cast("int").alias("band"),
+        )
+        .select(
+            "x", "y", "band",
+            ((F.col("x") * 7 + F.col("y") * 13 + F.col("band") * 29) % 256)
+            .cast("double").alias("val"),
+        )
+    )
+    rd = RasterDef(w, h, (0.5, 0.0, -16.0, 0.0, -0.5, 10.0))
+    d = tempfile.mkdtemp(prefix="imgraster_")
+    try:
+        p = os.path.join(d, "grid.png")
+        write_image_raster(cells, rd, p)
+        df, rd2 = read_image_raster(spark, p)
+        assert rd2.affine == rd.affine, rd2.affine
+        return df.select("x", "y", "band", "val").toPandas().pipe(
+            spark.createDataFrame, "x int, y int, band int, val double"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_verify_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.images.ops import verify_images
 
@@ -1186,6 +1257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": _q_token_counts,
         "quality_docs": _q_quality_docs,
         "ann_topk_ids": _q_ann_topk,
+        "pairwise_topk": _q_pairwise_topk,
+        "ngram_jaccard_docs": _q_ngram_jaccard,
+        "image_raster_roundtrip": _q_image_raster_roundtrip,
         "embedding_pairs_exact": _q_embedding_pairs,
         "langid_docs": _q_langid_docs,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
@@ -1531,6 +1605,46 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a, embeddings b
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        """,
+        "pairwise_topk": """
+            SELECT q_id, vec_id, CAST(rk AS INTEGER) AS rk FROM (
+              SELECT q.vec_id AS q_id, e.vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                                e.vec_id ASC
+                     ) AS rk
+              FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+            ) WHERE rk <= 10
+        """,
+        "ngram_jaccard_docs": """
+            WITH d AS (
+              SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+              FROM documents WHERE text IS NOT NULL
+            ),
+            shg AS (
+              SELECT DISTINCT doc_id, substr(s, i, 5) AS g
+              FROM d, LATERAL (SELECT unnest(range(1, greatest(length(s) - 3, 2)))) t(i)
+            ),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ni
+              FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT i.a_id, i.b_id
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.a_id
+            JOIN sizes sb ON sb.doc_id = i.b_id
+            WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
+        """,
+        "image_raster_roundtrip": """
+            WITH gx AS (SELECT CAST(range AS INTEGER) AS x FROM range(64)),
+                 gy AS (SELECT CAST(range AS INTEGER) AS y FROM range(40)),
+                 gb AS (SELECT CAST(range AS INTEGER) AS band FROM range(3))
+            SELECT x, y, band,
+                   CAST((x * 7 + y * 13 + band * 29) % 256 AS DOUBLE) AS val
+            FROM gx, gy, gb
         """,
         "zonal_stats_raster": f"""
             WITH {raster1}
