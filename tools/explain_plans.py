@@ -144,6 +144,19 @@ def main():
         must_not=[r"Exchange SinglePartition.*\n.*Window"],
     )
 
+    # 9. batch kNN join: the r4 bounded plan — candidates come from a
+    # single MapInPandas partial-top-k over the corpus (shuffle carries
+    # O(batches×queries×k) rows into the per-query window), with NO
+    # Generate/explode of a corpus×queries struct array (the r3 shape)
+    pt = E.queries()["pairwise_topk"](spark, sf)
+    plan = fmt(pt)
+    failures += not check(
+        "pairwise_topk",
+        plan,
+        must=[r"MapInPandas", r"Window", r"hashpartitioning\(q_id"],
+        must_not=[r"Generate explode", r"ArrowEvalPython"],
+    )
+
     sys.exit(1 if failures else 0)
 
 
