@@ -93,14 +93,16 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0, level: int = 1) -> byte
 
 
 def decode_png(blob: bytes) -> np.ndarray:
-    """Real PNG bytes → (h, w, 3) uint8. Supports 8-bit color types 0
-    (grayscale → replicated), 2 (truecolor) and 6 (truecolor+alpha →
-    alpha dropped); non-interlaced."""
+    """Real PNG bytes → (h, w, 3) uint8. Supports non-interlaced color
+    types 0 (grayscale, depths 1/2/4/8), 2 (truecolor 8-bit), 3
+    (palette, depths 1/2/4/8), 4 (gray+alpha) and 6 (truecolor+alpha);
+    alpha dropped, grayscale replicated, palette expanded via PLTE."""
     if bytes(blob[:8]) != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte = None
     n = len(blob)
     while pos + 8 <= n:
         (clen,) = struct.unpack_from(">I", blob, pos)
@@ -109,6 +111,8 @@ def decode_png(blob: bytes) -> np.ndarray:
         pos += 12 + clen  # len + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -116,18 +120,22 @@ def decode_png(blob: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype_v, comp, filt_m, interlace = ihdr
-    if depth != 8 or comp != 0 or filt_m != 0 or interlace != 0:
-        raise NotImplementedError(
-            f"PNG bit depth {depth}/interlace {interlace} not supported (8-bit non-interlaced)"
-        )
-    nch = {0: 1, 2: 3, 6: 4}.get(ctype_v)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_v)
     if nch is None:
         raise NotImplementedError(f"PNG color type {ctype_v} not supported")
+    if comp != 0 or filt_m != 0 or interlace != 0:
+        raise NotImplementedError("interlaced/nonstandard PNG not supported")
+    if depth != 8 and (ctype_v not in (0, 3) or depth not in (1, 2, 4)):
+        raise NotImplementedError(f"PNG bit depth {depth} for color type {ctype_v}")
     raw = zlib.decompress(bytes(idat))
-    stride = w * nch
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    stride = (w * nch * depth + 7) // 8  # filtered bytes per scanline
+    bpp = max(1, (nch * depth) // 8)     # filter lane width in BYTES
+    rows = np.frombuffer(raw, dtype=np.uint8)[: h * (stride + 1)].reshape(
+        h, stride + 1
+    )
     ftypes = rows[:, 0]
     recon = np.zeros((h, stride), dtype=np.uint8)
+    nlanes = stride // bpp
     for y in range(h):
         ft = int(ftypes[y])
         line = rows[y, 1:].copy()
@@ -135,29 +143,29 @@ def decode_png(blob: bytes) -> np.ndarray:
         if ft == 0:
             recon[y] = line
         elif ft == 1:  # Sub: per-lane cumsum mod 256
-            lanes = line.reshape(w, nch)
-            recon[y] = (np.cumsum(lanes, axis=0, dtype=np.uint32) % 256).astype(
-                np.uint8
-            ).reshape(stride)
+            lanes = line[: nlanes * bpp].reshape(nlanes, bpp)
+            recon[y, : nlanes * bpp] = (
+                np.cumsum(lanes, axis=0, dtype=np.uint32) % 256
+            ).astype(np.uint8).reshape(nlanes * bpp)
         elif ft == 2:  # Up
             recon[y] = line + up
-        elif ft == 3:  # Average (left-sequential per pixel)
+        elif ft == 3:  # Average (left-sequential per lane)
             out = np.zeros(stride, dtype=np.uint8)
-            left = np.zeros(nch, dtype=np.uint8)
-            for x in range(w):
-                s = slice(x * nch, (x + 1) * nch)
+            left = np.zeros(bpp, dtype=np.uint8)
+            for x in range(nlanes):
+                s = slice(x * bpp, (x + 1) * bpp)
                 left = (
                     line[s]
                     + ((left.astype(np.int16) + up[s].astype(np.int16)) // 2).astype(np.uint8)
                 )
                 out[s] = left
             recon[y] = out
-        elif ft == 4:  # Paeth (left-sequential per pixel)
+        elif ft == 4:  # Paeth (left-sequential per lane)
             out = np.zeros(stride, dtype=np.uint8)
-            left = np.zeros(nch, dtype=np.uint8)
-            ul = np.zeros(nch, dtype=np.uint8)
-            for x in range(w):
-                s = slice(x * nch, (x + 1) * nch)
+            left = np.zeros(bpp, dtype=np.uint8)
+            ul = np.zeros(bpp, dtype=np.uint8)
+            for x in range(nlanes):
+                s = slice(x * bpp, (x + 1) * bpp)
                 u = up[s]
                 left = line[s] + _paeth_pred(left, u, ul).astype(np.uint8)
                 out[s] = left
@@ -165,9 +173,30 @@ def decode_png(blob: bytes) -> np.ndarray:
             recon[y] = out
         else:
             raise ValueError(f"bad PNG filter byte {ft}")
+    if depth < 8:
+        # unpack sub-byte samples MSB-first, then trim row padding
+        bits = np.unpackbits(recon, axis=1)
+        nsamp = bits.shape[1] // depth
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        samples = (bits[:, : nsamp * depth].reshape(h, nsamp, depth) * weights).sum(
+            axis=2
+        )[:, :w].astype(np.uint8)
+        if ctype_v == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE")
+            return np.ascontiguousarray(plte[samples])
+        # grayscale: scale to full 8-bit range
+        samples = (samples.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        return np.repeat(samples[:, :, None], 3, axis=2)
     img = recon.reshape(h, w, nch)
-    if nch == 1:
+    if ctype_v == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return np.ascontiguousarray(plte[img[:, :, 0]])
+    if ctype_v == 0:
         return np.repeat(img, 3, axis=2)
+    if ctype_v == 4:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
     return np.ascontiguousarray(img[:, :, :3])
 
 
@@ -235,7 +264,12 @@ def quantize_lossy(pixels: np.ndarray) -> np.ndarray:
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
-    """uint8 (h, w, 3) → bytes: REAL PNG/BMP; FJPG stand-in for jpeg.
+    """uint8 (h, w, 3) → bytes: REAL PNG/BMP; ``fmt='jpeg'`` is the
+    deterministic FJPG quantizer used by the synthetic 10^12-row table
+    generator (throughput: the fixture path must not pay per-block
+    entropy coding); real JPEG files are produced with
+    ``fmt='jpeg-real'`` (``images.jpeg.encode_jpeg``, baseline T.81)
+    and any real .jpg decodes via :func:`decode_image`.
 
     PNG uses filter 0 + zlib level 1: deterministic, and compression
     ratio is irrelevant to the correctness gates."""
@@ -243,6 +277,10 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         return encode_png(pixels)
     if fmt == "bmp":
         return encode_bmp(pixels)
+    if fmt == "jpeg-real":
+        from pythongis_spark.images.jpeg import encode_jpeg
+
+        return encode_jpeg(pixels, quality=98)
     h, w, c = pixels.shape
     assert c == 3
     magic = FMT_MAGIC[fmt]
@@ -255,12 +293,17 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 def decode_image(blob: bytes) -> np.ndarray:
     """bytes → uint8 (h, w, 3) pixels; container detected by signature
-    (real PNG / real BMP / legacy FPNG-FBMP-FJPG stand-ins)."""
+    (real PNG / real BMP / real JPEG / legacy FPNG-FBMP-FJPG
+    stand-ins)."""
     sig = bytes(blob[:8])
     if sig == PNG_SIG:
         return decode_png(blob)
     if sig[:2] == b"BM":
         return decode_bmp(blob)
+    if sig[:2] == b"\xff\xd8":
+        from pythongis_spark.images.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     magic = sig[:4]
     if magic not in MAGIC_FMT:
         raise ValueError(f"unknown image container {magic!r}")

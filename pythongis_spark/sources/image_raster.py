@@ -91,9 +91,12 @@ def write_image_raster(cells: DataFrame, rd: RasterDef, path: str,
     Values clipped to uint8; missing cells → 0; bands beyond 3 rejected
     (image formats carry exactly R, G, B here)."""
     ext = os.path.splitext(path)[1].lower()
-    fmt = fmt or {".png": "png", ".bmp": "bmp"}.get(ext)
-    if fmt not in ("png", "bmp"):
-        raise NotImplementedError(f"image raster export supports png/bmp, not {fmt!r}")
+    fmt = fmt or {".png": "png", ".bmp": "bmp",
+                  ".jpg": "jpeg-real", ".jpeg": "jpeg-real"}.get(ext)
+    if fmt not in ("png", "bmp", "jpeg-real"):
+        raise NotImplementedError(
+            f"image raster export supports png/bmp/jpg, not {fmt!r}"
+        )
     pdf = cells.select("x", "y", "band", "val").toPandas()
     nb = int(pdf["band"].max()) + 1 if len(pdf) else 1
     if nb > 3:

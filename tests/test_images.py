@@ -180,3 +180,104 @@ def test_image_raster_world_file_roundtrip(spark, tmp_path):
     a = df.toPandas().sort_values(["band", "y", "x"])["val"].to_numpy()
     b = df2.toPandas().sort_values(["band", "y", "x"])["val"].to_numpy()
     assert (a == b).all()
+
+
+def test_real_jpeg_roundtrip_psnr():
+    """Real baseline JPEG codec (ITU-T T.81, images/jpeg.py): encode →
+    decode meets the north rule's PSNR ≥ 40 dB lossy gate even on the
+    noisy synthetic fixture (hard content: ±20 uniform noise), and the
+    bitstream is a real JFIF file (SOI/APP0 markers)."""
+    from pythongis_spark.images import jpeg as J
+
+    px = codec.make_pixels(7, 64, 48)
+    blob = J.encode_jpeg(px, quality=98)
+    assert blob[:2] == b"\xff\xd8" and blob[6:10] == b"JFIF"
+    rt = J.decode_jpeg(blob)
+    assert rt.shape == px.shape
+    assert codec.psnr_db(px, rt) >= 40.0
+    # second generation is near-stable (decoder/encoder agree on the grid)
+    rt2 = J.decode_jpeg(J.encode_jpeg(rt, quality=98))
+    assert codec.psnr_db(rt, rt2) >= 45.0
+    # generic dispatch: fmt='jpeg-real' + signature-based decode
+    assert codec.psnr_db(px, codec.decode_image(codec.encode_image(px, "jpeg-real"))) >= 40.0
+
+
+def test_real_jpeg_decodes_foreign_baseline():
+    """Decode JPEGs produced by real libjpeg (CPython test data): a
+    4:2:0-subsampled 16x16 logo and a 2x2 gray square; progressive
+    (SOF2) raises the documented NotImplementedError."""
+    import os
+
+    import pytest as _pytest
+
+    from pythongis_spark.images import jpeg as J
+
+    base = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
+    logo = f"{base}/test/imghdrdata/python.jpg"
+    if not os.path.exists(logo):
+        _pytest.skip("system JPEG fixtures not present")
+    img = J.decode_jpeg(open(logo, "rb").read())
+    assert img.shape == (16, 16, 3)
+    # the logo's center is the Python yellow on a dark background
+    assert img[8, 8, 0] > 200 and img[8, 8, 1] > 200 and img[8, 8, 2] < 120
+    assert img[0, 0].max() < 40
+
+    gray = f"{base}/site-packages/IPython/core/tests/2x2.jpg"
+    if os.path.exists(gray):
+        g = J.decode_jpeg(open(gray, "rb").read())
+        assert g.shape == (2, 2, 3) and abs(float(g.mean()) - 128.0) < 2
+
+
+def test_real_png_decodes_foreign_icons():
+    """Decode PNGs produced by foreign encoders (the reference repo's
+    GUI icons: palette, sub-8-bit gray, RGBA, real filter mixes) and
+    re-encode losslessly with our encoder."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    icons = sorted(glob.glob("/root/reference/pythongis/app/**/*.png", recursive=True))
+    if not icons:
+        _pytest.skip("reference icons not present")
+    ok = 0
+    for p in icons:
+        blob = open(p, "rb").read()
+        if blob[:8] != codec.PNG_SIG:
+            continue  # one mislabeled non-PNG file ships in the reference
+        img = codec.decode_png(blob)
+        assert img.ndim == 3 and img.shape[2] == 3
+        assert (codec.decode_png(codec.encode_png(img, filter_type=4)) == img).all()
+        ok += 1
+    assert ok >= 30
+
+
+def test_image_raster_jpeg_write(spark, tmp_path):
+    """Lossy image-raster export through the real JPEG codec + .jgw
+    world file: values survive within the PSNR gate."""
+    import os
+
+    import numpy as np
+
+    from pythongis_spark.sources.image_raster import (read_image_raster,
+                                                      write_image_raster)
+    from pythongis_spark.raster.model import RasterDef
+
+    px = codec.make_pixels(4, 32, 16)
+    pdf_rows = []
+    h, w, _ = px.shape
+    import pandas as pd
+    ys, xs = np.divmod(np.arange(h * w), w)
+    frames = [pd.DataFrame({"x": xs, "y": ys, "band": b,
+                            "val": px[:, :, b].ravel().astype(float)})
+              for b in range(3)]
+    cells = spark.createDataFrame(pd.concat(frames))
+    rd = RasterDef(w, h, (1.0, 0.0, 0.0, 0.0, -1.0, float(h)))
+    p = os.path.join(str(tmp_path), "out.jpg")
+    write_image_raster(cells, rd, p)
+    assert os.path.exists(os.path.join(str(tmp_path), "out.jgw"))
+    df, rd2 = read_image_raster(spark, p)
+    got = df.toPandas().sort_values(["band", "y", "x"])["val"].to_numpy()
+    want = np.concatenate([px[:, :, b].ravel() for b in range(3)]).astype(float)
+    mse = float(((got - want) ** 2).mean())
+    assert 10 * np.log10(255.0 ** 2 / mse) >= 40.0
