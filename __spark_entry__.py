@@ -910,6 +910,34 @@ def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_xls_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy .xls I/O (sources/xls: OLE2 + BIFF8 from the public
+    MS-CFB/MS-XLS specs; reference loads via xlrd,
+    vector/loader.py:135-141): write a deterministic table, read it
+    back. Values dyadic → bit-exact vs the SQL VALUES oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from pythongis_spark.sources.xls import read_xls, write_xls
+
+    pdf = pd.DataFrame({
+        "rid": [float(i) for i in range(40)],
+        "name": [f"row{i:02d}" for i in range(40)],
+        "val": [i * 0.25 - 3.5 for i in range(40)],
+    })
+    d = tempfile.mkdtemp(prefix="xlsrt_")
+    try:
+        p = os.path.join(d, "t.xls")
+        write_xls(pdf, p)
+        out = read_xls(spark, p).toPandas()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(out, "rid double, name string, val double")
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (inverted index over sampled
     shingles + exact verify, operators/dedup.ngram_jaccard_pairs);
@@ -1218,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_topk": _q_pairwise_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "image_raster_roundtrip": _q_image_raster_roundtrip,
+        "xls_roundtrip": _q_xls_roundtrip,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1254,7 +1283,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "density_events": _q_density,
         "distance_raster_centers": _q_distance_raster,
         "vectorize_cells": _q_vectorize,
-        "crop_raster": _q_crop,
         "webmercator_points": _q_webmercator,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "ann_topk_ids": _q_ann_topk,
@@ -1263,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_grid_path": _q_knn_grid,
         "spatial_join_clip": _q_spatial_join_clip,
         "spatial_join_clip_concave": _q_spatial_join_clip_concave,
+        "crop_raster": _q_crop,
         "dissolve_overlap_rows": _q_dissolve_overlap_rows,
         "buffer_concave_count": _q_buffer_concave_count,
         "warp_raster_webmercator": _q_warp_raster,
@@ -1643,6 +1672,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.a_id
             JOIN sizes sb ON sb.doc_id = i.b_id
             WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
+        """,
+        "xls_roundtrip": """
+            SELECT CAST(i AS DOUBLE) AS rid,
+                   'row' || lpad(CAST(i AS VARCHAR), 2, '0') AS name,
+                   i * 0.25 - 3.5 AS val
+            FROM (SELECT CAST(range AS BIGINT) AS i FROM range(40))
         """,
         "image_raster_roundtrip": """
             WITH gx AS (SELECT CAST(range AS INTEGER) AS x FROM range(64)),

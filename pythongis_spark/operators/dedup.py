@@ -25,28 +25,42 @@ MERSENNE = (1 << 61) - 1
 DEFAULT_BUCKET_CAP = 256
 
 
-def _capped_pair_ids(banded: DataFrame, bucket_cap: int) -> DataFrame:
+def _capped_pair_ids(banded: DataFrame, bucket_cap: int | None) -> DataFrame:
     """Distinct candidate (a_id, b_id) pairs from an (_id, band, bucket)
     frame, with per-bucket pair blowup explicitly bounded:
 
     * buckets with ≤ ``bucket_cap`` members: full self-join (every
       colliding pair once, a_id < b_id) — unchanged semantics;
     * oversized buckets: a hub star — every member pairs with the
-      bucket's min id only, O(B) candidates instead of O(B²).
+      bucket's min id only, O(B) candidates instead of O(B²);
+    * ``bucket_cap=None`` disables the cap entirely (exact candidate
+      semantics, caller accepts the B² risk).
 
-    The star preserves duplicate CLUSTERS: every member still reaches
-    the hub, the downstream exact verify (jaccard/cosine/hamming)
-    still gates each edge, and connected components links the cluster
-    transitively. What is lost is only the explicit pair list between
-    non-hub members of a degenerate bucket — the documented cap
-    semantics (the reference, single-node, has no analog; a web-scale
-    engine cannot emit B² pairs per boilerplate bucket).
+    RECALL CONTRACT of the capped path: a duplicate cluster whose
+    members reach the hub through the exact verify stays connected
+    (connected components links it transitively through the hub). What
+    is NOT guaranteed: if an oversized bucket holds members of a
+    DIFFERENT cluster than the hub's, and those members collide in no
+    other sub-cap bucket, their pairs are lost — capping trades that
+    tail recall for a hard output bound (the reference, single-node,
+    has no analog; a web-scale engine cannot emit B² pairs per
+    boilerplate bucket). Pass ``bucket_cap=None`` where exactness
+    matters more than the bound.
 
     Both the size count and the hub are window functions over the SAME
     (band, bucket) partitioning the self-join shuffles on — no extra
     shuffle. Use :func:`lsh_bucket_histogram` to see what would be
     capped for a given frame.
     """
+    if bucket_cap is None:
+        L = banded.select(F.col("_id").alias("a_id"), "band", "bucket")
+        Rt = banded.select(F.col("_id").alias("b_id"), "band", "bucket")
+        return (
+            L.join(Rt, ["band", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
     w = Window.partitionBy("band", "bucket")
     tagged = banded.withColumn("_bsz", F.count("*").over(w))
     small = tagged.filter(F.col("_bsz") <= bucket_cap)
@@ -186,8 +200,9 @@ def minhash_lsh_pairs(
     Output: (a_id, b_id, jaccard).
 
     Buckets larger than ``bucket_cap`` emit hub-star candidates instead
-    of all pairs (see :func:`_capped_pair_ids`) — bounded output on
-    boilerplate-heavy corpora, clusters preserved via the hub."""
+    of all pairs — bounded output on boilerplate-heavy corpora; see
+    :func:`_capped_pair_ids` for the exact recall contract
+    (``bucket_cap=None`` disables the cap)."""
     assert num_perm % bands == 0
     r = num_perm // bands
     # Scale contract: the text column must NOT ride through the ×bands
@@ -287,8 +302,13 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with simhash hamming ≤ k: bucket by each of 4
     16-bit bands (pigeonhole: any pair with ≤3 differing bits collides in
-    ≥1 band), verify with JVM ``bit_count(xor)``. Oversized buckets are
-    hub-starred (``bucket_cap``; see :func:`_capped_pair_ids`)."""
+    ≥1 band), verify with JVM ``bit_count(xor)``.
+
+    The pigeonhole EXACTNESS guarantee holds only while every collision
+    bucket stays ≤ ``bucket_cap`` — oversized buckets are hub-starred
+    (see :func:`_capped_pair_ids` for the precise recall contract);
+    pass ``bucket_cap=None`` to recover unconditional exactness at the
+    cost of the B² blowup bound."""
     s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
     bands = (
         s.select(

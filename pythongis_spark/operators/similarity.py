@@ -155,16 +155,18 @@ def pairwise_topk_join(
             "chunk the query set, swap sides (the large side should be the "
             "corpus), or raise max_queries explicitly"
         )
-    qids = np.array([r[0] for r in qrows])
-    Q = np.array([r[1] for r in qrows], dtype=np.float64)
-    Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
-    nq = len(qids)
-
     out_schema = T.StructType([
         T.StructField(q_id, queries.schema[q_id].dataType),
         T.StructField(c_id, corpus.schema[c_id].dataType),
         T.StructField("cosine", T.DoubleType()),
     ])
+    if not qrows:  # empty query side → empty result, correct schema
+        empty = corpus.sparkSession.createDataFrame([], out_schema)
+        return empty.withColumn("rk", F.lit(1).cast("int")).filter(F.lit(False))
+    qids = np.array([r[0] for r in qrows])
+    Q = np.array([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.clip(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12, None)
+    nq = len(qids)
     # chunk the query axis so the (arrow_batch × chunk) score matrix stays
     # ~80 MB at the default 10k-row Arrow batch size
     q_chunk = 1024

@@ -160,9 +160,12 @@ def _make_pair_clipper(clip: str = "intersection"):
                         res = BO.clip_pair(ga, gb, "intersection")
                 else:
                     res = BO.clip_pair(ga, gb, clip)
-            except NotImplementedError:
-                raise
-            except Exception as exc:  # reference: TopologicalError → null
+            except (ValueError, ArithmeticError) as exc:
+                # the reference's TopologicalError→null fallback
+                # (manager.py:250-253) — scoped to the degeneracy errors
+                # the arrangement engine raises on invalid geometry, so
+                # genuine engine bugs (IndexError/TypeError/...) still
+                # fail the job instead of shipping silent NULLs
                 warnings.warn(f"clip {clip} failed ({exc}); null-geometry")
                 res = None
             out.append(None if res is None else W.encode_wkb(res))

@@ -352,7 +352,13 @@ def rasterize(
     return out.withColumn("band", F.lit(0).cast("int")).select("x", "y", "band", "val")
 
 
-_LAST_ZCELLS: DataFrame | None = None  # see zonal_statistics cache note
+import collections
+import threading
+
+# bounded LRU of persisted zone-cell frames — see zonal_statistics
+_ZCELLS_CACHE: "collections.OrderedDict[object, DataFrame]" = collections.OrderedDict()
+_ZCELLS_CACHE_MAX = 4
+_ZCELLS_LOCK = threading.Lock()
 
 
 def zonal_statistics_points(
@@ -403,17 +409,29 @@ def zonal_statistics(
         # the sizing count would otherwise re-execute the cover UDF
         # chain for the join — persist the (small) zone-cell side once.
         # The returned plan still reads the cache, so it can't be
-        # unpersisted here; instead each call releases the PREVIOUS
-        # call's cache (non-blocking), bounding executor storage to one
-        # zone-cell side in long-lived sessions.
-        global _LAST_ZCELLS
-        if _LAST_ZCELLS is not None:
-            try:
-                _LAST_ZCELLS.unpersist(blocking=False)
-            except Exception:
-                pass
-        zcells = zcells.persist()
-        _LAST_ZCELLS = zcells
+        # unpersisted here; instead a small keyed LRU releases the
+        # OLDEST caches (non-blocking), bounding executor storage in
+        # long-lived sessions while keeping recent plans (incl. other
+        # still-unexecuted zonal_statistics results) cached. Keyed by
+        # semantic hash so repeat calls on the same zones reuse one
+        # cache; guarded by a lock for concurrent-caller safety.
+        try:
+            key = zcells.semanticHash()
+        except Exception:
+            key = id(zcells)
+        with _ZCELLS_LOCK:
+            cached = _ZCELLS_CACHE.get(key)
+            if cached is not None:
+                zcells = cached
+            else:
+                zcells = zcells.persist()
+                _ZCELLS_CACHE[key] = zcells
+                while len(_ZCELLS_CACHE) > _ZCELLS_CACHE_MAX:
+                    _, old = _ZCELLS_CACHE.popitem(last=False)
+                    try:
+                        old.unpersist(blocking=False)
+                    except Exception:
+                        pass
         n_cells = zcells.count()
     build = F.broadcast(zcells) if n_cells <= broadcast_cells else zcells
     joined = raster_cells.join(build, ["x", "y"], "inner")

@@ -147,6 +147,13 @@ def _rk_value(v: int) -> float:
 
 def _unicode_string(payload: bytes, pos: int) -> tuple[str, int]:
     """XLUnicodeRichExtendedString (BIFF8): returns (text, next pos)."""
+    if pos + 3 > len(payload):
+        # string header itself sits in a CONTINUE record — same
+        # documented boundary as a mid-string split
+        raise NotImplementedError(
+            "SST string spans a CONTINUE record boundary (documented "
+            "limit: >8KB of distinct strings)"
+        )
     (cch,) = struct.unpack_from("<H", payload, pos)
     flags = payload[pos + 2]
     pos += 3
@@ -308,3 +315,142 @@ def read_xls(
     if not rows:
         raise ValueError("empty sheet")
     return _rows_to_df(spark, rows, xfield, yfield)
+
+
+# ------------------------------------------------------------------
+# writer (minimal BIFF8 inside a minimal OLE2 container)
+# ------------------------------------------------------------------
+
+def assemble_xls(rows_spec: list[tuple]) -> bytes:
+    """Assemble a real BIFF8 .xls from (row, col, value) cell specs:
+    str → LABELSST (first string UTF-16, rest latin-1-compressible),
+    bool → BOOLERR, number → NUMBER; tuples ('rk', v) / ('mulrk',
+    [v...]) / ('formula', x) emit those records (test/fixture use).
+    The OLE2 container is a single-FAT 512-byte-sector compound file
+    ([MS-CFB]) with the Workbook stream padded past the mini cutoff."""
+
+    def rec(op, payload=b""):
+        return struct.pack("<HH", op, len(payload)) + payload
+
+    sst_list: list[str] = []
+    for r, c, v in rows_spec:
+        if isinstance(v, str) and v not in sst_list:
+            sst_list.append(v)
+    sst_payload = struct.pack("<ii", len(sst_list), len(sst_list))
+    for i, s in enumerate(sst_list):
+        try:
+            raw = s.encode("latin-1")
+            flags = 0
+        except UnicodeEncodeError:
+            raw = s.encode("utf-16-le")
+            flags = 1
+        if i == 0:  # always exercise the UTF-16 branch once
+            raw, flags = s.encode("utf-16-le"), 1
+        sst_payload += struct.pack("<HB", len(s), flags) + raw
+
+    name = b"Sheet1"
+    globals_part = (
+        rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+        + rec(0x00FC, sst_payload)
+    )
+    bs_pos = len(globals_part)
+    globals_part += rec(0x0085, struct.pack("<IHB", 0, 0, len(name)) + b"\x00" + name)
+    globals_part += rec(0x000A)
+    sheet_off = len(globals_part)
+
+    sheet = rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    for r, c, v in rows_spec:
+        if isinstance(v, str):
+            sheet += rec(0x00FD, struct.pack("<HHHI", r, c, 0, sst_list.index(v)))
+        elif isinstance(v, bool):
+            sheet += rec(0x0205, struct.pack("<HHHBB", r, c, 0, int(v), 0))
+        elif isinstance(v, tuple) and v[0] == "rk":
+            sheet += rec(0x027E, struct.pack("<HHHI", r, c, 0, v[1]))
+        elif isinstance(v, tuple) and v[0] == "mulrk":
+            body = struct.pack("<HH", r, c)
+            for rk in v[1]:
+                body += struct.pack("<HI", 0, rk)
+            body += struct.pack("<H", c + len(v[1]) - 1)
+            sheet += rec(0x00BD, body)
+        elif isinstance(v, tuple) and v[0] == "formula":
+            sheet += rec(
+                0x0006,
+                struct.pack("<HHH", r, c, 0) + struct.pack("<d", v[1]) + b"\x00" * 8,
+            )
+        elif v is None:
+            continue
+        else:
+            sheet += rec(0x0203, struct.pack("<HHH", r, c, 0) + struct.pack("<d", float(v)))
+    sheet += rec(0x000A)
+
+    wb = bytearray(globals_part + sheet)
+    wb[bs_pos + 4 : bs_pos + 8] = struct.pack("<I", sheet_off)
+    wb_b = bytes(wb)
+    # pad past the 4096-byte mini cutoff so the stream lives in plain
+    # FAT sectors (zero bytes parse as op-0 records and are ignored)
+    n_sect = max(8, (len(wb_b) + 511) // 512)
+    wb_b = wb_b.ljust(n_sect * 512, b"\x00")
+
+    FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
+    # sector map: 0 = FAT, 1 = directory, 2..(2+n_sect-1) = workbook
+    n_fat_entries = 2 + n_sect
+    n_fat_sectors = 1
+    if n_fat_entries > 128:
+        raise NotImplementedError("write_xls supports sheets up to ~64KB")
+    fat = [FATSECT, END] + [i + 1 for i in range(2, 1 + n_sect)] + [END]
+    fat += [FREE] * (128 - len(fat))
+    fat_sector = struct.pack("<128I", *fat[:128])
+
+    def direntry(nm, etype, start, size):
+        nmb = nm.encode("utf-16-le") + b"\x00\x00"
+        e = nmb.ljust(64, b"\x00")
+        e += struct.pack("<H", len(nmb)) + bytes([etype, 0])
+        e += struct.pack("<3i", -1, -1, -1)
+        e = e[:80].ljust(116, b"\x00")
+        e += struct.pack("<II", start & 0xFFFFFFFF, size)
+        return e.ljust(128, b"\x00")
+
+    dir_sector = (
+        direntry("Root Entry", 5, END, 0)
+        + direntry("Workbook", 2, 2, len(wb_b))
+        + b"\x00" * 256
+    )[:512]
+
+    header = bytearray(512)
+    header[0:8] = bytes.fromhex("D0CF11E0A1B11AE1")
+    struct.pack_into("<H", header, 24, 0x3E)
+    struct.pack_into("<H", header, 26, 3)
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 9)
+    struct.pack_into("<H", header, 32, 6)
+    struct.pack_into("<I", header, 44, n_fat_sectors)
+    struct.pack_into("<I", header, 48, 1)
+    struct.pack_into("<I", header, 56, 4096)
+    struct.pack_into("<I", header, 60, END)
+    struct.pack_into("<I", header, 68, END)
+    struct.pack_into("<I", header, 76, 0)
+    for i in range(1, 109):
+        struct.pack_into("<I", header, 76 + 4 * i, FREE)
+    return bytes(header) + fat_sector + dir_sector + wb_b
+
+
+def write_xls(pdf: pd.DataFrame, path: str) -> None:
+    """pandas DataFrame → BIFF8 .xls (header row from columns; numbers,
+    strings, booleans, None). Driver-side export like the other
+    single-file writers."""
+    spec: list[tuple] = []
+    for c, col in enumerate(pdf.columns):
+        spec.append((0, c, str(col)))
+    for r, (_, row) in enumerate(pdf.iterrows(), start=1):
+        for c, col in enumerate(pdf.columns):
+            v = row[col]
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                continue
+            if isinstance(v, (bool, np.bool_)):
+                spec.append((r, c, bool(v)))
+            elif isinstance(v, (int, float, np.integer, np.floating)):
+                spec.append((r, c, float(v)))
+            else:
+                spec.append((r, c, str(v)))
+    with open(path, "wb") as fh:
+        fh.write(assemble_xls(spec))

@@ -203,29 +203,80 @@ def test_real_jpeg_roundtrip_psnr():
 
 
 def test_real_jpeg_decodes_foreign_baseline():
-    """Decode JPEGs produced by real libjpeg (CPython test data): a
-    4:2:0-subsampled 16x16 logo and a 2x2 gray square; progressive
-    (SOF2) raises the documented NotImplementedError."""
+    """Decode JPEGs produced by real libjpeg: a committed 331-byte gray
+    square (foreign Huffman/quant tables, tests/data/gray2x2.jpg) and,
+    when present on the host, CPython's 4:2:0-subsampled 16x16 logo."""
     import os
-
-    import pytest as _pytest
 
     from pythongis_spark.images import jpeg as J
 
-    base = "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11"
-    logo = f"{base}/test/imghdrdata/python.jpg"
-    if not os.path.exists(logo):
-        _pytest.skip("system JPEG fixtures not present")
-    img = J.decode_jpeg(open(logo, "rb").read())
-    assert img.shape == (16, 16, 3)
-    # the logo's center is the Python yellow on a dark background
-    assert img[8, 8, 0] > 200 and img[8, 8, 1] > 200 and img[8, 8, 2] < 120
-    assert img[0, 0].max() < 40
+    here = os.path.dirname(__file__)
+    g = J.decode_jpeg(open(os.path.join(here, "data", "gray2x2.jpg"), "rb").read())
+    assert g.shape == (2, 2, 3) and abs(float(g.mean()) - 128.0) < 2
 
-    gray = f"{base}/site-packages/IPython/core/tests/2x2.jpg"
-    if os.path.exists(gray):
-        g = J.decode_jpeg(open(gray, "rb").read())
-        assert g.shape == (2, 2, 3) and abs(float(g.mean()) - 128.0) < 2
+    logo = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+            "python3.11/test/imghdrdata/python.jpg")
+    if os.path.exists(logo):
+        img = J.decode_jpeg(open(logo, "rb").read())
+        assert img.shape == (16, 16, 3)
+        # the logo's center is the Python yellow on a dark background
+        assert img[8, 8, 0] > 200 and img[8, 8, 1] > 200 and img[8, 8, 2] < 120
+        assert img[0, 0].max() < 40
+
+
+def test_real_jpeg_420_mcu_interleave():
+    """4:2:0 decode path proven from spec primitives: hand-assemble a
+    16x16 one-MCU stream (4 Y blocks with distinct DC levels + flat
+    chroma) using only the public Huffman/DCT definitions, and check the
+    decoder reconstructs each 8x8 quadrant at its predicted level."""
+    import struct
+
+    import numpy as np
+
+    from pythongis_spark.images import jpeg as J
+
+    # quant tables that are all ones -> DC coef q steps of 1
+    ones = np.ones((8, 8))
+
+    codes_dc = J._build_codes(J._DC_L_BITS, J._DC_L_VALS)
+    codes_ac = J._build_codes(J._AC_L_BITS, J._AC_L_VALS)
+    bw = J._BitWriter()
+
+    def put_block(dc_diff):
+        cat, bits = J._magnitude(dc_diff)
+        code, ln = codes_dc[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(bits, cat)
+        code, ln = codes_ac[0x00]  # EOB right away: flat block
+        bw.write(code, ln)
+
+    # Y quadrant DC levels (spatial value = 128 + dc/8 for a flat block)
+    for diff in (80, -160, 320, -240):  # cumulative DCs: 80,-80,240,0
+        put_block(diff)
+    put_block(0)  # Cb
+    put_block(0)  # Cr
+    bw.flush()
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    zz = ones.reshape(64)[J._ZZ].astype(np.uint8)
+    dqt = seg(0xFFDB, bytes([0]) + zz.tobytes())
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, 16, 16, 3)
+              + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    dht = (seg(0xFFC4, bytes([0x00] + J._DC_L_BITS + J._DC_L_VALS))
+           + seg(0xFFC4, bytes([0x10] + J._AC_L_BITS + J._AC_L_VALS)))
+    sos = seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    blob = b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.buf) + b"\xff\xd9"
+
+    img = J.decode_jpeg(blob)
+    assert img.shape == (16, 16, 3)
+    # flat chroma at 128 -> RGB == Y; quadrant Y = 128 + dc/8
+    for (qy, qx), dc in (((0, 0), 80), ((0, 1), -80), ((1, 0), 240), ((1, 1), 0)):
+        quad = img[qy * 8 : qy * 8 + 8, qx * 8 : qx * 8 + 8]
+        want = np.clip(128 + dc / 8.0, 0, 255)
+        assert abs(float(quad.mean()) - want) < 1.0, ((qy, qx), quad.mean(), want)
 
 
 def test_real_png_decodes_foreign_icons():

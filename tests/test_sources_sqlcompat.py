@@ -313,102 +313,11 @@ def test_geotiff_lzw_predictor2_strips(tmp_path):
 
 
 def _build_xls(rows_spec) -> bytes:
-    """Hand-assemble a minimal-but-real BIFF8 .xls: OLE2 container
-    (FAT + directory) wrapping a Workbook stream with SST, BOUNDSHEET,
-    and NUMBER/RK/MULRK/LABELSST/BOOLERR/FORMULA cell records."""
-    import struct as st
+    """Real OLE2+BIFF8 assembly lives in sources/xls.assemble_xls; the
+    test keeps this alias so fixtures read naturally."""
+    from pythongis_spark.sources.xls import assemble_xls
 
-    def rec(op, payload=b""):
-        return st.pack("<HH", op, len(payload)) + payload
-
-    # collect shared strings
-    sst_list = []
-    for r, c, v in rows_spec:
-        if isinstance(v, str) and v not in sst_list:
-            sst_list.append(v)
-
-    sst_payload = st.pack("<ii", len(sst_list), len(sst_list))
-    for i, s in enumerate(sst_list):
-        if i == 0:  # exercise the UTF-16 branch on the first string
-            sst_payload += st.pack("<HB", len(s), 1) + s.encode("utf-16-le")
-        else:
-            sst_payload += st.pack("<HB", len(s), 0) + s.encode("latin-1")
-
-    name = b"Sheet1"
-    bs_payload_len = 4 + 2 + 2 + len(name)
-    globals_part = (
-        rec(0x0809, st.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
-        + rec(0x00FC, sst_payload)
-    )
-    # BOUNDSHEET with offset patched afterwards
-    bs_pos = len(globals_part)
-    globals_part += rec(
-        0x0085, st.pack("<IHB", 0, 0, len(name)) + b"\x00" + name
-    )
-    globals_part += rec(0x000A)
-    sheet_off = len(globals_part)
-
-    sheet = rec(0x0809, st.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
-    for r, c, v in rows_spec:
-        if isinstance(v, str):
-            sheet += rec(0x00FD, st.pack("<HHHI", r, c, 0, sst_list.index(v)))
-        elif isinstance(v, bool):
-            sheet += rec(0x0205, st.pack("<HHHBB", r, c, 0, int(v), 0))
-        elif isinstance(v, tuple) and v[0] == "rk":
-            sheet += rec(0x027E, st.pack("<HHHI", r, c, 0, v[1]))
-        elif isinstance(v, tuple) and v[0] == "mulrk":
-            body = st.pack("<HH", r, c)
-            for rk in v[1]:
-                body += st.pack("<HI", 0, rk)
-            body += st.pack("<H", c + len(v[1]) - 1)
-            sheet += rec(0x00BD, body)
-        elif isinstance(v, tuple) and v[0] == "formula":
-            res = st.pack("<d", v[1])
-            sheet += rec(0x0006, st.pack("<HHH", r, c, 0) + res + b"\x00" * 8)
-        else:
-            sheet += rec(0x0203, st.pack("<HHH", r, c, 0) + st.pack("<d", float(v)))
-    sheet += rec(0x000A)
-
-    wb = bytearray(globals_part + sheet)
-    wb[bs_pos + 4 : bs_pos + 8] = st.pack("<I", sheet_off)  # patch BOUNDSHEET
-    wb = bytes(wb).ljust(4096, b"\x00")  # >= mini cutoff: plain FAT chain
-
-    # ---- OLE2 container: header + FAT(sector 0) + dir(sector 1) + 8 data
-    FREE, END, FATSECT = 0xFFFFFFFF, 0xFFFFFFFE, 0xFFFFFFFD
-    fat = [FATSECT, END] + [i + 1 for i in range(2, 9)] + [END] + [FREE] * 118
-    fat_sector = st.pack("<128I", *fat[:128])
-
-    def direntry(name, etype, start, size):
-        nm = name.encode("utf-16-le") + b"\x00\x00"
-        e = nm.ljust(64, b"\x00")
-        e += st.pack("<H", len(nm)) + bytes([etype, 0])
-        e += st.pack("<3i", -1, -1, -1)  # siblings/child
-        e = e[:80].ljust(116, b"\x00")   # clsid+state+times zeroed
-        e += st.pack("<II", start & 0xFFFFFFFF, size)
-        return e.ljust(128, b"\x00")
-
-    root = direntry("Root Entry", 5, END, 0)
-    wbent = direntry("Workbook", 2, 2, len(wb))
-    empty = b"\x00" * 128
-    dir_sector = (root + wbent + empty + empty)[:512]
-
-    header = bytearray(512)
-    header[0:8] = bytes.fromhex("D0CF11E0A1B11AE1")
-    st.pack_into("<H", header, 24, 0x3E)    # minor
-    st.pack_into("<H", header, 26, 3)       # major (512-byte sectors)
-    st.pack_into("<H", header, 28, 0xFFFE)  # little-endian
-    st.pack_into("<H", header, 30, 9)       # sector shift
-    st.pack_into("<H", header, 32, 6)       # mini sector shift
-    st.pack_into("<I", header, 44, 1)       # one FAT sector
-    st.pack_into("<I", header, 48, 1)       # directory at sector 1
-    st.pack_into("<I", header, 56, 4096)    # mini cutoff
-    st.pack_into("<I", header, 60, END)     # no miniFAT
-    st.pack_into("<I", header, 68, END)     # no extra DIFAT
-    st.pack_into("<I", header, 76, 0)       # DIFAT[0] -> FAT in sector 0
-    for i in range(1, 109):
-        st.pack_into("<I", header, 76 + 4 * i, FREE)
-
-    return bytes(header) + fat_sector + dir_sector + wb
+    return assemble_xls(rows_spec)
 
 
 def test_xls_biff8_read(spark, tmp_path):
@@ -450,3 +359,24 @@ def test_xls_biff8_read(spark, tmp_path):
     assert list(pdf.columns)[:3] == ["id", "value", "name"]
     assert len(pdf) == 5
     assert pdf["value"].tolist() == [123.0, 123.45, 2.5, 99.5, 123.0]
+
+
+def test_xls_write_read_roundtrip(spark, tmp_path):
+    """write_xls → read_xls round-trips a mixed-type table (numbers,
+    strings incl. non-latin-1, None holes)."""
+    import os
+
+    from pythongis_spark.sources.xls import read_xls, write_xls
+
+    pdf = pd.DataFrame({
+        "name": ["alpha", "béta", "日本語", None],
+        "qty": [1.5, -2.0, 0.25, 7.0],
+        "flag": [True, False, True, False],
+    })
+    p = os.path.join(str(tmp_path), "rt.xls")
+    write_xls(pdf, p)
+    out = read_xls(spark, p).toPandas()
+    assert list(out.columns) == ["name", "qty", "flag"]
+    assert out["qty"].tolist() == [1.5, -2.0, 0.25, 7.0]
+    assert out["name"].tolist()[:3] == ["alpha", "béta", "日本語"]
+    assert out["flag"].tolist() == [True, False, True, False]
