@@ -57,6 +57,28 @@ def st_bbox(geom: pd.Series) -> pd.DataFrame:
     )
 
 
+@F.pandas_udf(T.BooleanType())
+def st_is_bbox_rect(geom: pd.Series) -> pd.Series:
+    """True when the geometry is exactly its own axis-aligned bounding
+    rectangle (single-ring polygon whose vertex set is the four bbox
+    corners) — the planner statistic behind the pip rectangle fast
+    path (gridded zone/tile dimensions need no ray-cast refine: the
+    codegen point-in-bbox test IS the exact predicate)."""
+    out = np.zeros(len(geom), dtype=bool)
+    for i, blob in enumerate(geom.to_numpy(object)):
+        if blob is None:
+            continue
+        g = W.decode_wkb(bytes(blob))
+        if g[0] != "Polygon" or len(g[1]) != 1:
+            continue
+        ring = np.asarray(g[1][0], dtype=np.float64)
+        pts = {tuple(p) for p in ring}
+        x0, y0 = ring[:, 0].min(), ring[:, 1].min()
+        x1, y1 = ring[:, 0].max(), ring[:, 1].max()
+        out[i] = pts == {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}
+    return pd.Series(out, index=geom.index)
+
+
 @F.pandas_udf(T.DoubleType())
 def st_area(geom: pd.Series) -> pd.Series:
     """Planar area (``pythongis/vector/data.py:315``)."""

@@ -196,7 +196,16 @@ def knn_join(
     # broadcast-SIZE knob) silently turned a raised broadcast budget into
     # a billion-row cartesian at scale (found by the sf0.1 sweep)
     if n_targets <= max(k * 4, 1000):
-        # tiny target table: exact broadcast cross join
+        if n_targets and metric == "planar":
+            # tiny PLANAR target table: vectorized Arrow top-k — no
+            # crossJoin materialization and no per-point window shuffle
+            # (the crossJoin plan shuffled |points|×|targets| rows)
+            return _knn_tiny_arrow(pts, tgt, k, point_id, lon, lat).withColumnRenamed(
+                "_tid", target_id
+            )
+        # tiny target table, trig metrics: exact broadcast cross join
+        # (JVM trig keeps bit-parity with the SQL oracles; numpy libm
+        # sin/cos can differ in the last ulp)
         return _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric, n_targets).withColumnRenamed(
             "_tid", target_id
         )
@@ -257,6 +266,54 @@ def knn_join(
         )
         result = bf if result is None else result.unionByName(bf)
     return result.withColumnRenamed("_tid", target_id)
+
+
+def _knn_tiny_arrow(pts: DataFrame, tgt: DataFrame, k: int,
+                    point_id: str, lon: str, lat: str) -> DataFrame:
+    """Exact planar kNN against a tiny target set as ONE mapInPandas
+    pass: per Arrow batch, a (B × T) numpy distance matrix and a stable
+    argsort emit exactly k rows per point — no join, no exchange.
+
+    Bit-parity contract: dist = sqrt(dx*dx + dy*dy) evaluated in the
+    same IEEE operation order as the Catalyst expression in
+    :func:`_dist_expr` (multiply/add/sqrt are all correctly rounded),
+    so values hash identically under the driver's oracle gate. Ties
+    break by (dist, target id): targets are pre-sorted by id, and the
+    stable argsort preserves that order among equal distances —
+    the same (dist, _tid) order the window path uses."""
+    from pyspark.sql import types as T
+
+    rows = sorted(tgt.collect(), key=lambda r: r["_tid"])
+    tids = np.array([r["_tid"] for r in rows])
+    tx = np.array([r["_tlon"] for r in rows], dtype=np.float64)
+    ty = np.array([r["_tlat"] for r in rows], dtype=np.float64)
+    kk = min(k, len(tids))
+    out_schema = T.StructType(
+        list(pts.schema.fields)
+        + [
+            T.StructField("_tid", tgt.schema["_tid"].dataType),
+            T.StructField("dist", T.DoubleType()),
+            T.StructField("knn_rank", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            px = pdf[lon].to_numpy(np.float64)
+            py = pdf[lat].to_numpy(np.float64)
+            dx = px[:, None] - tx[None, :]
+            dy = py[:, None] - ty[None, :]
+            d = np.sqrt(dx * dx + dy * dy)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            out = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
+            out["_tid"] = tids[idx].ravel()
+            out["dist"] = np.take_along_axis(d, idx, axis=1).ravel()
+            out["knn_rank"] = np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf))
+            yield out
+
+    return pts.mapInPandas(gen, out_schema)
 
 
 def _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric, n_targets=None,

@@ -409,11 +409,34 @@ def point_in_polygon_join(
         lcol, rcol = subkey
         cand = cand.filter(F.col(lcol) == F.col("r_" + rcol))
 
-    # codegen point-in-bbox prefilter: a point in a covering cell can
-    # still fall outside the polygon bbox — cull it before Python
-    matched = cand.filter(pt_in_bbox).filter(
-        _refine_pip(F.col(lon), F.col(lat), F.col("r_" + polygon_geom))
+    # rectangle fast path: when EVERY build polygon is exactly its own
+    # bbox (gridded zone/tile dimensions — detected once per semantic
+    # plan), the ray-cast parity reduces to the HALF-OPEN box test
+    # x0 <= px < x1 AND y0 <= py < y1 (horizontal edges never cross a
+    # horizontal ray; left/right edges give odd parity exactly in that
+    # range), so a pure-codegen predicate replaces the Arrow refine —
+    # bit-identical results, no Python in the plan.
+    from pythongis_spark.geometry.udfs import st_is_bbox_rect
+
+    all_rect = _plan_stat(
+        ("allrect", _sem_key(polygons), 0, 0),
+        lambda: polygons.filter(
+            ~st_is_bbox_rect(F.col(polygon_geom))
+        ).limit(1).count() == 0,
     )
+    if all_rect:
+        matched = cand.filter(
+            (F.col(lon) >= F.col("r_bbox_xmin"))
+            & (F.col(lon) < F.col("r_bbox_xmax"))
+            & (F.col(lat) >= F.col("r_bbox_ymin"))
+            & (F.col(lat) < F.col("r_bbox_ymax"))
+        )
+    else:
+        # codegen point-in-bbox prefilter: a point in a covering cell can
+        # still fall outside the polygon bbox — cull it before Python
+        matched = cand.filter(pt_in_bbox).filter(
+            _refine_pip(F.col(lon), F.col(lat), F.col("r_" + polygon_geom))
+        )
 
     if how == "semi":
         return points.join(
