@@ -230,3 +230,73 @@ def test_general_join_clip_intersection(spark):
     clipped = W.decode_wkb(bytes(rows[0]["clip_geom"]))
     assert clipped[0] == "Polygon"
     assert abs(G.ring_signed_area(clipped[1][0])) == 25.0
+
+
+# ------------------------------------------------------------------
+# rectangle fast path: boundary semantics + plan purity
+# ------------------------------------------------------------------
+
+def test_rect_fast_path_edge_points_half_open(spark):
+    """Points exactly ON zone edges/corners: the rectangle fast path's
+    half-open box test must reproduce ray-cast parity (= the floor-based
+    zone formula) — a point on a shared edge matches exactly ONE zone,
+    points on the grid's max edges match none. Fixture points avoid
+    edges, so this is the only coverage of the boundary contract."""
+    import pandas as pd
+
+    zones = FX.oracle_zones(spark)
+    # interior shared vertical edge, shared horizontal edge, 4-zone
+    # corner, grid min corner, grid max edges (lat=90, lon=180)
+    pts = pd.DataFrame(
+        [
+            (0, -144.0, -75.0),   # on vertical edge between zone 0 and 1 -> zone 1
+            (1, -170.0, -60.0),   # on horizontal edge zones 0/10 -> zone 10
+            (2, -144.0, -60.0),   # 4-zone corner -> zone 11
+            (3, -180.0, -90.0),   # grid min corner -> zone 0
+            (4, 0.0, 90.0),       # top edge of the world -> no zone
+            (5, 180.0, 0.0),      # right edge of the world -> no zone
+            (6, -150.0, -80.0),   # plain interior point -> zone 0
+        ],
+        columns=["point_id", "lon", "lat"],
+    )
+    out = point_in_polygon_join(
+        spark.createDataFrame(pts), zones, point_id="point_id", z=6, build_rows=0
+    )
+    got = {(r["point_id"], r["zone_id"]) for r in out.select("point_id", "zone_id").collect()}
+    assert got == {(0, 1), (1, 10), (2, 11), (3, 0), (6, 0)}
+
+
+def test_rect_fast_path_plan_is_pure_jvm(spark):
+    """All-rectangle build side -> no Arrow refine in the physical plan;
+    concave/holed build (golden zones) -> refine stays."""
+    import contextlib
+    import io
+
+    import pandas as pd
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    pts = spark.createDataFrame(
+        pd.DataFrame([(0, -150.0, -80.0)], columns=["point_id", "lon", "lat"])
+    )
+    rect_plan = fmt(
+        point_in_polygon_join(
+            pts, FX.oracle_zones(spark), point_id="point_id", z=6, build_rows=0
+        )
+    )
+    # build-side cell cover is still Arrow; the per-candidate refine is not
+    assert "_refine_pip" not in rect_plan
+    golden_plan = fmt(
+        point_in_polygon_join(
+            pts,
+            spark.createDataFrame(FX.golden_zones_pdf(40)),
+            point_id="point_id",
+            z=6,
+            build_rows=0,
+        )
+    )
+    assert "_refine_pip" in golden_plan

@@ -66,7 +66,9 @@ def main():
         "pip_join",
         plan,
         must=[r"BroadcastHashJoin", r"ReadSchema: struct<event_id:bigint"],
-        must_not=[r"SortMergeJoin"],
+        # rectangle build side: the half-open codegen box test replaces
+        # the Arrow ray-cast refine entirely (r4 fast path)
+        must_not=[r"SortMergeJoin", r"_refine_pip"],
     )
 
     # 2. tile assignment: pure codegen, no python eval
@@ -155,6 +157,17 @@ def main():
         plan,
         must=[r"MapInPandas", r"Window", r"hashpartitioning\(q_id"],
         must_not=[r"Generate explode", r"ArrowEvalPython"],
+    )
+
+    # 10. tiny-target planar kNN: one MapInPandas top-k pass — no
+    # crossJoin materialization, no per-point window shuffle (r4 path)
+    kq = E.queries()["knn_zone_centers"](spark, sf)
+    plan = fmt(kq)
+    failures += not check(
+        "knn_tiny_arrow",
+        plan,
+        must=[r"MapInPandas"],
+        must_not=[r"CartesianProduct", r"Window"],
     )
 
     sys.exit(1 if failures else 0)
