@@ -72,6 +72,11 @@ def st_is_bbox_rect(geom: pd.Series) -> pd.Series:
         if g[0] != "Polygon" or len(g[1]) != 1:
             continue
         ring = np.asarray(g[1][0], dtype=np.float64)
+        if len(ring) != 5:
+            # a multiply-traced or vertex-padded ring can share the
+            # 4-corner vertex set yet carry different ray-cast parity —
+            # only the canonical 5-point closed ring qualifies
+            continue
         pts = {tuple(p) for p in ring}
         x0, y0 = ring[:, 0].min(), ring[:, 1].min()
         x1, y1 = ring[:, 0].max(), ring[:, 1].max()

@@ -300,3 +300,16 @@ def test_rect_fast_path_plan_is_pure_jvm(spark):
         )
     )
     assert "_refine_pip" in golden_plan
+    # a double-traced ring shares the 4-corner vertex SET but has even
+    # ray-cast parity (everything outside) — must NOT take the fast path
+    twice = W.wkb_polygon(
+        [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0],
+         [10, 0], [10, 10], [0, 10], [0, 0]]
+    )
+    degen = spark.createDataFrame(
+        pd.DataFrame([(0, twice)], columns=["zone_id", "geom"])
+    )
+    degen_plan = fmt(
+        point_in_polygon_join(pts, degen, point_id="point_id", z=6, build_rows=0)
+    )
+    assert "_refine_pip" in degen_plan
