@@ -239,20 +239,29 @@ def decode_bmp(blob: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+_BASE_CACHE: dict[tuple[int, int], np.ndarray] = {}
+
+
 def make_pixels(i: int, w: int, h: int) -> np.ndarray:
     """Deterministic (h, w, 3) uint8 pixels for image index i: smooth
-    gradient + seeded noise (FIXTURES.md §1)."""
+    gradient + seeded noise (FIXTURES.md §1). The gradient depends only
+    on (w, h) — cached read-only, noise stays per-i (the synth path is
+    the ingest throughput bottleneck: gradient was ~45% of row cost)."""
     rng = np.random.Generator(np.random.PCG64(i))
-    gy = np.linspace(0, 255, h)[:, None]
-    gx = np.linspace(0, 255, w)[None, :]
-    base = np.stack(
-        [
-            (gx + gy) / 2,
-            np.abs(gx - gy),
-            (gx * 0.5 + (255 - gy) * 0.5),
-        ],
-        axis=-1,
-    )
+    base = _BASE_CACHE.get((w, h))
+    if base is None:
+        gy = np.linspace(0, 255, h)[:, None]
+        gx = np.linspace(0, 255, w)[None, :]
+        base = np.stack(
+            [
+                (gx + gy) / 2,
+                np.abs(gx - gy),
+                (gx * 0.5 + (255 - gy) * 0.5),
+            ],
+            axis=-1,
+        )
+        base.setflags(write=False)
+        _BASE_CACHE[(w, h)] = base
     noise = rng.integers(-20, 21, size=(h, w, 3))
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
@@ -316,7 +325,9 @@ def average_phash(pixels: np.ndarray) -> int:
     """64-bit average hash: grayscale → 8x8 block means → threshold by the
     global mean → bits MSB-first. Deterministic across platforms (pure
     integer/float64 numpy)."""
-    gray = pixels.astype(np.float64).mean(axis=2)
+    # integer channel sum is exact in float64, so sum/3.0 is bit-identical
+    # to astype(float64).mean(axis=2) at a third of the float traffic
+    gray = pixels.sum(axis=2, dtype=np.int64).astype(np.float64) / 3.0
     h, w = gray.shape
     # block-reduce to 8x8 (w, h are multiples of 8 in our fixtures; general
     # case uses truncation to the largest multiple)
