@@ -612,8 +612,30 @@ def spatial_join(
     # codegen bbox prefilter before any Python
     cand = cand.filter(_bbox_overlap_cond())
 
-    refiner = _make_pair_refiner(condition)
-    matched = cand.filter(refiner(F.col("l_" + left_geom), F.col("r_" + right_geom)))
+    # rectangle fast path: for 'intersects' over two all-rectangle
+    # sides, closed bbox overlap IS the exact predicate (axis-aligned
+    # rects intersect iff their boxes do, edge- and corner-touch
+    # included — parity with geoms_intersect verified per case in
+    # test_spatial_join), so the Arrow pair refine is skipped.
+    from pythongis_spark.geometry.udfs import st_is_bbox_rect
+
+    def _all_rect(df, geom_col):
+        return _plan_stat(
+            ("allrect", _sem_key(df), 0, 0),
+            lambda: df.filter(
+                ~st_is_bbox_rect(F.col(geom_col))
+            ).limit(1).count() == 0,
+        )
+
+    if condition == "intersects" and _all_rect(left, left_geom) and _all_rect(
+        right, right_geom
+    ):
+        matched = cand  # bbox prefilter above is already exact
+    else:
+        refiner = _make_pair_refiner(condition)
+        matched = cand.filter(
+            refiner(F.col("l_" + left_geom), F.col("r_" + right_geom))
+        )
 
     if clip is not None:
         clipper = _make_pair_clipper(clip)

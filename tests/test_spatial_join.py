@@ -313,3 +313,54 @@ def test_rect_fast_path_plan_is_pure_jvm(spark):
         point_in_polygon_join(pts, degen, point_id="point_id", z=6, build_rows=0)
     )
     assert "_refine_pip" in degen_plan
+
+
+def test_general_join_rect_fast_path(spark):
+    """intersects over two all-rectangle sides: closed bbox overlap IS
+    the exact predicate — edge- and corner-touching rects match, the
+    Arrow pair refine leaves the plan, and a non-rect side restores it."""
+    import contextlib
+    import io
+
+    import pandas as pd
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def rect_df(rows, idc):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [(i, W.wkb_polygon([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]))
+                 for i, (x0, y0, x1, y1) in rows],
+                columns=[idc, "geom"],
+            )
+        )
+
+    a = rect_df([(0, (0, 0, 10, 10))], "a_id")
+    b = rect_df(
+        [
+            (1, (10, 0, 20, 10)),   # edge-touch -> match
+            (2, (10, 10, 20, 20)),  # corner-touch -> match
+            (3, (2, 2, 8, 8)),      # contained -> match
+            (4, (11, 0, 20, 10)),   # disjoint -> no match
+        ],
+        "b_id",
+    )
+    out = spatial_join(a, b, "intersects", left_id="a_id")
+    got = {(r["a_id"], r["b_id"]) for r in out.select("a_id", "b_id").collect()}
+    assert got == {(0, 1), (0, 2), (0, 3)}
+    assert "FilterFunction" not in fmt(out)
+    assert "refine" not in fmt(out)
+
+    # concave right side: refine must come back
+    concave = spark.createDataFrame(
+        pd.DataFrame(
+            [(9, W.wkb_polygon([[0, 0], [10, 0], [10, 10], [5, 5], [0, 10], [0, 0]]))],
+            columns=["b_id", "geom"],
+        )
+    )
+    plan = fmt(spatial_join(a, concave, "intersects", left_id="a_id"))
+    assert "refine" in plan
