@@ -495,14 +495,23 @@ def geom_within_covers(ga, gb, require_interior: bool) -> bool:
     tb, _ = gb
     if tb not in ("Polygon", "MultiPolygon"):
         return False
+    ta, _ = ga
     pts = _sample_points(ga)
     par = points_in_polygon(pts[:, 0], pts[:, 1], gb)
     onb = points_on_boundary(pts[:, 0], pts[:, 1], gb)
     if not (par | onb).all():
         return False
-    if require_interior and not (par & ~onb).any():
+    # the probe set samples only a's boundary, so the interior demand is
+    # checked there for 0/1-dim a; for a 2-dim a it is implied: an open
+    # 2D interior contained in b cannot fit inside b's 1D boundary, so
+    # containment forces interior∩interior ≠ ∅ (shapely: poly.within(
+    # poly) is True even when the boundaries coincide exactly)
+    if (
+        require_interior
+        and ta not in ("Polygon", "MultiPolygon")
+        and not (par & ~onb).any()
+    ):
         return False
-    ta, _ = ga
     if ta in ("Point", "MultiPoint"):
         return True
     for A in _boundary_polylines(ga):

@@ -612,11 +612,14 @@ def spatial_join(
     # codegen bbox prefilter before any Python
     cand = cand.filter(_bbox_overlap_cond())
 
-    # rectangle fast path: for 'intersects' over two all-rectangle
-    # sides, closed bbox overlap IS the exact predicate (axis-aligned
-    # rects intersect iff their boxes do, edge- and corner-touch
-    # included — parity with geoms_intersect verified per case in
-    # test_spatial_join), so the Arrow pair refine is skipped.
+    # rectangle fast path: over two all-rectangle sides the closed bbox
+    # relations ARE the exact predicates — overlap for 'intersects'
+    # (axis-aligned rects intersect iff their boxes do, edge- and
+    # corner-touch included) and containment for within/coveredby/
+    # contains/covers (a proper rect's 2D interior forces the interior
+    # demand automatically) — parity with the geometric predicates
+    # verified per case in test_spatial_join, so the Arrow pair refine
+    # is skipped and the plan stays whole-stage codegen.
     from pythongis_spark.geometry.udfs import st_is_bbox_rect
 
     def _all_rect(df, geom_col):
@@ -627,10 +630,24 @@ def spatial_join(
             ).limit(1).count() == 0,
         )
 
-    if condition == "intersects" and _all_rect(left, left_geom) and _all_rect(
+    def _bbox_contained(inner: str, outer: str) -> Column:
+        return (
+            (F.col(inner + "bbox_xmin") >= F.col(outer + "bbox_xmin"))
+            & (F.col(inner + "bbox_xmax") <= F.col(outer + "bbox_xmax"))
+            & (F.col(inner + "bbox_ymin") >= F.col(outer + "bbox_ymin"))
+            & (F.col(inner + "bbox_ymax") <= F.col(outer + "bbox_ymax"))
+        )
+
+    _RECT_EXACT = ("intersects", "within", "coveredby", "contains", "covers")
+    if condition in _RECT_EXACT and _all_rect(left, left_geom) and _all_rect(
         right, right_geom
     ):
-        matched = cand  # bbox prefilter above is already exact
+        if condition == "intersects":
+            matched = cand  # bbox prefilter above is already exact
+        elif condition in ("within", "coveredby"):
+            matched = cand.filter(_bbox_contained("l_", "r_"))
+        else:  # contains / covers
+            matched = cand.filter(_bbox_contained("r_", "l_"))
     else:
         refiner = _make_pair_refiner(condition)
         matched = cand.filter(

@@ -175,3 +175,13 @@ def test_encode_decode_roundtrip():
         rt = W.decode_wkb(W.encode_wkb(g))
         assert rt[0] == g[0]
         assert np.allclose(W.all_coords(rt), W.all_coords(g))
+
+
+def test_within_identical_polygons():
+    """shapely parity: poly.within(poly) is True — a 2D interior
+    contained in b cannot avoid b's interior even when the boundaries
+    coincide exactly (regression: the boundary-only probe set used to
+    fail the interior demand here)."""
+    s = sq(0, 0, 10, 10)
+    assert G.geom_within_covers(s, s, require_interior=True)
+    assert G.geom_within_covers(s, s, require_interior=False)

@@ -364,3 +364,56 @@ def test_general_join_rect_fast_path(spark):
     )
     plan = fmt(spatial_join(a, concave, "intersects", left_id="a_id"))
     assert "refine" in plan
+
+
+def test_general_join_rect_containment_fast_path(spark):
+    """within/contains over all-rectangle sides: closed bbox containment
+    is exact (incl. identical rects and shared edges); refine absent
+    from the plan; results equal the geometric brute force."""
+    import contextlib
+    import io
+
+    import pandas as pd
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def rect_df(rows, idc):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [(i, W.wkb_polygon([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]))
+                 for i, (x0, y0, x1, y1) in rows],
+                columns=[idc, "geom"],
+            )
+        )
+
+    a_rows = [(0, (2, 2, 8, 8)), (1, (0, 0, 10, 10)), (2, (5, 5, 15, 15))]
+    b_rows = [(10, (0, 0, 10, 10)), (11, (2, 2, 8, 8))]
+    a = rect_df(a_rows, "a_id")
+    b = rect_df(b_rows, "b_id")
+
+    for cond in ("within", "coveredby", "contains", "covers"):
+        out = spatial_join(a, b, cond, left_id="a_id")
+        got = {(r["a_id"], r["b_id"]) for r in out.select("a_id", "b_id").collect()}
+        pred = {
+            "within": lambda ga, gb: G.geom_within_covers(ga, gb, require_interior=True),
+            "coveredby": lambda ga, gb: G.geom_within_covers(ga, gb, require_interior=False),
+            "contains": lambda ga, gb: G.geom_within_covers(gb, ga, require_interior=True),
+            "covers": lambda ga, gb: G.geom_within_covers(gb, ga, require_interior=False),
+        }[cond]
+        expected = set()
+        for i, ra in a_rows:
+            ga = W.decode_wkb(rect_df([(i, ra)], "x").toPandas()["geom"][0])
+            for j, rb in b_rows:
+                gb = W.decode_wkb(rect_df([(j, rb)], "x").toPandas()["geom"][0])
+                if pred(ga, gb):
+                    expected.add((i, j))
+        assert got == expected, cond
+        assert "refine" not in fmt(out), cond
+    # identical rect must self-match under within AND contains
+    w = {(r["a_id"], r["b_id"]) for r in
+         spatial_join(a, b, "within", left_id="a_id").select("a_id", "b_id").collect()}
+    assert (1, 10) in w and (0, 11) in w
