@@ -185,3 +185,19 @@ def test_within_identical_polygons():
     s = sq(0, 0, 10, 10)
     assert G.geom_within_covers(s, s, require_interior=True)
     assert G.geom_within_covers(s, s, require_interior=False)
+
+
+def test_predicate_family_shapely_parity_edge_cases():
+    """Spot-matrix of boundary configurations against shapely-known
+    truths (the configurations most likely to hide parity bugs — the
+    identical-polygon within bug lived here)."""
+    s = sq(0, 0, 10, 10)
+    assert not G.geom_touches(s, s)                       # interiors meet
+    assert not G.geom_touches(s, sq(5, 5, 15, 15))        # overlap
+    assert G.geom_touches(s, sq(10, 10, 20, 20))          # corner only
+    assert not G.geom_touches(s, sq(2, 2, 8, 8))          # contained
+    assert not G.geom_touches(s, sq(0, 2, 5, 8))          # contained, shared edge
+    assert not G.geom_within_covers(pt(0, 5), s, require_interior=True)
+    assert G.geom_within_covers(pt(0, 5), s, require_interior=False)
+    assert G.geom_within_covers(pt(5, 5), s, require_interior=True)
+    assert not G.geom_crosses(s, sq(5, 5, 15, 15))        # area x area never crosses
