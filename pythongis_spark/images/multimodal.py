@@ -1,8 +1,11 @@
 """Multimodal payload columns: audio / video as opaque binary + typed
 metadata.
 
-No audio/video codecs exist in this image (same constraint as PIL), so
-the *decode* steps are clearly-marked deterministic stand-ins behind the
+Audio is REAL: WAV (RIFF/WAVE PCM16, the public Multimedia Programming
+Interface spec) encode + decode implemented here with struct/numpy and
+cross-validated against the stdlib ``wave`` module in tests; the legacy
+FAUD container stays readable. Video has no pure-stdlib format, so its
+*decode* step remains a clearly-marked deterministic stand-in behind the
 same `NotImplementedError`-documenting pattern as ``images.codec`` —
 while the Spark-side contract is real and tested: schemas, Arrow batch
 shapes, ``mapInPandas`` signatures, partitioning behavior.
@@ -27,32 +30,103 @@ VIDEO_SCHEMA_DDL = (
 )
 
 
-def make_audio_clip(i: int, sample_rate: int = 8000, seconds: float = 0.5) -> dict:
-    """Deterministic PCM16 sine+noise clip in a FAUD container."""
+def encode_wav(pcm: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
+    """int16 PCM → canonical WAV bytes (RIFF 'WAVE' with a PCM 'fmt '
+    chunk followed by 'data'; Multimedia Programming Interface and Data
+    Specifications 1.0, public). For multi-channel input, ``pcm`` is
+    interleaved frame-major, shape (n_frames*channels,) or
+    (n_frames, channels)."""
+    pcm = np.ascontiguousarray(np.asarray(pcm, dtype="<i2").reshape(-1))
+    if pcm.size % channels:
+        raise ValueError("pcm length not a multiple of channels")
+    data = pcm.tobytes()
+    byte_rate = sample_rate * channels * 2
+    block_align = channels * 2
+    fmt_chunk = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_chunk)) + fmt_chunk
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF chunks are word-aligned
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(blob: bytes) -> tuple[np.ndarray, int, int]:
+    """WAV bytes → (interleaved int16 PCM, sample_rate, channels). Walks
+    the RIFF chunk list (skipping LIST/fact/other chunks, honoring the
+    word-alignment pad) — not just the canonical 44-byte layout. Only
+    uncompressed PCM16 (format tag 1, 16 bits/sample) is supported;
+    anything else raises."""
+    blob = bytes(blob)
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, 8 + struct.unpack_from("<I", blob, 4)[0]
+    sr = ch = bits = tag = None
+    data = None
+    while pos + 8 <= min(end, len(blob)):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack_from("<I", blob, pos + 4)[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # pad byte keeps chunks word-aligned
+    if tag is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if tag != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 WAV is supported (format tag {tag}, {bits} bits)"
+        )
+    return np.frombuffer(data, dtype="<i2"), sr, ch
+
+
+def make_audio_clip(i: int, sample_rate: int = 8000, seconds: float = 0.5,
+                    fmt: str = "wav") -> dict:
+    """Deterministic PCM16 sine+noise clip — real WAV by default, the
+    legacy FAUD container on request."""
     n = int(sample_rate * seconds)
     rng = np.random.Generator(np.random.PCG64(i))
     t = np.arange(n) / sample_rate
     freq = 220.0 + (i % 16) * 55.0
     wave = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(n)
     pcm = np.clip(wave * 32767, -32768, 32767).astype("<i2")
-    blob = b"FAUD" + struct.pack("<IHB", n, sample_rate, 1) + zlib.compress(pcm.tobytes(), 1)
+    if fmt == "wav":
+        blob = encode_wav(pcm, sample_rate, 1)
+    elif fmt == "faud":
+        blob = (
+            b"FAUD" + struct.pack("<IHB", n, sample_rate, 1)
+            + zlib.compress(pcm.tobytes(), 1)
+        )
+    else:
+        raise ValueError(f"unknown audio fmt {fmt!r}")
     return dict(
         clip_id=f"clip{i:09d}", bytes=blob, sample_rate=sample_rate,
-        n_samples=n, channels=1, fmt="faud",
+        n_samples=n, channels=1, fmt=fmt,
     )
 
 
 def decode_audio(blob: bytes) -> np.ndarray:
-    if bytes(blob[:4]) != b"FAUD":
-        raise ValueError("unknown audio container")
-    n, sr, ch = struct.unpack_from("<IHB", blob, 4)
-    return np.frombuffer(zlib.decompress(bytes(blob[11:])), dtype="<i2")[: n * ch]
+    """Signature-dispatched audio decode: real WAV or the legacy FAUD
+    stand-in container."""
+    sig = bytes(blob[:4])
+    if sig == b"RIFF":
+        pcm, _sr, _ch = decode_wav(blob)
+        return pcm
+    if sig == b"FAUD":
+        n, sr, ch = struct.unpack_from("<IHB", blob, 4)
+        return np.frombuffer(zlib.decompress(bytes(blob[11:])), dtype="<i2")[: n * ch]
+    raise ValueError("unknown audio container")
 
 
 def decode_audio_external(fmt: str):
     raise NotImplementedError(
-        f"real {fmt} decode needs an audio library (soundfile/ffmpeg) not "
-        "present in this environment; FAUD is the deterministic stand-in"
+        f"{fmt} decode needs an audio library (soundfile/ffmpeg) not "
+        "present in this environment; WAV (PCM16) is implemented from the "
+        "public RIFF spec, FAUD is the deterministic stand-in"
     )
 
 

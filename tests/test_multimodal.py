@@ -39,3 +39,74 @@ def test_external_decode_stub():
         MM.decode_audio_external("mp3")
     with pytest.raises(ValueError):
         MM.decode_audio(b"XXXX1234")
+
+
+# ------------------------------------------------------------ real WAV
+
+def test_wav_roundtrip_and_stdlib_cross_validation(tmp_path):
+    """Our RIFF writer/reader against the stdlib `wave` module in BOTH
+    directions (foreign-implementation oracle, same pattern as the
+    libjpeg bitstream tests)."""
+    import io
+    import wave as stdwave
+
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    pcm = rng.integers(-32768, 32768, size=4001, dtype=np.int16)  # odd length -> pad byte
+
+    # ours -> stdlib
+    blob = MM.encode_wav(pcm, 8000, 1)
+    with stdwave.open(io.BytesIO(blob)) as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 2, 8000)
+        assert w.getnframes() == 4001
+        back = np.frombuffer(w.readframes(4001), dtype="<i2")
+    assert (back == pcm).all()
+
+    # stdlib -> ours
+    buf = io.BytesIO()
+    with stdwave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        stereo = rng.integers(-32768, 32768, size=2000, dtype=np.int16)
+        w.writeframes(stereo.tobytes())
+    got, sr, ch = MM.decode_wav(buf.getvalue())
+    assert (sr, ch) == (44100, 2)
+    assert (got == stereo).all()
+
+
+def test_wav_chunk_walk_and_errors():
+    import struct
+
+    import numpy as np
+
+    pcm = np.arange(-50, 50, dtype=np.int16)
+    blob = MM.encode_wav(pcm, 16000, 1)
+    # splice a LIST chunk between fmt and data: decoder must skip it
+    fmt_end = blob.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size + pad
+    spliced = blob[:fmt_end] + extra + blob[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    got, sr, ch = MM.decode_wav(spliced)
+    assert (got == pcm).all() and sr == 16000
+
+    with pytest.raises(ValueError):
+        MM.decode_wav(b"RIFX" + blob[4:])
+    # float WAV (format tag 3) must raise, not mis-decode
+    tag3 = blob.replace(b"fmt " + struct.pack("<IH", 16, 1),
+                        b"fmt " + struct.pack("<IH", 16, 3))
+    with pytest.raises(NotImplementedError):
+        MM.decode_wav(tag3)
+
+
+def test_audio_clip_wav_default_and_faud_parity():
+    """Default clips are real WAV; the same index encodes the same PCM in
+    both containers, so the decoded signal (and thus every feature) is
+    identical."""
+    w = MM.make_audio_clip(9)
+    assert w["fmt"] == "wav" and bytes(w["bytes"][:4]) == b"RIFF"
+    f = MM.make_audio_clip(9, fmt="faud")
+    import numpy as np
+
+    assert (MM.decode_audio(w["bytes"]) == MM.decode_audio(f["bytes"])).all()
