@@ -1,14 +1,16 @@
 """Multimodal payload columns: audio / video as opaque binary + typed
 metadata.
 
-Audio is REAL: WAV (RIFF/WAVE PCM16, the public Multimedia Programming
-Interface spec) encode + decode implemented here with struct/numpy and
-cross-validated against the stdlib ``wave`` module in tests; the legacy
-FAUD container stays readable. Video has no pure-stdlib format, so its
-*decode* step remains a clearly-marked deterministic stand-in behind the
-same `NotImplementedError`-documenting pattern as ``images.codec`` —
-while the Spark-side contract is real and tested: schemas, Arrow batch
-shapes, ``mapInPandas`` signatures, partitioning behavior.
+Both media types use REAL public formats built on stdlib + the in-repo
+codecs: audio is WAV (RIFF/WAVE PCM16, the public Multimedia Programming
+Interface spec; cross-validated against the stdlib ``wave`` module in
+both directions), video is AVI with an MJPG stream (public AVI RIFF
+layout; one baseline JPEG per frame through ``images.jpeg``). The legacy
+FAUD/FVID stand-in containers stay readable via signature dispatch, and
+compressed audio (mp3/ogg) or inter-frame video codecs (H.264 …) raise
+the documented `NotImplementedError` — those genuinely need external
+libraries. The Spark-side contract is real and tested throughout:
+schemas, Arrow batch shapes, ``mapInPandas`` signatures, partitioning.
 """
 
 from __future__ import annotations
@@ -156,27 +158,132 @@ def audio_features(df: DataFrame) -> DataFrame:
     )
 
 
-def make_video(i: int, w: int = 32, h: int = 24, n_frames: int = 8) -> dict:
-    """Deterministic moving-gradient video in a FVID container (frames
-    stored as raw uint8 planes, zlib level 1)."""
+def encode_avi_mjpeg(frames: np.ndarray, fps: float = 8.0,
+                     quality: int = 90) -> bytes:
+    """(n, h, w, 3) uint8 frames → AVI bytes with an MJPG 'vids' stream
+    (one baseline JPEG per '00dc' chunk) — the public AVI RIFF layout
+    (MSDN/OpenDML): LIST hdrl (avih + LIST strl (strh + strf)), LIST
+    movi, idx1. Grayscale (n, h, w) input is stacked to RGB."""
+    from pythongis_spark.images.jpeg import encode_jpeg
+
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        frames = np.repeat(frames[..., None], 3, axis=-1)
+    n, h, w, _ = frames.shape
+    payloads = [encode_jpeg(frames[f], quality) for f in range(n)]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(four: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", four + body)
+
+    scale, rate = 1000, int(round(fps * 1000))
+    max_size = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        int(round(1_000_000 / fps)), max_size * int(np.ceil(fps)), 0,
+        0x10,  # AVIF_HASINDEX
+        n, 0, 1, max_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI4H", 0, 0, 0, 0, scale, rate, 0, n,
+                      max_size, -1, 0, 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_body = b""
+    idx = b""
+    for p in payloads:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(p))
+        movi_body += chunk(b"00dc", p)
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(blob: bytes) -> tuple[np.ndarray, float]:
+    """AVI bytes → ((n, h, w, 3) uint8 frames, fps). Chunk-walking
+    reader: finds the first 'vids' stream header for the frame rate and
+    collects every '00dc'/'00db' chunk from LIST movi; each payload
+    decodes through the signature-dispatched image codec (MJPG = one
+    baseline JPEG per frame). idx1 is ignored (the movi walk is
+    authoritative)."""
+    from pythongis_spark.images import codec
+
+    blob = bytes(blob)
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    fps = None
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        nonlocal fps
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif cid == b"strh" and buf[body_start : body_start + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", buf, body_start + 20)
+                if scale:
+                    fps = rate / scale
+            elif cid in (b"00dc", b"00db") and size:
+                frames.append(
+                    codec.decode_image(buf[body_start : body_start + size])
+                )
+            pos = body_start + size + (size % 2)
+
+    walk(blob, 12, 8 + struct.unpack_from("<I", blob, 4)[0])
+    if not frames:
+        raise ValueError("no video frames found")
+    return np.stack(frames), float(fps if fps else 0.0)
+
+
+def make_video(i: int, w: int = 32, h: int = 24, n_frames: int = 8,
+               fmt: str = "avi") -> dict:
+    """Deterministic moving-gradient video — real AVI/MJPEG by default
+    (frames round-trip through the baseline JPEG codec), the legacy FVID
+    raw-plane container on request."""
     frames = []
     for f in range(n_frames):
         gx = (np.linspace(0, 255, w)[None, :] + f * 16) % 256
         gy = np.linspace(0, 255, h)[:, None]
         frames.append(((gx + gy) / 2).astype(np.uint8))
     raw = np.stack(frames)
-    blob = b"FVID" + struct.pack("<HHH", w, h, n_frames) + zlib.compress(raw.tobytes(), 1)
+    if fmt == "avi":
+        blob = encode_avi_mjpeg(raw, fps=8.0, quality=92)
+    elif fmt == "fvid":
+        blob = (
+            b"FVID" + struct.pack("<HHH", w, h, n_frames)
+            + zlib.compress(raw.tobytes(), 1)
+        )
+    else:
+        raise ValueError(f"unknown video fmt {fmt!r}")
     return dict(
         video_id=f"vid{i:09d}", bytes=blob, w=w, h=h,
-        n_frames=n_frames, fps=8.0, fmt="fvid",
+        n_frames=n_frames, fps=8.0, fmt=fmt,
     )
 
 
 def decode_video(blob: bytes) -> np.ndarray:
-    if bytes(blob[:4]) != b"FVID":
-        raise ValueError("unknown video container")
-    w, h, n = struct.unpack_from("<HHH", blob, 4)
-    return np.frombuffer(zlib.decompress(bytes(blob[10:])), dtype=np.uint8).reshape(n, h, w)
+    """Signature-dispatched video decode: real AVI/MJPEG → (n, h, w, 3),
+    legacy FVID stand-in → (n, h, w) grayscale planes."""
+    sig = bytes(blob[:4])
+    if sig == b"RIFF":
+        frames, _fps = decode_avi_mjpeg(blob)
+        return frames
+    if sig == b"FVID":
+        w, h, n = struct.unpack_from("<HHH", blob, 4)
+        return np.frombuffer(
+            zlib.decompress(bytes(blob[10:])), dtype=np.uint8
+        ).reshape(n, h, w)
+    raise ValueError("unknown video container")
 
 
 def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:

@@ -27,7 +27,7 @@ def test_audio_features_spark(spark):
 def test_video_roundtrip_and_sampling(spark):
     v = MM.make_video(3)
     vid = MM.decode_video(v["bytes"])
-    assert vid.shape == (8, 24, 32)
+    assert vid.shape == (8, 24, 32, 3)  # real AVI/MJPEG decodes to RGB
     df = MM.video_df(spark, 5)
     frames = MM.sample_frames(df, every=2).toPandas()
     assert len(frames) == 5 * 4  # 8 frames, every 2nd
@@ -110,3 +110,52 @@ def test_audio_clip_wav_default_and_faud_parity():
     import numpy as np
 
     assert (MM.decode_audio(w["bytes"]) == MM.decode_audio(f["bytes"])).all()
+
+
+# ------------------------------------------------------------ real AVI/MJPEG
+
+def test_avi_mjpeg_roundtrip_and_structure():
+    import struct
+
+    import numpy as np
+
+    v = MM.make_video(3)
+    assert v["fmt"] == "avi"
+    blob = bytes(v["bytes"])
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    frames, fps = MM.decode_avi_mjpeg(blob)
+    assert frames.shape == (8, 24, 32, 3) and fps == 8.0
+    # MJPEG at q=92 stays close to the raw gradient planes
+    raw = MM.decode_video(MM.make_video(3, fmt="fvid")["bytes"])
+    assert np.abs(frames[..., 0].astype(int) - raw.astype(int)).max() <= 4
+
+    # idx1 offsets must point at the movi '00dc' chunks (movi-relative)
+    movi_pos = blob.index(b"movi")
+    idx_pos = blob.index(b"idx1")
+    n_idx = struct.unpack_from("<I", blob, idx_pos + 4)[0] // 16
+    assert n_idx == 8
+    for k in range(n_idx):
+        ckid, flags, off, size = struct.unpack_from("<4sIII", blob, idx_pos + 8 + 16 * k)
+        assert ckid == b"00dc" and flags == 0x10
+        at = movi_pos + off
+        assert blob[at : at + 4] == b"00dc"
+        assert struct.unpack_from("<I", blob, at + 4)[0] == size
+
+
+def test_avi_decode_errors_and_fvid_dispatch():
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        MM.decode_video(b"XXXX0000")
+    with pytest.raises(ValueError):
+        MM.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    legacy = MM.make_video(1, fmt="fvid")
+    assert MM.decode_video(legacy["bytes"]).shape == (8, 24, 32)
+
+
+def test_video_sampling_over_avi_spark(spark):
+    df = MM.video_df(spark, 4)
+    frames = MM.sample_frames(df, every=2).toPandas()
+    assert len(frames) == 4 * 4
+    assert set(frames["frame"]) == {0, 2, 4, 6}
+    assert ((0 < frames["mean"]) & (frames["mean"] < 255)).all()
