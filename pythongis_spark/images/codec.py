@@ -313,6 +313,10 @@ def decode_image(blob: bytes) -> np.ndarray:
         from pythongis_spark.images.jpeg import decode_jpeg
 
         return decode_jpeg(blob)
+    if sig[:4] == b"GIF8":
+        from pythongis_spark.images.gif import decode_gif
+
+        return decode_gif(blob)
     magic = sig[:4]
     if magic not in MAGIC_FMT:
         raise ValueError(f"unknown image container {magic!r}")
