@@ -638,7 +638,9 @@ def spatial_join(
             & (F.col(inner + "bbox_ymax") <= F.col(outer + "bbox_ymax"))
         )
 
-    _RECT_EXACT = ("intersects", "within", "coveredby", "contains", "covers")
+    _RECT_EXACT = (
+        "intersects", "within", "coveredby", "contains", "covers", "touches"
+    )
     if condition in _RECT_EXACT and _all_rect(left, left_geom) and _all_rect(
         right, right_geom
     ):
@@ -646,6 +648,17 @@ def spatial_join(
             matched = cand  # bbox prefilter above is already exact
         elif condition in ("within", "coveredby"):
             matched = cand.filter(_bbox_contained("l_", "r_"))
+        elif condition == "touches":
+            # boundaries meet, interiors don't: closed overlap (already
+            # enforced by the prefilter) minus OPEN overlap
+            matched = cand.filter(
+                ~(
+                    (F.col("l_bbox_xmin") < F.col("r_bbox_xmax"))
+                    & (F.col("r_bbox_xmin") < F.col("l_bbox_xmax"))
+                    & (F.col("l_bbox_ymin") < F.col("r_bbox_ymax"))
+                    & (F.col("r_bbox_ymin") < F.col("l_bbox_ymax"))
+                )
+            )
         else:  # contains / covers
             matched = cand.filter(_bbox_contained("r_", "l_"))
     else:

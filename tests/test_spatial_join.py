@@ -417,3 +417,47 @@ def test_general_join_rect_containment_fast_path(spark):
     w = {(r["a_id"], r["b_id"]) for r in
          spatial_join(a, b, "within", left_id="a_id").select("a_id", "b_id").collect()}
     assert (1, 10) in w and (0, 11) in w
+
+
+def test_general_join_rect_touches_fast_path(spark):
+    """touches over all-rectangle sides = closed bbox overlap minus OPEN
+    overlap — edge/corner contact matches, overlap/containment/identity
+    do not; refine absent from the plan."""
+    import contextlib
+    import io
+
+    import pandas as pd
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def rect_df(rows, idc):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [(i, W.wkb_polygon([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]))
+                 for i, (x0, y0, x1, y1) in rows],
+                columns=[idc, "geom"],
+            )
+        )
+
+    a = rect_df([(0, (0, 0, 10, 10))], "a_id")
+    b = rect_df(
+        [
+            (1, (10, 0, 20, 10)),    # shared edge -> touches
+            (2, (10, 10, 20, 20)),   # corner -> touches
+            (3, (10, -5, 20, 5)),    # offset edge abutment -> touches
+            (4, (5, 5, 15, 15)),     # overlap -> no
+            (5, (0, 0, 10, 10)),     # identical -> no
+            (6, (2, 2, 8, 8)),       # contained -> no
+            (7, (0, 2, 5, 8)),       # contained sharing an edge -> no
+            (8, (11, 0, 20, 10)),    # disjoint -> no
+        ],
+        "b_id",
+    )
+    out = spatial_join(a, b, "touches", left_id="a_id")
+    got = {(r["a_id"], r["b_id"]) for r in out.select("a_id", "b_id").collect()}
+    assert got == {(0, 1), (0, 2), (0, 3)}
+    assert "refine" not in fmt(out)
