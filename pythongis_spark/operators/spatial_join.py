@@ -639,7 +639,8 @@ def spatial_join(
         )
 
     _RECT_EXACT = (
-        "intersects", "within", "coveredby", "contains", "covers", "touches"
+        "intersects", "within", "coveredby", "contains", "covers", "touches",
+        "crosses",
     )
     if condition in _RECT_EXACT and _all_rect(left, left_geom) and _all_rect(
         right, right_geom
@@ -659,6 +660,10 @@ def spatial_join(
                     & (F.col("r_bbox_ymin") < F.col("l_bbox_ymax"))
                 )
             )
+        elif condition == "crosses":
+            # area x area never crosses (shapely: dim(intersection) must
+            # be lower than both operands') — statically empty
+            matched = cand.filter(F.lit(False))
         else:  # contains / covers
             matched = cand.filter(_bbox_contained("r_", "l_"))
     else:

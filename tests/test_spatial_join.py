@@ -461,3 +461,5 @@ def test_general_join_rect_touches_fast_path(spark):
     got = {(r["a_id"], r["b_id"]) for r in out.select("a_id", "b_id").collect()}
     assert got == {(0, 1), (0, 2), (0, 3)}
     assert "refine" not in fmt(out)
+    # crosses over two polygon sides is statically empty (area x area)
+    assert spatial_join(a, b, "crosses", left_id="a_id").count() == 0
