@@ -326,6 +326,7 @@ def point_in_polygon_join(
     max_salt: int = DEFAULT_MAX_SALT,
     how: str = "join",
     build_rows: int | None = None,
+    rect_fast_path: bool = True,
 ) -> DataFrame:
     """Tag each point with every polygon containing it — the reference's
     intersects/within spatial join for the point-left case
@@ -418,7 +419,7 @@ def point_in_polygon_join(
     # bit-identical results, no Python in the plan.
     from pythongis_spark.geometry.udfs import st_is_bbox_rect
 
-    all_rect = _plan_stat(
+    all_rect = rect_fast_path and _plan_stat(
         ("allrect", _sem_key(polygons), 0, 0),
         lambda: polygons.filter(
             ~st_is_bbox_rect(F.col(polygon_geom))
@@ -510,6 +511,7 @@ def spatial_join(
     max_salt: int = DEFAULT_MAX_SALT,
     build_rows: int | None = None,
     cell_cap: int = DEFAULT_CELL_CAP,
+    rect_fast_path: bool = True,
 ) -> DataFrame:
     """General WKB-vs-WKB spatial join (predicate family of
     ``pythongis/vector/manager.py:196,381-431``): intersects, within,
@@ -642,8 +644,11 @@ def spatial_join(
         "intersects", "within", "coveredby", "contains", "covers", "touches",
         "crosses",
     )
-    if condition in _RECT_EXACT and _all_rect(left, left_geom) and _all_rect(
-        right, right_geom
+    if (
+        rect_fast_path
+        and condition in _RECT_EXACT
+        and _all_rect(left, left_geom)
+        and _all_rect(right, right_geom)
     ):
         if condition == "intersects":
             matched = cand  # bbox prefilter above is already exact

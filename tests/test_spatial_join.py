@@ -463,3 +463,61 @@ def test_general_join_rect_touches_fast_path(spark):
     assert "refine" not in fmt(out)
     # crosses over two polygon sides is statically empty (area x area)
     assert spatial_join(a, b, "crosses", left_id="a_id").count() == 0
+
+
+def test_rect_fast_path_equals_refine_randomized(spark):
+    """Equivalence sweep: for random rectangle layouts (dyadic /16
+    coords so edge/corner coincidences actually occur), the codegen fast
+    path and the forced Arrow-refine path (rect_fast_path=False) must
+    produce identical row sets for every predicate in the family."""
+    import pandas as pd
+
+    rng = np.random.Generator(np.random.PCG64(31))
+
+    def rand_rects(n, idc):
+        x0 = rng.integers(0, 40, n) / 16 * 16  # integers in [0, 40)
+        y0 = rng.integers(0, 40, n)
+        wdt = rng.integers(1, 12, n)
+        hgt = rng.integers(1, 12, n)
+        rows = [
+            (int(i), W.wkb_polygon(
+                [[float(a), float(b)], [float(a + c), float(b)],
+                 [float(a + c), float(b + d)], [float(a), float(b + d)],
+                 [float(a), float(b)]]
+            ))
+            for i, (a, b, c, d) in enumerate(zip(x0, y0, wdt, hgt))
+        ]
+        return spark.createDataFrame(pd.DataFrame(rows, columns=[idc, "geom"]))
+
+    a = rand_rects(25, "a_id")
+    b = rand_rects(30, "b_id")
+    for cond in ("intersects", "within", "contains", "touches", "covers"):
+        fast = spatial_join(a, b, cond, left_id="a_id")
+        slow = spatial_join(a, b, cond, left_id="a_id", rect_fast_path=False)
+        pf = {(r["a_id"], r["b_id"]) for r in fast.select("a_id", "b_id").collect()}
+        ps = {(r["a_id"], r["b_id"]) for r in slow.select("a_id", "b_id").collect()}
+        assert pf == ps, f"{cond}: fast^slow={pf ^ ps}"
+
+
+def test_pip_rect_fast_path_equals_refine_randomized(spark):
+    """Same equivalence for the pip hot path: integer-lattice points (so
+    many land exactly on rect edges) through the half-open codegen test
+    vs the forced ray-cast refine."""
+    import pandas as pd
+
+    rng = np.random.Generator(np.random.PCG64(41))
+    zones = FX.oracle_zones(spark)
+    pts = pd.DataFrame({
+        "point_id": range(500),
+        # multiples of 9 and 7.5 hit the 36/30-degree zone edges often
+        "lon": (rng.integers(-20, 21, 500) * 9).astype(float),
+        "lat": (rng.integers(-12, 13, 500) * 7.5).astype(float),
+    })
+    p = spark.createDataFrame(pts)
+    fast = point_in_polygon_join(p, zones, point_id="point_id", z=6, build_rows=0)
+    slow = point_in_polygon_join(
+        p, zones, point_id="point_id", z=6, build_rows=0, rect_fast_path=False
+    )
+    pf = {(r["point_id"], r["zone_id"]) for r in fast.select("point_id", "zone_id").collect()}
+    ps = {(r["point_id"], r["zone_id"]) for r in slow.select("point_id", "zone_id").collect()}
+    assert pf == ps and pf
