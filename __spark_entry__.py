@@ -1001,11 +1001,13 @@ def _q_xls_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs (inverted index over sampled
-    shingles + exact verify, operators/dedup.ngram_jaccard_pairs);
-    ids-only output — the sampled index achieves full recall on the
-    planted-cluster fixture, and the exact verify makes precision 1.0,
-    so the pair set equals the brute-force SQL jaccard join."""
+    """n-gram Jaccard near-dup pairs (EXACT AllPairs prefix filter +
+    exact verify, operators/dedup.ngram_jaccard_pairs); ids-only
+    output. Exactness is a theorem, not fixture luck: the qualifying
+    pair's globally smallest shared shingle provably lies in both
+    prefixes, so the pair set equals the brute-force SQL jaccard join
+    at ANY scale (the former sampled index silently lost recall at
+    sf0.1 — caught by the full-sweep gate mimic, round 4)."""
     from pythongis_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -345,38 +345,77 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 5,
     threshold: float = 0.5,
-    max_shingles_per_doc: int = 32,
-    bucket_cap: int = DEFAULT_BUCKET_CAP,
+    max_shingles_per_doc: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Candidate pairs sharing ≥1 sampled shingle → exact Jaccard verify.
-    Sampling keeps the inverted index bounded (documented recall
-    tradeoff vs full index; exact verify keeps precision 1.0). A shingle
-    shared by more than ``bucket_cap`` docs (stop-phrase boilerplate) is
-    hub-starred rather than all-paired (:func:`_capped_pair_ids`)."""
+    """EXACT Jaccard-threshold pairs via AllPairs prefix filtering
+    (Bayardo/Ma/Srikant, WWW'07 — public): each document indexes only
+    its ``|S| − ⌈τ·|S|⌉ + 1`` shingles that come FIRST in a global
+    (document-frequency asc, hash) order. Completeness: for any pair
+    with jaccard ≥ τ the overlap is ≥ ⌈τ·|S|⌉ on both sides, so the
+    globally smallest shared shingle has at least ⌈τ|S|⌉ − 1 shared
+    shingles after it in each doc's order — it lies inside BOTH
+    prefixes, and the candidate join finds it. Rare-first ordering
+    pushes stop-phrase shingles out of prefixes, so boilerplate does
+    not explode the index. Exact verify keeps precision 1.0; the
+    default is therefore exact in BOTH directions at any scale (the
+    former sampled/hub-capped mode remains available by passing
+    ``max_shingles_per_doc``/``bucket_cap`` — a documented recall
+    tradeoff for corpora where even prefixes are too hot).
+
+    Note the inherent output bound: B identical documents genuinely
+    have B²/2 qualifying pairs — run exact dedup first (SCALING.md)."""
 
     @F.pandas_udf("array<long>")
-    def sample_shingles(texts: pd.Series) -> pd.Series:
+    def all_shingles(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts.to_numpy(object):
             if t is None:
                 out.append(None)
             else:
                 sh = _shingle_hashes(t, shingle_k)
-                # deterministic sample: smallest-k shingle hashes
-                out.append(np.sort(sh)[:max_shingles_per_doc].astype(np.int64).tolist())
+                if max_shingles_per_doc is not None:
+                    sh = np.sort(sh)[:max_shingles_per_doc]
+                out.append(sh.astype(np.int64).tolist())
         return pd.Series(out, index=texts.index)
 
-    # Inverted index carries (id, shingle-hash) only — never the text
-    # (the ×max_shingles explode would otherwise duplicate the corpus
-    # 32×  through the shuffle). Text joins back once per side for the
-    # exact verify.
+    # Inverted index carries (id, shingle-hash) only — never the text.
+    # Text joins back once per side for the exact verify.
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
-    inv = base.select(
-        "_id",
-        F.lit(0).alias("band"),
-        F.explode(sample_shingles(F.col("_txt"))).alias("bucket"),
+    exploded = base.select(
+        "_id", F.explode(all_shingles(F.col("_txt"))).alias("bucket")
     )
-    pair_ids = _capped_pair_ids(inv, bucket_cap)
+    if max_shingles_per_doc is not None:
+        # legacy bounded mode: sampled signature, optional hub-star cap
+        inv = exploded.select("_id", F.lit(0).alias("band"), "bucket")
+        pair_ids = _capped_pair_ids(inv, bucket_cap)
+    else:
+        # AllPairs prefix: rank each doc's shingles by (global df, hash),
+        # keep n − ceil(τ·n) + 1 of them
+        from pyspark.sql import Window
+
+        dfreq = exploded.groupBy("bucket").agg(F.count("*").alias("_df"))
+        ranked = (
+            exploded.join(dfreq, "bucket")
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy("_id").orderBy("_df", "bucket")
+                ),
+            )
+            .withColumn("_n", F.count("*").over(Window.partitionBy("_id")))
+        )
+        prefix = ranked.filter(
+            F.col("_rk") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        ).select("_id", "bucket")
+        a = prefix.select(F.col("_id").alias("a_id"), "bucket")
+        b = prefix.select(F.col("_id").alias("b_id"), "bucket")
+        pair_ids = (
+            a.join(b, "bucket")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
     texts = base.select(F.col("_id").alias("_tid"), "_txt")
     pairs = (
         pair_ids.join(texts, pair_ids.a_id == texts._tid)

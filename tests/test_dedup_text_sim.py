@@ -269,3 +269,38 @@ def test_pairwise_topk_bounded_and_exact(spark):
     # cap: oversized query side raises rather than collecting unbounded
     with pytest.raises(ValueError, match="max_queries"):
         S.pairwise_topk_join(queries, corpus, k=k, max_queries=10)
+
+
+def test_ngram_jaccard_exact_vs_bruteforce_boilerplate(spark):
+    """AllPairs prefix filtering must equal brute-force jaccard on an
+    adversarial corpus where qualifying pairs share mostly COMMON
+    (boilerplate) shingles — exactly the configuration the former
+    smallest-hash sampling policy missed at sf0.1 (its 32-hash sample
+    favored each doc's unique tail, so boilerplate-similar pairs never
+    shared a sampled shingle)."""
+    import itertools
+
+    rng = np.random.default_rng(5)
+    boiler = "terms of service apply to all content on this site "
+    docs = []
+    for i in range(60):
+        tail = " ".join(
+            f"w{rng.integers(0, 50)}" for _ in range(rng.integers(3, 30))
+        )
+        docs.append((i, boiler * 2 + tail))
+    sdf = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = D.ngram_jaccard_pairs(sdf, "doc_id", threshold=0.5).toPandas()
+    got_pairs = {(a, b) for a, b in zip(got.a_id, got.b_id)}
+
+    def jac(a, b):
+        sa = set(D._shingle_hashes(a, 5).tolist())
+        sb = set(D._shingle_hashes(b, 5).tolist())
+        return len(sa & sb) / len(sa | sb)
+
+    expected = {
+        (i, j)
+        for (i, ta), (j, tb) in itertools.combinations(docs, 2)
+        if jac(ta, tb) >= 0.5
+    }
+    assert got_pairs == expected
+    assert len(expected) > 100  # the corpus genuinely has many near-dups
