@@ -2044,29 +2044,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
         """,
         "dedup_clusters_docs": """
-            WITH RECURSIVE d AS (
+            -- the MATERIALIZED hints are load-bearing: without them the
+            -- recursive `reach` member re-evaluates the expensive pair
+            -- pipeline on every fixpoint iteration (observed: >900 s at
+            -- sf0.1 vs ~100 s materialized; found by the full-sweep
+            -- gate mimic in round 4)
+            WITH RECURSIVE d AS MATERIALIZED (
               SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
               FROM documents WHERE text IS NOT NULL
             ),
-            shg AS (
+            shg AS MATERIALIZED (
               SELECT DISTINCT doc_id, substr(s, i, 5) AS g
               FROM d, LATERAL (SELECT unnest(range(1, greatest(length(s) - 3, 2)))) t(i)
             ),
-            sizes AS (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
-            inter AS (
+            sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM shg GROUP BY doc_id),
+            inter AS MATERIALIZED (
               SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ni
               FROM shg a JOIN shg b ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             ),
-            prs AS (
+            prs AS MATERIALIZED (
               SELECT i.a_id, i.b_id
               FROM inter i
               JOIN sizes sa ON sa.doc_id = i.a_id
               JOIN sizes sb ON sb.doc_id = i.b_id
               WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.5
             ),
-            nodes AS (SELECT a_id AS id FROM prs UNION SELECT b_id FROM prs),
-            e AS (SELECT a_id AS a, b_id AS b FROM prs
+            nodes AS MATERIALIZED (SELECT a_id AS id FROM prs UNION SELECT b_id FROM prs),
+            e AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM prs
                   UNION SELECT b_id, a_id FROM prs),
             reach(a, b) AS (
               SELECT id, id FROM nodes
