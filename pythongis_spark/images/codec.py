@@ -1,15 +1,17 @@
 """Image codecs + perceptual hash for the north-rule payload.
 
-PNG and BMP are REAL, implemented from their public specs in pure
-stdlib + numpy: PNG (RFC 2083 / W3C PNG spec: IHDR/IDAT/IEND chunks,
-zlib stream, all five scanline filters incl. Paeth, 8-bit truecolor ±
-alpha and grayscale on decode) and Windows BMP (BITMAPINFOHEADER,
-24-bit BI_RGB, bottom-up padded rows). JPEG remains a clearly-marked
-deterministic stand-in (`FJPG`, lossy via channel quantization) — a
-spec-faithful DCT codec is out of scope without an image library, and
-the stand-in's PSNR ≈ 43.4 dB (MSE ≈ 6²/12 = 3) keeps the 40 dB gate
-meaningful. The legacy `FPNG`/`FBMP` stand-in containers remain
-readable for blobs written by earlier rounds.
+PNG, BMP, baseline JPEG and GIF are REAL, implemented from their
+public specs in pure stdlib + numpy: PNG (RFC 2083 / W3C PNG spec:
+IHDR/IDAT/IEND chunks, zlib stream, all five scanline filters incl.
+Paeth, palette/grayscale/truecolor ± alpha decode, Adam7 interlacing),
+Windows BMP (BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up padded rows),
+baseline JPEG (ITU-T T.81, `images.jpeg`, dispatched by SOI signature)
+and GIF87a/89a (`images.gif`). `fmt='jpeg'` keeps the clearly-marked
+deterministic `FJPG` quantizer stand-in for synthetic-table INGEST
+throughput (PSNR ≈ 43.4 dB keeps the 40 dB gate meaningful);
+`fmt='jpeg-real'` and real .jpg blobs use the T.81 codec. The legacy
+`FPNG`/`FBMP` stand-in containers remain readable for blobs written by
+earlier rounds.
 
 Everything around the codecs — the (image_id, bytes, w, h, fmt,
 caption, phash) schema from BASELINE.json input_hint, Arrow batch
@@ -93,10 +95,11 @@ def encode_png(pixels: np.ndarray, filter_type: int = 0, level: int = 1) -> byte
 
 
 def decode_png(blob: bytes) -> np.ndarray:
-    """Real PNG bytes → (h, w, 3) uint8. Supports non-interlaced color
-    types 0 (grayscale, depths 1/2/4/8), 2 (truecolor 8-bit), 3
-    (palette, depths 1/2/4/8), 4 (gray+alpha) and 6 (truecolor+alpha);
-    alpha dropped, grayscale replicated, palette expanded via PLTE."""
+    """Real PNG bytes → (h, w, 3) uint8. Supports color types 0
+    (grayscale, depths 1/2/4/8), 2 (truecolor 8-bit), 3 (palette,
+    depths 1/2/4/8), 4 (gray+alpha) and 6 (truecolor+alpha), both
+    sequential and Adam7-interlaced; alpha dropped, grayscale
+    replicated, palette expanded via PLTE."""
     if bytes(blob[:8]) != PNG_SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -123,22 +126,59 @@ def decode_png(blob: bytes) -> np.ndarray:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_v)
     if nch is None:
         raise NotImplementedError(f"PNG color type {ctype_v} not supported")
-    if comp != 0 or filt_m != 0 or interlace != 0:
-        raise NotImplementedError("interlaced/nonstandard PNG not supported")
+    if comp != 0 or filt_m != 0 or interlace not in (0, 1):
+        raise NotImplementedError("nonstandard PNG compression/filter/interlace")
     if depth != 8 and (ctype_v not in (0, 3) or depth not in (1, 2, 4)):
         raise NotImplementedError(f"PNG bit depth {depth} for color type {ctype_v}")
     raw = zlib.decompress(bytes(idat))
-    stride = (w * nch * depth + 7) // 8  # filtered bytes per scanline
     bpp = max(1, (nch * depth) // 8)     # filter lane width in BYTES
+    if interlace == 1:
+        # Adam7 (PNG spec §8.2): seven sub-images, each independently
+        # filtered and row-padded, scattered onto the (y0::dy, x0::dx)
+        # lattices of the output
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        data = np.frombuffer(raw, dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty at this image size
+            pstride = (pw * nch * depth + 7) // 8
+            need = ph * (pstride + 1)
+            rows = data[pos : pos + need].reshape(ph, pstride + 1)
+            pos += need
+            recon = _defilter_png(rows, ph, pstride, bpp)
+            out[y0::dy, x0::dx] = _expand_png_pixels(
+                recon, pw, ph, depth, ctype_v, nch, plte
+            )
+        return out
+    stride = (w * nch * depth + 7) // 8  # filtered bytes per scanline
     rows = np.frombuffer(raw, dtype=np.uint8)[: h * (stride + 1)].reshape(
         h, stride + 1
     )
+    recon = _defilter_png(rows, h, stride, bpp)
+    return _expand_png_pixels(recon, w, h, depth, ctype_v, nch, plte)
+
+
+# pass origin and step (x0, y0, dx, dy), PNG spec §8.2:
+#   1 6 4 6 2 6 4 6
+#   7 7 7 7 7 7 7 7
+#   5 6 5 6 5 6 5 6   (repeating 8x8 starting pattern)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _defilter_png(rows: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo scanline filters for one (sub-)image: (h, stride+1) filter-
+    byte-prefixed rows → (h, stride) reconstructed bytes."""
     ftypes = rows[:, 0]
     if not ftypes.any():
         # every scanline unfiltered (our own encoder's default): one
         # vectorized slice instead of the per-row reconstruction loop
-        recon = np.ascontiguousarray(rows[:, 1:])
-        return _expand_png_pixels(recon, w, h, depth, ctype_v, nch, plte)
+        return np.ascontiguousarray(rows[:, 1:])
     recon = np.zeros((h, stride), dtype=np.uint8)
     nlanes = stride // bpp
     for y in range(h):
@@ -178,7 +218,7 @@ def decode_png(blob: bytes) -> np.ndarray:
             recon[y] = out
         else:
             raise ValueError(f"bad PNG filter byte {ft}")
-    return _expand_png_pixels(recon, w, h, depth, ctype_v, nch, plte)
+    return recon
 
 
 def _expand_png_pixels(recon, w, h, depth, ctype_v, nch, plte):

@@ -2,13 +2,15 @@
 metadata.
 
 Both media types use REAL public formats built on stdlib + the in-repo
-codecs: audio is WAV (RIFF/WAVE PCM16, the public Multimedia Programming
-Interface spec; cross-validated against the stdlib ``wave`` module in
-both directions), video is AVI with an MJPG stream (public AVI RIFF
-layout; one baseline JPEG per frame through ``images.jpeg``). The legacy
-FAUD/FVID stand-in containers stay readable via signature dispatch, and
-compressed audio (mp3/ogg) or inter-frame video codecs (H.264 …) raise
-the documented `NotImplementedError` — those genuinely need external
+codecs: audio is WAV (RIFF/WAVE, the public Multimedia Programming
+Interface spec; PCM8/16, IEEE float32, G.711 A-law/µ-law and mono IMA
+ADPCM sample codecs — PCM16 cross-validated against the stdlib ``wave``
+module in both directions, the compressed codecs against ``audioop``),
+video is AVI with an MJPG stream (public AVI RIFF layout; one baseline
+JPEG per frame through ``images.jpeg``). The legacy FAUD/FVID stand-in
+containers stay readable via signature dispatch, and perceptual audio
+codecs (mp3/ogg) or inter-frame video codecs (H.264 …) raise the
+documented `NotImplementedError` — those genuinely need external
 libraries. The Spark-side contract is real and tested throughout:
 schemas, Arrow batch shapes, ``mapInPandas`` signatures, partitioning.
 """
@@ -58,32 +60,141 @@ def encode_wav(pcm: np.ndarray, sample_rate: int, channels: int = 1) -> bytes:
 
 def decode_wav(blob: bytes) -> tuple[np.ndarray, int, int]:
     """WAV bytes → (interleaved int16 PCM, sample_rate, channels). Walks
-    the RIFF chunk list (skipping LIST/fact/other chunks, honoring the
-    word-alignment pad) — not just the canonical 44-byte layout. Only
-    uncompressed PCM16 (format tag 1, 16 bits/sample) is supported;
-    anything else raises."""
+    the RIFF chunk list (skipping LIST/other chunks, honoring the
+    word-alignment pad) — not just the canonical 44-byte layout.
+    Sample codecs (all public specs; decoded to int16): PCM16 (tag 1/16),
+    unsigned PCM8 (tag 1/8), IEEE float32 (tag 3), G.711 A-law (tag 6)
+    and µ-law (tag 7), and mono IMA ADPCM (tag 0x11). Anything else
+    (MPEG audio etc.) raises the documented NotImplementedError."""
     blob = bytes(blob)
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos, end = 12, 8 + struct.unpack_from("<I", blob, 4)[0]
-    sr = ch = bits = tag = None
+    sr = ch = bits = tag = block_align = None
     data = None
+    fact_samples = None
     while pos + 8 <= min(end, len(blob)):
         cid = blob[pos : pos + 4]
         size = struct.unpack_from("<I", blob, pos + 4)[0]
         body = blob[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            tag, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            tag, ch, sr, _br, block_align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+        elif cid == b"fact" and size >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         elif cid == b"data":
             data = body
         pos += 8 + size + (size % 2)  # pad byte keeps chunks word-aligned
     if tag is None or data is None:
         raise ValueError("missing fmt or data chunk")
-    if tag != 1 or bits != 16:
+    if tag == 1 and bits == 16:
+        pcm = np.frombuffer(data, dtype="<i2")
+    elif tag == 1 and bits == 8:
+        # unsigned 8-bit PCM, rescaled to the 16-bit lattice
+        pcm = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8)
+    elif tag == 3 and bits == 32:
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        pcm = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+    elif tag == 6 and bits == 8:
+        pcm = _alaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    elif tag == 7 and bits == 8:
+        pcm = _mulaw_to_linear(np.frombuffer(data, dtype=np.uint8))
+    elif tag == 0x11 and bits == 4:
+        pcm = _ima_adpcm_decode(data, block_align, ch, fact_samples)
+    else:
         raise NotImplementedError(
-            f"only PCM16 WAV is supported (format tag {tag}, {bits} bits)"
+            f"WAV format tag {tag} with {bits} bits not supported (PCM8/16, "
+            "float32, G.711 A-law/µ-law, mono IMA ADPCM are implemented)"
         )
-    return np.frombuffer(data, dtype="<i2"), sr, ch
+    return pcm, sr, ch
+
+
+# ---- G.711 (ITU-T, public; expansion formulas per the classic
+# public-domain Sun g711.c reference implementation) ----
+
+def _mulaw_to_linear(u: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes → int16, vectorized."""
+    u = (~u.astype(np.int32)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    t -= 0x84
+    return np.where(u & 0x80, -t, t).astype(np.int16)
+
+
+def _alaw_to_linear(a: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16, vectorized."""
+    a = a.astype(np.int32) ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    # A-law transmits 0x80 SET for positive samples
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], dtype=np.int32)
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int, channels: int,
+                      fact_samples: int | None) -> np.ndarray:
+    """Mono IMA ADPCM (WAV format tag 0x11, IMA 'Recommended Practices
+    for Enhancing Digital Audio Compatibility', public) → int16.
+
+    Block layout: 4-byte header (int16 predictor, uint8 step index,
+    reserved) then 4-bit deltas, low nibble first. Blocks are
+    independent, so the recurrence loops over in-block sample positions
+    while numpy vectorizes across all blocks of the payload."""
+    if channels != 1:
+        raise NotImplementedError("multi-channel IMA ADPCM not supported")
+    if not block_align or block_align < 4:
+        raise ValueError("bad IMA ADPCM block align")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n_full = buf.size // block_align
+    rem = buf.size - n_full * block_align
+    blocks = [buf[: n_full * block_align].reshape(n_full, block_align)]
+    if rem >= 4:
+        # partial trailing block: pad to block width, trim by fact later
+        pad = np.zeros((1, block_align), dtype=np.uint8)
+        pad[0, :rem] = buf[n_full * block_align :]
+        blocks.append(pad)
+    out_parts = []
+    for blk in blocks:
+        nb = blk.shape[0]
+        if nb == 0:
+            continue
+        pred = blk[:, 0].astype(np.int32) | (blk[:, 1].astype(np.int32) << 8)
+        pred = (pred ^ 0x8000) - 0x8000  # sign-extend int16
+        index = np.clip(blk[:, 2].astype(np.int32), 0, 88)
+        payload = blk[:, 4:]
+        # low nibble first, then high → (nb, 2*(block_align-4)) deltas
+        deltas = np.empty((nb, payload.shape[1] * 2), dtype=np.int32)
+        deltas[:, 0::2] = payload & 0x0F
+        deltas[:, 1::2] = payload >> 4
+        n_samp = 1 + deltas.shape[1]
+        out = np.empty((nb, n_samp), dtype=np.int16)
+        out[:, 0] = pred.astype(np.int16)
+        for j in range(deltas.shape[1]):
+            d = deltas[:, j]
+            step = _IMA_STEP_TABLE[index]
+            diff = step >> 3
+            diff += np.where(d & 1, step >> 2, 0)
+            diff += np.where(d & 2, step >> 1, 0)
+            diff += np.where(d & 4, step, 0)
+            pred = np.clip(pred + np.where(d & 8, -diff, diff), -32768, 32767)
+            index = np.clip(index + _IMA_INDEX_TABLE[d & 0x0F], 0, 88)
+            out[:, j + 1] = pred.astype(np.int16)
+        out_parts.append(out.reshape(-1))
+    pcm = np.concatenate(out_parts) if out_parts else np.empty(0, np.int16)
+    if fact_samples is not None:
+        pcm = pcm[:fact_samples]
+    return pcm
 
 
 def make_audio_clip(i: int, sample_rate: int = 8000, seconds: float = 0.5,
@@ -127,8 +238,9 @@ def decode_audio(blob: bytes) -> np.ndarray:
 def decode_audio_external(fmt: str):
     raise NotImplementedError(
         f"{fmt} decode needs an audio library (soundfile/ffmpeg) not "
-        "present in this environment; WAV (PCM16) is implemented from the "
-        "public RIFF spec, FAUD is the deterministic stand-in"
+        "present in this environment; WAV (PCM8/16, float32, G.711, mono "
+        "IMA ADPCM) is implemented from the public RIFF/ITU/IMA specs, "
+        "FAUD is the deterministic stand-in"
     )
 
 

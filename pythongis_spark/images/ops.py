@@ -2,9 +2,11 @@
 phash) table — BASELINE.json input_hint.
 
 All decode/verify work happens inside ``mapInPandas`` over Arrow batches
-(numpy per batch; zero per-row Python at the Spark boundary). The codec
-itself is the deterministic stand-in from ``images.codec`` (PIL absent);
-the Spark plumbing — schema, batch shapes, partition behavior — is real.
+(numpy per batch; zero per-row Python at the Spark boundary). The codecs
+in ``images.codec`` are REAL for PNG/BMP/baseline JPEG/GIF (pure-stdlib
+implementations of the public specs; PIL absent from this image); the
+synthetic ``fmt='jpeg'`` blobs use the documented FJPG quantizer
+stand-in for ingest throughput.
 """
 
 from __future__ import annotations
@@ -147,15 +149,14 @@ def phash_hamming_expr(a, b):
 
 def decode_stub_external(fmt: str):
     """Where a decoder for formats beyond the built-ins would plug in.
-    PNG and BMP are implemented for real in
-    ``pythongis_spark.images.codec`` (pure stdlib, public specs); JPEG
-    and the exotic formats need an image library (PIL/libjpeg) not
+    PNG (incl. Adam7), BMP, baseline JPEG (ITU-T T.81) and GIF87a/89a
+    are implemented for real in ``pythongis_spark.images`` (pure
+    stdlib, public specs); formats beyond those (WebP, progressive/
+    arithmetic JPEG, JPEG 2000, HEIF, ...) need an image library not
     present in this environment — calling this is an explicit,
-    documented stub (the deterministic FJPG quantizer is the jpeg
-    stand-in)."""
+    documented stub."""
     raise NotImplementedError(
-        f"real {fmt} decode requires an image library (PIL/libjpeg) not "
-        "present in this environment; PNG/BMP are implemented natively in "
-        "pythongis_spark.images.codec, jpeg uses the documented FJPG "
-        "quantizer stand-in"
+        f"real {fmt} decode requires an image library not present in this "
+        "environment; PNG/BMP/baseline-JPEG/GIF are implemented natively "
+        "in pythongis_spark.images"
     )

@@ -332,3 +332,100 @@ def test_image_raster_jpeg_write(spark, tmp_path):
     want = np.concatenate([px[:, :, b].ravel() for b in range(3)]).astype(float)
     mse = float(((got - want) ** 2).mean())
     assert 10 * np.log10(255.0 ** 2 / mse) >= 40.0
+
+
+# ------------------------------------------------------------------
+# Adam7 interlaced PNG (spec-assembled fixtures, PNG spec §8.2)
+# ------------------------------------------------------------------
+
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _interlaced_truecolor_png(px, filter_type=0):
+    """Assemble an Adam7-interlaced truecolor PNG per the public spec:
+    each pass is an independently filtered sub-image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    stream = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        raw = sub.reshape(ph, pw * 3).astype(np.uint8)
+        if filter_type == 0:
+            filt = raw
+        elif filter_type == 1:  # Sub within the pass
+            left = np.zeros_like(raw)
+            left[:, 3:] = raw[:, :-3]
+            filt = raw - left
+        elif filter_type == 2:  # Up within the pass
+            prev = np.zeros_like(raw)
+            prev[1:] = raw[:-1]
+            filt = raw - prev
+        else:
+            raise AssertionError
+        rows = np.empty((ph, pw * 3 + 1), dtype=np.uint8)
+        rows[:, 0] = filter_type
+        rows[:, 1:] = filt
+        stream += rows.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (codec.PNG_SIG + codec._png_chunk(b"IHDR", ihdr)
+            + codec._png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + codec._png_chunk(b"IEND", b""))
+
+
+def test_png_adam7_truecolor_all_pass_filters():
+    """Interlaced truecolor decodes to the original pixels for None/Sub/
+    Up per-pass filters, at sizes exercising partial and empty passes."""
+    import numpy as np
+
+    for (h, w) in [(7, 13), (3, 2), (1, 1), (16, 16), (9, 1)]:
+        rng = np.random.RandomState(h * 100 + w)
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for ft in (0, 1, 2):
+            blob = _interlaced_truecolor_png(px, filter_type=ft)
+            out = codec.decode_png(blob)
+            assert out.shape == (h, w, 3)
+            assert (out == px).all(), f"size {(h, w)} filter {ft}"
+
+
+def test_png_adam7_palette_depth4():
+    """Interlaced palette PNG at bit depth 4: per-pass sub-byte packing
+    with row padding, expanded via PLTE."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = 11, 9
+    rng = np.random.RandomState(7)
+    idx = rng.randint(0, 16, size=(h, w)).astype(np.uint8)
+    plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    stream = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        ph, pw = sub.shape
+        if ph == 0 or pw == 0:
+            continue
+        padded_w = pw + (pw & 1)
+        rowbuf = np.zeros((ph, padded_w), dtype=np.uint8)
+        rowbuf[:, :pw] = sub
+        packed = (rowbuf[:, 0::2] << 4) | rowbuf[:, 1::2]
+        rows = np.empty((ph, packed.shape[1] + 1), dtype=np.uint8)
+        rows[:, 0] = 0
+        rows[:, 1:] = packed
+        stream += rows.tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 4, 3, 0, 0, 1)
+    blob = (codec.PNG_SIG + codec._png_chunk(b"IHDR", ihdr)
+            + codec._png_chunk(b"PLTE", plte.tobytes())
+            + codec._png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + codec._png_chunk(b"IEND", b""))
+    out = codec.decode_png(blob)
+    assert out.shape == (h, w, 3)
+    assert (out == plte[idx]).all()

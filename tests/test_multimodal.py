@@ -1,5 +1,6 @@
-"""Audio/video multimodal plumbing tests (codecs are deterministic
-stand-ins; Spark-side contract is real)."""
+"""Audio/video multimodal tests: real WAV (PCM + G.711 + IMA ADPCM,
+cross-validated against stdlib wave/audioop) and AVI/MJPEG codecs,
+legacy stand-in containers, and the Spark-side contract."""
 
 import numpy as np
 import pytest
@@ -159,3 +160,103 @@ def test_video_sampling_over_avi_spark(spark):
     assert len(frames) == 4 * 4
     assert set(frames["frame"]) == {0, 2, 4, 6}
     assert ((0 < frames["mean"]) & (frames["mean"] < 255)).all()
+
+
+def _wav_container(tag, ch, sr, block_align, bits, payload, n_samples=None):
+    """Assemble a minimal WAV with an arbitrary fmt tag (test helper)."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", tag, ch, sr, sr * max(block_align, 1),
+                      block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if n_samples is not None:
+        body += b"fact" + struct.pack("<II", 4, n_samples)
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_g711_decode_vs_audioop():
+    """G.711 µ-law / A-law expansion matches the stdlib audioop foreign
+    implementation byte-for-byte over every possible code byte."""
+    import audioop
+
+    import numpy as np
+
+    codes = bytes(range(256)) * 4
+    want_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    pcm, sr, ch = MM.decode_wav(_wav_container(7, 1, 8000, 1, 8, codes))
+    assert sr == 8000 and ch == 1
+    assert (pcm == want_u).all()
+
+    want_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    pcm, _, _ = MM.decode_wav(_wav_container(6, 1, 8000, 1, 8, codes))
+    assert (pcm == want_a).all()
+
+
+def test_wav_pcm8_and_float32_decode():
+    import numpy as np
+
+    u8 = np.arange(256, dtype=np.uint8).tobytes()
+    pcm, _, _ = MM.decode_wav(_wav_container(1, 1, 8000, 1, 8, u8))
+    assert pcm[128] == 0 and pcm[0] == -32768 and pcm[255] == 127 * 256
+
+    f = (np.linspace(-1, 1, 101).astype("<f4")).tobytes()
+    pcm, _, _ = MM.decode_wav(_wav_container(3, 1, 8000, 4, 32, f))
+    assert pcm[0] == -32767 and pcm[50] == 0 and pcm[-1] == 32767
+
+
+def test_wav_ima_adpcm_decode_vs_audioop():
+    """Mono IMA ADPCM blocks decode to the same samples as audioop's
+    Intel/DVI ADPCM engine seeded with each block's header state (WAV
+    packs the low nibble first; audioop packs high-first, so the test
+    swaps nibbles before handing audioop the same delta stream)."""
+    import audioop
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    block_align = 36  # 4-byte header + 32 payload bytes = 65 samples
+    n_blocks = 7
+    blocks = []
+    want = []
+    for b in range(n_blocks):
+        pred = int(rng.randint(-32768, 32767))
+        idx = int(rng.randint(0, 89))
+        payload = rng.randint(0, 256, size=block_align - 4, dtype=np.uint8)
+        blocks.append(struct.pack("<hBB", pred, idx, 0) + payload.tobytes())
+        swapped = ((payload & 0x0F) << 4 | (payload >> 4)).astype(np.uint8)
+        dec, _state = audioop.adpcm2lin(swapped.tobytes(), 2, (pred, idx))
+        want.append(np.array([pred], dtype=np.int16))
+        want.append(np.frombuffer(dec, dtype="<i2"))
+    payload = b"".join(blocks)
+    n_total = n_blocks * (1 + (block_align - 4) * 2)
+    blob = _wav_container(0x11, 1, 8000, block_align, 4, payload,
+                          n_samples=n_total)
+    pcm, sr, ch = MM.decode_wav(blob)
+    assert (pcm == np.concatenate(want)).all()
+
+
+def test_wav_ima_adpcm_partial_block_and_errors():
+    import struct
+
+    import numpy as np
+
+    # trailing partial block trimmed via the fact chunk
+    block_align = 12
+    full = struct.pack("<hBB", 100, 0, 0) + bytes(range(8))
+    partial = struct.pack("<hBB", -5, 3, 0) + bytes([0x11, 0x22])
+    n_total = (1 + 16) + (1 + 4)
+    blob = _wav_container(0x11, 1, 8000, block_align, 4, full + partial,
+                          n_samples=n_total)
+    pcm, _, _ = MM.decode_wav(blob)
+    assert pcm.size == n_total and pcm[0] == 100 and pcm[17] == -5
+
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="multi-channel"):
+        MM.decode_wav(_wav_container(0x11, 2, 8000, 36, 4, full))
+    with pytest.raises(NotImplementedError, match="not supported"):
+        MM.decode_wav(_wav_container(85, 1, 8000, 1, 16, b"\x00\x00"))
