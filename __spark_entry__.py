@@ -1297,6 +1297,62 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(video_df(spark, 50), every=2)
 
 
+# ---- deterministic sampling (operators/sampling.py; mult31 hash so
+# the DuckDB oracle reproduces membership bit-exactly) ----
+
+def _q_sample_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, "doc_id", 0.1, seed=7, method="mult31").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def _q_train_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.sampling import train_test_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        train_test_split(docs, "doc_id", 0.25, seed=3, method="mult31")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def _q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.25, "de": 0.5, "fr": 1.0}, "doc_id",
+        seed=11, method="mult31", default_fraction=0.125,
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _q_sample_n_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.sampling import sample_n
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_n(docs, "doc_id", 64, seed=5, method="mult31").select(
+        "doc_id", "lang"
+    )
+
+
+def _q_cap_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_group(
+        docs, ["lang", "source"], [F.col("n_chars").desc(), F.col("doc_id")], 5
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver gate window: first 50 entries. Rotated each
@@ -1311,6 +1367,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "image_raster_roundtrip": _q_image_raster_roundtrip,
         "xls_roundtrip": _q_xls_roundtrip,
+        # r4 late additions: deterministic sampling family (new code →
+        # in-window; displaces five more r2/r3 long-stable rows)
+        "sample_hash_docs": _q_sample_hash_docs,
+        "train_test_counts": _q_train_test_counts,
+        "stratified_sample_counts": _q_stratified_sample_counts,
+        "sample_n_docs": _q_sample_n_docs,
+        "cap_per_group_docs": _q_cap_per_group_docs,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1429,7 +1492,52 @@ def oracle_sql() -> dict[str, str]:
     knn2_dist = (
         "sqrt((p.lon - c.lon) * (p.lon - c.lon) + (p.lat - c.lat) * (p.lat - c.lat))"
     )
+    # mult31 hash scaled into [0,1): exact in both engines (the pmod
+    # result has < 2^32 of magnitude, the divisor is a power of two, so
+    # the double division is exact — see operators/sampling.py)
+    def h01(seed: int) -> str:
+        return (
+            f"CAST((doc_id * 2654435761 + {seed}) % 4294967296 AS DOUBLE)"
+            " / 4294967296.0"
+        )
+
     return {
+        "sample_hash_docs": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {h01(7)} < 0.1
+        """,
+        "train_test_counts": f"""
+            SELECT CASE WHEN {h01(3)} < 0.25 THEN 'test' ELSE 'train' END
+                     AS split,
+                   lang, COUNT(*) AS n,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1, 2
+        """,
+        "stratified_sample_counts": f"""
+            SELECT lang, COUNT(*) AS n, MIN(doc_id) AS min_doc,
+                   MAX(doc_id) AS max_doc
+            FROM documents
+            WHERE {h01(11)} < CASE lang WHEN 'en' THEN 0.25
+                                        WHEN 'de' THEN 0.5
+                                        WHEN 'fr' THEN 1.0
+                                        ELSE 0.125 END
+            GROUP BY lang
+        """,
+        "sample_n_docs": f"""
+            SELECT doc_id, lang FROM documents
+            ORDER BY (doc_id * 2654435761 + 5) % 4294967296
+            LIMIT 64
+        """,
+        "cap_per_group_docs": """
+            SELECT doc_id, lang, source, n_chars FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY n_chars DESC NULLS LAST, doc_id
+                     ) AS rk
+              FROM documents
+            ) WHERE rk <= 5
+        """,
         "sessionize_events": """
             SELECT event_id, user_id,
                    CAST(SUM(CASE WHEN prev IS NULL
