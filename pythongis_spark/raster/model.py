@@ -65,17 +65,27 @@ def cell_center_exprs(rd: RasterDef, x: Column | str = "x", y: Column | str = "y
     xc = (F.col(x) if isinstance(x, str) else x) + 0.5
     yc = (F.col(y) if isinstance(y, str) else y) + 0.5
     gx = xc * rd.xscale + yc * rd.xskew + rd.xoffset
-    gy = xc * rd.yscale + yc * rd.yskew + rd.yoffset
+    gy = xc * rd.yskew + yc * rd.yscale + rd.yoffset
     return gx, gy
 
 
 def geo_to_cell_exprs(rd: RasterDef, lon: Column, lat: Column) -> tuple[Column, Column]:
-    """Inverse affine (no skew support — like the reference's practical
-    rasters) → integer cell coords (``raster/data.py:1269-1278`` floor)."""
-    if rd.xskew != 0 or rd.yskew != 0:
-        raise NotImplementedError("skewed affine not supported")
-    cx = F.floor((lon - rd.xoffset) / rd.xscale).cast("int")
-    cy = F.floor((lat - rd.yoffset) / rd.yscale).cast("int")
+    """Inverse affine → integer cell coords (``raster/data.py:1269-1278``
+    floor). Skew-free rasters keep the direct per-axis division (the
+    form every SQL oracle replays bit-exactly); skewed affines invert
+    the full 2×2 (the affine.py-style coefficients the reference
+    computes at ``raster/data.py:1245-1256``)."""
+    if rd.xskew == 0 and rd.yskew == 0:
+        cx = F.floor((lon - rd.xoffset) / rd.xscale).cast("int")
+        cy = F.floor((lat - rd.yoffset) / rd.yscale).cast("int")
+        return cx, cy
+    det = rd.xscale * rd.yscale - rd.xskew * rd.yskew
+    if det == 0:
+        raise ValueError("degenerate affine (zero determinant)")
+    dx = lon - rd.xoffset
+    dy = lat - rd.yoffset
+    cx = F.floor((dx * rd.yscale - dy * rd.xskew) / det).cast("int")
+    cy = F.floor((dy * rd.xscale - dx * rd.yskew) / det).cast("int")
     return cx, cy
 
 
@@ -177,23 +187,35 @@ def resample(
       (a = -0.5, the PIL/OpenCV constant).
 
     Missing source cells simply produce no row (sparse nodata), like
-    every other cell-table operator here. Requires skew-free affines.
+    every other cell-table operator here. Skewed (rotated) affines are
+    supported on both sides via the full 2×2 forward/inverse; skew-free
+    grids keep the direct per-axis expressions the oracles replay.
     Returns (x, y, band, val) on the ``dst`` grid.
 
     ``inv_transform``: optional callable (gx, gy Columns in dst CRS) →
     (gx', gy' Columns in src CRS) applied to target centers before the
     source lookup — this turns the remap into a CRS warp (see ``warp``).
     """
-    if src.xskew or src.yskew or dst.xskew or dst.yskew:
-        raise NotImplementedError("skewed affine not supported")
     spark = spark or cells.sparkSession
     tgt = _target_grid(spark, dst)
-    gx = (F.col("x") + F.lit(0.5)) * dst.xscale + dst.xoffset
-    gy = (F.col("y") + F.lit(0.5)) * dst.yscale + dst.yoffset
+    if dst.xskew == 0 and dst.yskew == 0:
+        gx = (F.col("x") + F.lit(0.5)) * dst.xscale + dst.xoffset
+        gy = (F.col("y") + F.lit(0.5)) * dst.yscale + dst.yoffset
+    else:
+        gx, gy = cell_center_exprs(dst)
     if inv_transform is not None:
         gx, gy = inv_transform(gx, gy)
-    u = (gx - src.xoffset) / src.xscale   # fractional source col
-    v = (gy - src.yoffset) / src.yscale   # fractional source row
+    if src.xskew == 0 and src.yskew == 0:
+        u = (gx - src.xoffset) / src.xscale   # fractional source col
+        v = (gy - src.yoffset) / src.yscale   # fractional source row
+    else:
+        det = src.xscale * src.yscale - src.xskew * src.yskew
+        if det == 0:
+            raise ValueError("degenerate affine (zero determinant)")
+        dgx = gx - src.xoffset
+        dgy = gy - src.yoffset
+        u = (dgx * src.yscale - dgy * src.xskew) / det
+        v = (dgy * src.xscale - dgx * src.yskew) / det
 
     if method == "nearest":
         tgt = tgt.withColumn("sx", F.floor(u).cast("int")).withColumn(

@@ -137,3 +137,78 @@ def test_warp_webmercator_roundtripish(spark):
     cells2 = out  # reuse warped cells as a 3857 raster
     back = warp(cells2, src2, dst2, "EPSG:3857", "EPSG:4326", "nearest", spark=spark)
     assert back.count() > 500
+
+
+# ------------------------------------------------------------------
+# skewed (rotated) affines — full 2x2 forward/inverse
+# ------------------------------------------------------------------
+
+def _rot_def(w, h, theta_deg, scale=2.0, x0=10.0, y0=50.0):
+    t = np.deg2rad(theta_deg)
+    c, s = np.cos(t) * scale, np.sin(t) * scale
+    # affine = (xscale, xskew, xoffset, yskew, yscale, yoffset):
+    # a rotation-by-theta grid, reference data.py:1263-1267 orientation
+    return RasterDef(w, h, (c, -s, x0, s, c, y0))
+
+
+def test_cell_center_orientation_matches_reference(spark):
+    """gy must be driven by the ROW (reference data.py:1266:
+    y_coord = x*yskew + y*yscale + yoffset) — regression for a
+    transposed gy in the exported helper."""
+    from pythongis_spark.raster.model import cell_center_exprs
+
+    rd = RasterDef(360, 180, (1.0, 0.0, -180.0, 0.0, -1.0, 90.0))
+    df = spark.createDataFrame([(3, 7)], "x int, y int")
+    gx, gy = cell_center_exprs(rd)
+    got = df.select(gx.alias("gx"), gy.alias("gy")).collect()[0]
+    assert got.gx == -176.5 and got.gy == 82.5
+
+
+def test_skewed_cell_geo_roundtrip(spark):
+    """Every cell center of a rotated grid maps back to its own cell
+    through the general inverse (floor semantics)."""
+    from pythongis_spark.raster.model import cell_center_exprs, geo_to_cell_exprs
+
+    rd = _rot_def(9, 6, 30.0)
+    df = spark.range(9 * 6).select(
+        (F.col("id") % 9).cast("int").alias("x"),
+        F.floor(F.col("id") / 9).cast("int").alias("y"),
+    )
+    gx, gy = cell_center_exprs(rd)
+    cx, cy = geo_to_cell_exprs(rd, gx, gy)
+    out = df.select("x", "y", cx.alias("cx"), cy.alias("cy")).toPandas()
+    assert (out["cx"] == out["x"]).all() and (out["cy"] == out["y"]).all()
+
+
+def test_skewed_nearest_identity_and_vs_numpy(spark):
+    """Nearest resample with a rotated source: identity on the same
+    grid, and a rotated->axis-aligned remap equals the numpy brute
+    force of the same floor(inverse(center)) rule."""
+    rd = _rot_def(7, 5, 20.0)
+    cells = _grid(spark, 7, 5, lambda x, y: x * 100 + y)
+    out = resample(cells, rd, rd, "nearest").toPandas()
+    src = cells.toPandas()
+    m = out.merge(src, on=["x", "y", "band"], suffixes=("_o", "_s"))
+    assert len(m) == len(src) and (m["val_o"] == m["val_s"]).all()
+
+    # rotated source -> axis-aligned destination covering its bbox
+    dst = RasterDef(12, 10, (2.0, 0.0, 0.0, 0.0, -2.0, 70.0))
+    got = (
+        resample(cells, rd, dst, "nearest")
+        .toPandas()
+        .set_index(["x", "y"])["val"]
+        .to_dict()
+    )
+    a, b, c0, d, e, f0 = rd.affine
+    det = a * e - b * d
+    want = {}
+    for y in range(10):
+        for x in range(12):
+            gx = (x + 0.5) * 2.0 + 0.0
+            gy = 70.0 - (y + 0.5) * 2.0
+            u = ((gx - c0) * e - (gy - f0) * b) / det
+            v = ((gy - f0) * a - (gx - c0) * d) / det
+            sx, sy = int(np.floor(u)), int(np.floor(v))
+            if 0 <= sx < 7 and 0 <= sy < 5:
+                want[(x, y)] = float(sx * 100 + sy)
+    assert got == want
