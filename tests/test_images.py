@@ -429,3 +429,47 @@ def test_png_adam7_palette_depth4():
     out = codec.decode_png(blob)
     assert out.shape == (h, w, 3)
     assert (out == plte[idx]).all()
+
+
+def test_verify_images_flags_corrupt_blob(spark):
+    """verify_images over a mixed batch (3 formats + one corrupt blob):
+    the bad row is flagged on every check and never fails the task."""
+    import numpy as np
+    import pandas as pd
+
+    from pythongis_spark import fixtures as FX
+    from pythongis_spark.images.ops import verify_images
+
+    rows = [FX.make_image_row(i) for i in range(30)]
+    rows[7] = dict(rows[7], bytes=b"not an image at all")
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+    out = verify_images(df).toPandas().set_index("image_id")
+    for i in range(30):
+        r = out.loc[f"img{i:012d}"]
+        if i == 7:
+            assert not r.ok_shape and not r.psnr_ok and not r.phash_ok \
+                and not r.caption_ok and r.psnr == 0.0
+        else:
+            assert r.ok_shape and r.psnr_ok and r.phash_ok and r.caption_ok
+
+
+def test_extract_features_matches_per_image_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from pythongis_spark import fixtures as FX
+    from pythongis_spark.images.ops import extract_features
+
+    rows = [FX.make_image_row(i) for i in range(12)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = extract_features(df).toPandas().set_index("image_id")
+    for r in rows:
+        px = codec.decode_image(r["bytes"]).astype(np.float64)
+        got = out.loc[r["image_id"]]
+        assert got.mean_r == px[:, :, 0].mean()
+        assert got.mean_g == px[:, :, 1].mean()
+        assert got.mean_b == px[:, :, 2].mean()
+        assert got.brightness == px.mean()
+        assert got.contrast == px.std()
+        assert got.phash == codec.average_phash(px.astype(np.uint8))
