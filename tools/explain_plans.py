@@ -170,6 +170,29 @@ def main():
         must_not=[r"CartesianProduct", r"Window"],
     )
 
+    # 11. deterministic hash sampling: a pure codegen filter over the
+    # scan — no shuffle, no Python, nothing but the parquet read
+    hs = E.queries()["sample_hash_docs"](spark, sf)
+    plan = fmt(hs)
+    failures += not check(
+        "sample_hash_no_shuffle",
+        plan,
+        must=[r"Filter", r"Scan parquet"],
+        must_not=[r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+
+    # 12. per-group cap: the rank predicate must compile to
+    # WindowGroupLimit so every map task truncates its groups to n rows
+    # BEFORE the exchange (the hot-group skew guard)
+    cg = E.queries()["cap_per_group_docs"](spark, sf)
+    plan = fmt(cg)
+    failures += not check(
+        "cap_per_group_windowgrouplimit",
+        plan,
+        must=[r"WindowGroupLimit"],
+        must_not=[],
+    )
+
     sys.exit(1 if failures else 0)
 
 
