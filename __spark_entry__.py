@@ -1335,6 +1335,19 @@ def _q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = mixture_sample(
+        docs, "lang", {"en": 0.4, "de": 2.5, "fr": 2.0, "zh": 0.0},
+        "doc_id", seed=13, method="mult31", default_weight=1.0,
+    )
+    return mixed.groupBy("lang", "epoch").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_doc")
+    )
+
+
 def _q_sample_n_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.operators.sampling import sample_n
 
@@ -1372,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_docs": _q_sample_hash_docs,
         "train_test_counts": _q_train_test_counts,
         "stratified_sample_counts": _q_stratified_sample_counts,
+        "mixture_epochs": _q_mixture_epochs,
         "sample_n_docs": _q_sample_n_docs,
         "cap_per_group_docs": _q_cap_per_group_docs,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
@@ -1522,6 +1536,26 @@ def oracle_sql() -> dict[str, str]:
                                         WHEN 'fr' THEN 1.0
                                         ELSE 0.125 END
             GROUP BY lang
+        """,
+        "mixture_epochs": """
+            SELECT lang, epoch, COUNT(*) AS n, MIN(doc_id) AS min_doc
+            FROM (
+              SELECT doc_id, lang, wt,
+                     UNNEST(generate_series(0, CAST(CEIL(wt) AS BIGINT) - 1))
+                       AS epoch
+              FROM (
+                SELECT doc_id, lang,
+                       CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 2.5
+                                 WHEN 'fr' THEN 2.0 WHEN 'zh' THEN 0.0
+                                 ELSE 1.0 END AS wt
+                FROM documents
+              ) WHERE wt > 0
+            )
+            WHERE epoch < FLOOR(wt)
+               OR CAST((doc_id * 2654435761 + 13 + epoch * 40503)
+                       % 4294967296 AS DOUBLE) / 4294967296.0
+                  < wt - FLOOR(wt)
+            GROUP BY lang, epoch
         """,
         "sample_n_docs": f"""
             SELECT doc_id, lang FROM documents

@@ -35,18 +35,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 _KNUTH_A = 2654435761  # 2^32 * golden-ratio conjugate, TAOCP §6.4
+_SALT_B = 40503        # 16-bit multiplicative constant, same family
 _M32 = 1 << 32
 
 
-def _hash01(key: Column, seed: int, method: str) -> Column:
-    """Deterministic hash of ``key`` scaled into [0, 1), as a Column."""
+def _hash01(key: Column, seed: int, method: str, salt: Column | None = None) -> Column:
+    """Deterministic hash of ``key`` (plus an optional integer ``salt``
+    column, e.g. an epoch index) scaled into [0, 1), as a Column."""
     if method == "xxhash64":
         # shift the signed 64-bit hash into unsigned order, then scale;
         # double has 53 bits of mantissa — plenty for a threshold test
-        h = F.xxhash64(key, F.lit(seed))
+        args = [key] + ([salt] if salt is not None else []) + [F.lit(seed)]
+        h = F.xxhash64(*args)
         return (h.cast("double") / F.lit(float(1 << 64))) + F.lit(0.5)
     if method == "mult31":
-        h = F.pmod(key.cast("long") * F.lit(_KNUTH_A) + F.lit(seed), F.lit(_M32))
+        acc = key.cast("long") * F.lit(_KNUTH_A) + F.lit(seed)
+        if salt is not None:
+            acc = acc + salt.cast("long") * F.lit(_SALT_B)
+        h = F.pmod(acc, F.lit(_M32))
         return h.cast("double") / F.lit(float(_M32))
     raise ValueError(f"unknown hash method {method!r}")
 
@@ -117,6 +123,50 @@ def stratified_sample(
             raise ValueError(f"fraction for {value!r} must be in [0, 1]")
         thr = F.when(strata == F.lit(value), F.lit(float(frac))).otherwise(thr)
     return df.filter(_hash01(key, seed, method) < thr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata: str | Column,
+    weights: dict,
+    key: str | Column,
+    seed: int = 0,
+    method: str = "xxhash64",
+    default_weight: float = 1.0,
+    out_epoch: str = "epoch",
+) -> DataFrame:
+    """Deterministic mixture weighting with fractional epochs — the
+    standard corpus-mixing move (e.g. Wikipedia ×2.5, CommonCrawl ×0.7):
+    a stratum with weight ``w`` contributes ``floor(w)`` full copies of
+    every row plus one more copy kept with probability ``frac(w)``,
+    decided by ``hash(key, epoch, seed)`` so the result is reproducible
+    and repartition-stable. Output carries an ``epoch`` column (0-based
+    copy index) so downstream shuffling/sharding can separate copies.
+
+    Pure Catalyst: one CASE for the weight, one bounded ``sequence``
+    explode (max ``ceil(w)`` copies — row amplification is exactly the
+    mixture factor, there is no other shuffle), one hash filter."""
+    strata = F.col(strata) if isinstance(strata, str) else strata
+    key = F.col(key) if isinstance(key, str) else key
+    wt = F.lit(float(default_weight))
+    for value, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"weight for {value!r} must be >= 0")
+        wt = F.when(strata == F.lit(value), F.lit(float(w))).otherwise(wt)
+    # sequence(0, -1) would generate a DESCENDING range — guard w == 0
+    # by filtering first (explode of the empty case never happens)
+    out = (
+        df.withColumn("_wt", wt)
+        .filter(F.col("_wt") > 0)
+        .withColumn(
+            out_epoch,
+            F.explode(F.sequence(F.lit(0), F.ceil(F.col("_wt")).cast("int") - 1)),
+        )
+    )
+    full = F.col(out_epoch) < F.floor(F.col("_wt"))
+    frac = F.col("_wt") - F.floor(F.col("_wt"))
+    extra = _hash01(key, seed, method, salt=F.col(out_epoch)) < frac
+    return out.filter(full | extra).drop("_wt")
 
 
 def sample_n(

@@ -137,3 +137,44 @@ def test_cap_per_group_matches_pandas_and_plan_truncates(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_mixture_sample_fractional_epochs(spark):
+    df = _docs(spark)
+    out = S.mixture_sample(
+        df, "lang", {"en": 2.0, "de": 0.5, "fr": 0.0, "zh": 2.25},
+        "doc_id", seed=8, method="mult31",
+    ).toPandas()
+    ids = np.arange(1000, dtype=np.int64)
+    langs = np.array([["en", "es", "de", "fr", "zh"][i % 5] for i in ids])
+    # integer weight → exactly w copies of every row, epochs 0..w-1
+    en = out[out["lang"] == "en"]
+    assert len(en) == 2 * 200 and set(en["epoch"]) == {0, 1}
+    assert en.groupby("doc_id")["epoch"].count().eq(2).all()
+    # weight 0 → stratum dropped entirely
+    assert (out["lang"] != "fr").all()
+    # default weight 1.0 → exactly one copy, epoch 0
+    es = out[out["lang"] == "es"]
+    assert len(es) == 200 and (es["epoch"] == 0).all()
+    # fractional tail decided by the salted hash, reproducibly
+    de_ids = ids[langs == "de"]
+    frac_keep = de_ids[((de_ids * 2654435761 + 8 + 0 * 40503) % (1 << 32))
+                       / float(1 << 32) < 0.5]
+    de = out[out["lang"] == "de"]
+    assert set(de["doc_id"]) == set(frac_keep) and (de["epoch"] == 0).all()
+    zh = out[out["lang"] == "zh"]
+    zh_ids = ids[langs == "zh"]
+    extra = zh_ids[((zh_ids * 2654435761 + 8 + 2 * 40503) % (1 << 32))
+                   / float(1 << 32) < 0.25]
+    assert len(zh) == 2 * len(zh_ids) + len(extra)
+    assert set(zh.loc[zh["epoch"] == 2, "doc_id"]) == set(extra)
+    # stable under repartitioning (same rows, same epochs)
+    out2 = S.mixture_sample(
+        df.repartition(17), "lang", {"en": 2.0, "de": 0.5, "fr": 0.0, "zh": 2.25},
+        "doc_id", seed=8, method="mult31",
+    ).toPandas()
+    k1 = sorted(map(tuple, out[["doc_id", "epoch"]].to_numpy()))
+    k2 = sorted(map(tuple, out2[["doc_id", "epoch"]].to_numpy()))
+    assert k1 == k2
+    with pytest.raises(ValueError):
+        S.mixture_sample(df, "lang", {"en": -1.0}, "doc_id")
