@@ -1366,6 +1366,49 @@ def _q_cap_per_group_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+_TOKS = r"split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ')), ' ')"
+
+
+def _q_pack_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.packing import pack_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tok", F.size(F.expr(_TOKS))
+    )
+    return pack_chunks(docs, "n_tok", 512, "doc_id").select(
+        "doc_id", "n_tok", "chunk_id", "chunk_offset", "n_chunks"
+    )
+
+
+def _q_pack_bins_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.packing import pack_bins
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "n_tok", F.size(F.expr(_TOKS))
+    )
+    return pack_bins(docs, "n_tok", 256, "lang", "doc_id").select(
+        "doc_id", "lang", "n_tok", "bin_id"
+    )
+
+
+def _q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination filter with a benchmark-quotes-corpus eval set:
+    every doc_id % 41 == 0 document contributes a 20-token excerpt
+    (tokens 5..24) to the eval side, so exactly those documents (plus
+    any true cross-doc collisions) are flagged. keep=False returns the
+    flagged set for auditing."""
+    from pythongis_spark.operators.dedup import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.expr(_TOKS)
+    ev = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.array_join(F.slice(toks, 5, 20), " ").alias("text")
+    )
+    return decontaminate(
+        docs, ev, "doc_id", n=8, hash_grams=False, keep=False
+    ).select("doc_id", "lang", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver gate window: first 50 entries. Rotated each
@@ -1388,6 +1431,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_epochs": _q_mixture_epochs,
         "sample_n_docs": _q_sample_n_docs,
         "cap_per_group_docs": _q_cap_per_group_docs,
+        # r4 late additions: sequence packing + decontamination (new
+        # code → in-window; displaces three r1-era long-stable rows)
+        "pack_chunks_docs": _q_pack_chunks_docs,
+        "pack_bins_lang": _q_pack_bins_lang,
+        "decontam_docs": _q_decontam_docs,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1416,9 +1464,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_docs": _q_dedup_clusters,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frames,
-        "tpch_q1": _q_tpch_q1,
-        "geojson_roundtrip": _q_geojson_roundtrip,
-        "shapefile_roundtrip": _q_shapefile_roundtrip,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
         "idw_bounded": _q_idw_bounded,
         "density_events": _q_density,
@@ -1431,6 +1476,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_within": _q_spatial_join_within,
         "ann_topk_ids": _q_ann_topk,
         "embedding_pairs_exact": _q_embedding_pairs,
+        # rotated past the window this round (stable since r1, gate-green
+        # in r2+r3): tpch_q1, geojson_roundtrip, shapefile_roundtrip
+        "tpch_q1": _q_tpch_q1,
+        "geojson_roundtrip": _q_geojson_roundtrip,
+        "shapefile_roundtrip": _q_shapefile_roundtrip,
         "pip_join_salted": _q_pip_salted,
         "knn_grid_path": _q_knn_grid,
         "spatial_join_clip": _q_spatial_join_clip,
@@ -1571,6 +1621,78 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rk
               FROM documents
             ) WHERE rk <= 5
+        """,
+        "pack_chunks_docs": r"""
+            SELECT doc_id, n_tok,
+                   CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS chunk_id,
+                   CAST((cum - n_tok)
+                        - FLOOR((cum - n_tok) / 512.0) * 512 AS BIGINT)
+                     AS chunk_offset,
+                   CAST(CASE WHEN n_tok > 0 THEN FLOOR((cum - 1) / 512.0)
+                             ELSE FLOOR((cum - n_tok) / 512.0) END
+                        - FLOOR((cum - n_tok) / 512.0) + 1 AS BIGINT)
+                     AS n_chunks
+            FROM (
+              SELECT doc_id,
+                     len(string_split_regex(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+                       AS n_tok,
+                     SUM(len(string_split_regex(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')))
+                       OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       AS cum
+              FROM documents
+            )
+        """,
+        "pack_bins_lang": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, lang,
+                     len(string_split_regex(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+                       AS n_tok,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id)
+                       AS rn
+              FROM documents
+            ), g AS (
+              SELECT doc_id, lang, n_tok, rn,
+                     CAST(0 AS BIGINT) AS bin_id, n_tok AS acc
+              FROM toks WHERE rn = 1
+              UNION ALL
+              SELECT t.doc_id, t.lang, t.n_tok, t.rn,
+                     CASE WHEN g.acc > 0 AND g.acc + t.n_tok > 256
+                          THEN g.bin_id + 1 ELSE g.bin_id END,
+                     CASE WHEN g.acc > 0 AND g.acc + t.n_tok > 256
+                          THEN t.n_tok ELSE g.acc + t.n_tok END
+              FROM toks t JOIN g ON t.lang = g.lang AND t.rn = g.rn + 1
+            )
+            SELECT doc_id, lang, n_tok, bin_id FROM g
+        """,
+        "decontam_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, lang, source,
+                     string_split_regex(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ), eg AS (
+              SELECT DISTINCT
+                     unnest(list_transform(generate_series(1, len(et) - 7),
+                            i -> array_to_string(et[i:i+7], ' '))) AS g
+              FROM (SELECT string_split_regex(trim(regexp_replace(
+                         lower(array_to_string(t[5:24], ' ')),
+                         '[^a-z0-9]+', ' ', 'g')), ' ') AS et
+                    FROM toks WHERE doc_id % 41 = 0)
+              WHERE len(et) >= 8
+            ), tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(t) - 7),
+                            i -> array_to_string(t[i:i+7], ' '))) AS g
+              FROM toks WHERE len(t) >= 8
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d
+            SEMI JOIN (SELECT DISTINCT tg.doc_id
+                       FROM tg JOIN eg USING (g)) b
+              ON d.doc_id = b.doc_id
         """,
         "sessionize_events": """
             SELECT event_id, user_id,

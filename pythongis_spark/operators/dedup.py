@@ -608,3 +608,68 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
     ).distinct()
     return labels
+
+
+# ---------------------------------------------------------------------------
+# train/eval decontamination (n-gram overlap anti-join)
+
+
+def word_ngrams(text: Column, n: int, lowercase: bool = True) -> Column:
+    """All word ``n``-grams of ``text`` as an array<string> column, pure
+    Catalyst: normalize (lower, non-alphanumeric runs → single space,
+    trim), split on single spaces, then slide an ``n`` window with a
+    higher-order ``transform``. Texts with fewer than ``n`` words yield
+    an empty array (a document too short to contain a full n-gram
+    cannot collide on one). Expressible 1:1 in ANSI SQL (DuckDB
+    ``string_split_regex`` + ``list_transform``), which is what the
+    oracle gate runs."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    norm = F.lower(text) if lowercase else text
+    toks = F.split(F.trim(F.regexp_replace(norm, "[^a-z0-9A-Z]+", " ")), " ")
+    win = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, win).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 13,
+    hash_grams: bool = True,
+    broadcast_eval: bool = True,
+    keep: bool = True,
+) -> DataFrame:
+    """Drop every training document sharing ANY word ``n``-gram with the
+    eval/benchmark set — the standard contamination filter (GPT-3 §C /
+    PaLM use 13-gram overlap; public methodology). Returns the
+    surviving train rows (``keep=True``) or the contaminated ones
+    (``keep=False``, for auditing what was removed).
+
+    Scale shape: the eval side collapses to DISTINCT grams (benchmarks
+    are small — broadcast by default, so the train-side explode never
+    shuffles: scan → generate → broadcast-semi-join, fully pushed
+    down). ``hash_grams=True`` joins on ``xxhash64(gram)`` instead of
+    the gram string — an 8-byte key instead of ~100 bytes; a hash
+    collision can only over-remove (never under-remove), the right
+    failure direction for decontamination. The oracle gate runs
+    ``hash_grams=False`` (string equality) for SQL expressibility.
+    """
+    grams = word_ngrams(F.col(text_col), n)
+    gram = F.explode(grams).alias("_g")
+    tg = train.select(F.col(id_col), gram)
+    eg = eval_df.select(gram).distinct()
+    if hash_grams:
+        tg = tg.withColumn("_g", F.xxhash64("_g"))
+        eg = eg.select(F.xxhash64("_g").alias("_g"))
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    bad = tg.join(eg, "_g", "left_semi").select(id_col).distinct()
+    how = "left_anti" if keep else "left_semi"
+    return train.join(bad, id_col, how)
