@@ -193,6 +193,19 @@ def main():
         must_not=[],
     )
 
+    # 13. concat-and-chunk packing: the global token cumsum must run as
+    # per-partition windows over the frozen range shuffle (_pid) — a
+    # naive Window.orderBy would collapse to one task via an
+    # Exchange SinglePartition
+    pc = E.queries()["pack_chunks_docs"](spark, sf)
+    plan = fmt(pc)
+    failures += not check(
+        "pack_chunks_parallel_cumsum",
+        plan,
+        must=[r"Window", r"hashpartitioning\(_pid"],
+        must_not=[r"Exchange SinglePartition"],
+    )
+
     sys.exit(1 if failures else 0)
 
 
