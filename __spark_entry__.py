@@ -1409,6 +1409,45 @@ def _q_decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def _q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.text import boilerplate_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boilerplate_counts(docs, "doc_id", n=3, min_docs=3).select(
+        "doc_id", "lang", "n_grams", "n_hot"
+    )
+
+
+def _q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministically-augmented corpus: every
+    doc_id % 7 == 0 document gains one email/SSN/phone/IPv4 so the
+    redaction counts and post-redaction lengths are non-trivial (the
+    raw synthetic corpus contains no PII)."""
+    from pythongis_spark.operators.text import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.com or 555-123-4567 or 10.0.0.1 ssn 123-45-6789"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return redact_pii(aug).select(
+        "doc_id",
+        "n_pii_email",
+        "n_pii_ssn",
+        "n_pii_phone",
+        "n_pii_ipv4",
+        F.length("text").alias("len_red"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver gate window: first 50 entries. Rotated each
@@ -1436,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks_docs": _q_pack_chunks_docs,
         "pack_bins_lang": _q_pack_bins_lang,
         "decontam_docs": _q_decontam_docs,
+        "boilerplate_docs": _q_boilerplate_docs,
+        "pii_redact_docs": _q_pii_redact_docs,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1466,8 +1507,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": _q_video_frames,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
         "idw_bounded": _q_idw_bounded,
-        "density_events": _q_density,
-        "distance_raster_centers": _q_distance_raster,
         "vectorize_cells": _q_vectorize,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
@@ -1478,6 +1517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs_exact": _q_embedding_pairs,
         # rotated past the window this round (stable since r1, gate-green
         # in r2+r3): tpch_q1, geojson_roundtrip, shapefile_roundtrip
+        "density_events": _q_density,
+        "distance_raster_centers": _q_distance_raster,
         "tpch_q1": _q_tpch_q1,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
@@ -1693,6 +1734,62 @@ def oracle_sql() -> dict[str, str]:
             SEMI JOIN (SELECT DISTINCT tg.doc_id
                        FROM tg JOIN eg USING (g)) b
               ON d.doc_id = b.doc_id
+        """,
+        "boilerplate_docs": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     string_split_regex(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ), grams AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(generate_series(1, len(t) - 2),
+                            i -> array_to_string(t[i:i+2], ' '))) AS g
+              FROM toks WHERE len(t) >= 3
+            ), dfreq AS (
+              SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+            ), per_doc AS (
+              SELECT doc_id, COUNT(*) AS n_grams,
+                     CAST(SUM(CASE WHEN df >= 3 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_hot
+              FROM grams JOIN dfreq USING (g) GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.lang,
+                   COALESCE(p.n_grams, 0) AS n_grams,
+                   COALESCE(p.n_hot, 0) AS n_hot
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
+        "pii_redact_docs": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' contact user'
+                               || CAST(doc_id AS VARCHAR)
+                               || '@mail.com or 555-123-4567 or 10.0.0.1'
+                               || ' ssn 123-45-6789'
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS n_pii_email,
+                   len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+                     AS n_pii_ssn,
+                   len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+                     AS n_pii_phone,
+                   len(regexp_extract_all(text,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                     AS n_pii_ipv4,
+                   length(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<PII>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<PII>', 'g'),
+                       '\b\d{3}-\d{3}-\d{4}\b', '<PII>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<PII>', 'g')) AS len_red
+            FROM aug
         """,
         "sessionize_events": """
             SELECT event_id, user_id,

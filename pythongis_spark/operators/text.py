@@ -164,3 +164,89 @@ def winnow_fingerprints(
         return pd.Series(out_rows, index=texts.index)
 
     return df.withColumn(out, winnow(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# corpus boilerplate scoring + PII redaction
+
+
+def boilerplate_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 3,
+    out_total: str = "n_grams",
+    out_hot: str = "n_hot",
+) -> DataFrame:
+    """Per-document boilerplate signal: of the document's DISTINCT word
+    ``n``-grams, how many occur in at least ``min_docs`` distinct
+    documents corpus-wide. High ``n_hot``/``n_grams`` marks templated
+    pages (navigation chrome, legal footers) — a standard quality-filter
+    input (C4 uses the same corpus-frequency idea at line granularity;
+    public methodology).
+
+    Scale shape: the inverted index carries only (gram, doc) DISTINCT
+    pairs — one shuffle keyed on the gram for the document-frequency
+    count, one keyed on the doc id to fold counts back. Same two-shuffle
+    inverted-index shape as ``dedup.ngram_jaccard_pairs``; the gram key
+    can be ``xxhash64``-narrowed at corpus scale, kept as the string
+    here so the DuckDB oracle replays it exactly.
+    """
+    from pythongis_spark.operators.dedup import word_ngrams
+
+    grams = (
+        df.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g"))
+        .distinct()
+    )
+    dfreq = grams.groupBy("_g").agg(F.count("*").alias("_df"))
+    per_doc = (
+        grams.join(dfreq, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias(out_total),
+            F.sum((F.col("_df") >= min_docs).cast("long")).alias(out_hot),
+        )
+    )
+    return df.join(per_doc, id_col, "left").fillna({out_total: 0, out_hot: 0})
+
+
+# Deliberately conservative, RE2-compatible patterns (no backtracking,
+# no lookaround) so Spark's Java regex and the DuckDB oracle's RE2
+# agree character-for-character. Order matters: SSN before phone (both
+# are dash-digit shapes), IP last (dots).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str | None = None,
+    token: str = "<PII>",
+    count_prefix: str = "n_pii_",
+) -> DataFrame:
+    """Redact emails / SSNs / phone numbers / IPv4 addresses with
+    ``token`` and count each category — the standard scrub pass before
+    a corpus ships. Pure Catalyst (``regexp_count`` + chained
+    ``regexp_replace`` in whole-stage codegen): the scan is the cost at
+    any corpus size, there is no shuffle and no Python.
+
+    Counts are taken on the ORIGINAL text (before any replacement), so
+    category counts are order-independent; replacement applies the
+    patterns in ``PII_PATTERNS`` order (SSN before phone — both
+    dash-digit shapes — and IPv4 last).
+    """
+    out = out or text_col
+    col = F.col(text_col)
+    res = df
+    for name, pat in PII_PATTERNS:
+        res = res.withColumn(count_prefix + name, F.regexp_count(col, F.lit(pat)))
+    red = col
+    for _, pat in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return res.withColumn(out, red)

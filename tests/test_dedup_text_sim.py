@@ -304,3 +304,47 @@ def test_ngram_jaccard_exact_vs_bruteforce_boilerplate(spark):
     }
     assert got_pairs == expected
     assert len(expected) > 100  # the corpus genuinely has many near-dups
+
+
+def test_boilerplate_counts(spark):
+    rows = [
+        (0, "nav home about contact alpha beta gamma"),
+        (1, "nav home about contact delta epsilon zeta"),
+        (2, "nav home about contact eta theta iota"),
+        (3, "entirely unique words with no shared trigrams at all"),
+        (4, "xy"),  # shorter than n=3 tokens -> zero grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hot"])
+        for r in TX.boilerplate_counts(df, "doc_id", n=3, min_docs=3).collect()
+    }
+    # "nav home about" + "home about contact" occur in 3 docs -> hot
+    for d in (0, 1, 2):
+        assert got[d][0] == 5 and got[d][1] == 2
+    assert got[3] == (7, 0)
+    assert got[4] == (0, 0)  # short doc survives with zeros (left join)
+
+
+def test_redact_pii(spark):
+    rows = [
+        (0, "mail me at jane.doe+x@examp-le.org today"),
+        (1, "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.1"),
+        (2, "clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in TX.redact_pii(df).collect()}
+    assert out[0]["n_pii_email"] == 1 and "<PII> today" in out[0]["text"]
+    assert "jane" not in out[0]["text"]
+    r1 = out[1]
+    assert (r1["n_pii_ssn"], r1["n_pii_phone"], r1["n_pii_ipv4"]) == (1, 1, 1)
+    assert r1["text"] == "ssn <PII> phone <PII> ip <PII>"
+    assert out[2]["text"] == rows[2][1]
+    # counts are on the original text: an SSN is NOT double-counted as
+    # a phone (different middle-group widths)
+    assert r1["n_pii_email"] == 0
+    # pure-Catalyst: no Python eval, no shuffle in the plan
+    plan = (
+        TX.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Exchange" not in plan
