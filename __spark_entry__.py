@@ -1448,6 +1448,20 @@ def _q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pythongis_spark.operators.text import repetition_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_signals(docs).select(
+        "doc_id",
+        "rep_n_tokens",
+        "rep_n_distinct",
+        "rep_top_token",
+        "rep_n_2grams",
+        "rep_dup_2grams",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # ---- driver gate window: first 50 entries. Rotated each
@@ -1477,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_docs": _q_decontam_docs,
         "boilerplate_docs": _q_boilerplate_docs,
         "pii_redact_docs": _q_pii_redact_docs,
+        "repetition_docs": _q_repetition_docs,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1507,7 +1522,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": _q_video_frames,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
         "idw_bounded": _q_idw_bounded,
-        "vectorize_cells": _q_vectorize,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
         # long-stable and move just past the edge)
@@ -1517,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_pairs_exact": _q_embedding_pairs,
         # rotated past the window this round (stable since r1, gate-green
         # in r2+r3): tpch_q1, geojson_roundtrip, shapefile_roundtrip
+        "vectorize_cells": _q_vectorize,
         "density_events": _q_density,
         "distance_raster_centers": _q_distance_raster,
         "tpch_q1": _q_tpch_q1,
@@ -1790,6 +1805,35 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
                        '<PII>', 'g')) AS len_red
             FROM aug
+        """,
+        "repetition_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, t,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t)-1),
+                               i -> array_to_string(t[i:i+1], ' '))
+                          ELSE [] END AS gr
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(len(t) AS INT) AS rep_n_tokens,
+                   CAST(len(list_distinct(t)) AS INT) AS rep_n_distinct,
+                   CAST(COALESCE(list_aggregate(list_transform(
+                        list_distinct(t),
+                        v -> len(list_filter(t, x -> x = v))), 'max'), 0)
+                        AS INT) AS rep_top_token,
+                   CAST(len(gr) AS INT) AS rep_n_2grams,
+                   CAST(COALESCE(list_aggregate(list_transform(
+                        list_transform(list_distinct(gr),
+                            v -> len(list_filter(gr, x -> x = v))),
+                        c -> CASE WHEN c > 1 THEN c ELSE 0 END), 'sum'), 0)
+                        AS INT) AS rep_dup_2grams
+            FROM g
         """,
         "sessionize_events": """
             SELECT event_id, user_id,

@@ -250,3 +250,65 @@ def redact_pii(
     for _, pat in PII_PATTERNS:
         red = F.regexp_replace(red, pat, token)
     return res.withColumn(out, red)
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", prefix: str = "rep_"
+) -> DataFrame:
+    """Within-document repetition counters — the Gopher/MassiveText
+    quality-filter family (Rae et al. 2021 §A1.1, public): repeated
+    tokens and repeated n-grams mark low-quality generated/templated
+    text. Emits integer counts (callers derive fractions) so the values
+    are exact at any scale and bit-reproducible in the SQL oracle:
+
+    - ``rep_n_tokens`` / ``rep_n_distinct``: token total vs distinct;
+    - ``rep_top_token``: occurrences of the most frequent token;
+    - ``rep_n_2grams`` / ``rep_dup_2grams``: 2-gram total vs
+      occurrences of 2-grams that appear more than once in the doc.
+
+    Pure Catalyst via higher-order array functions (transform/filter/
+    array_distinct over the token array) — per-row cost is
+    O(distinct × n) on documents, no shuffle, no Python; the whole
+    thing is a projection over the scan.
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")), " "
+    )
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def counts(arr):
+        # per-distinct-element occurrence counts within arr
+        return F.transform(
+            F.array_distinct(arr),
+            lambda v: F.size(F.filter(arr, lambda x: x == v)),
+        )
+
+    return (
+        df.withColumn("_t", toks)
+        .withColumn("_g", grams)
+        .withColumn(prefix + "n_tokens", F.size("_t"))
+        .withColumn(prefix + "n_distinct", F.size(F.array_distinct("_t")))
+        .withColumn(
+            prefix + "top_token",
+            F.coalesce(F.array_max(counts(F.col("_t"))), F.lit(0)),
+        )
+        .withColumn(prefix + "n_2grams", F.size("_g"))
+        .withColumn(
+            prefix + "dup_2grams",
+            F.coalesce(
+                F.aggregate(
+                    counts(F.col("_g")),
+                    F.lit(0),
+                    lambda acc, c: acc + F.when(c > 1, c).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_t", "_g")
+    )

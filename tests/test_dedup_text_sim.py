@@ -348,3 +348,30 @@ def test_redact_pii(spark):
         TX.redact_pii(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "spam spam spam spam"),                    # maximal repetition
+        (1, "all tokens here are fully distinct"),     # none
+        (2, "ab ab cd ab ab cd"),                      # repeated 2-grams
+        (3, "solo"),                                   # 1 token, no 2-grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in TX.repetition_signals(df).collect()}
+    r0 = got[0]
+    assert (r0["rep_n_tokens"], r0["rep_n_distinct"], r0["rep_top_token"]) == (4, 1, 4)
+    assert (r0["rep_n_2grams"], r0["rep_dup_2grams"]) == (3, 3)  # "spam spam" x3
+    r1 = got[1]
+    assert r1["rep_n_distinct"] == r1["rep_n_tokens"] == 6
+    assert r1["rep_top_token"] == 1 and r1["rep_dup_2grams"] == 0
+    r2 = got[2]
+    # grams: "ab ab","ab cd","cd ab","ab ab","ab cd" -> dups: 2+2=4 of 5
+    assert (r2["rep_n_2grams"], r2["rep_dup_2grams"]) == (5, 4)
+    r3 = got[3]
+    assert (r3["rep_n_tokens"], r3["rep_n_2grams"], r3["rep_dup_2grams"]) == (1, 0, 0)
+    # pure projection: no shuffle, no Python in the plan
+    plan = (
+        TX.repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "Exchange" not in plan
