@@ -317,6 +317,28 @@ def make_pixels(i: int, w: int, h: int) -> np.ndarray:
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
+def make_noise_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic HIGH-ENTROPY (h, w, 3) uint8 pixels for image
+    index i — blake2b counter stream, platform-independent. Unlike
+    :func:`make_pixels` (smooth gradients whose 8x8 average hashes
+    collide heavily by construction), these produce effectively random
+    perceptual hashes: 300 noise images measure ≥16 bits minimum
+    pairwise phash Hamming distance, which is what makes a closed-form
+    near-duplicate oracle possible (the only pairs within radius 3 are
+    the ones a fixture deliberately plants)."""
+    import hashlib
+
+    n = w * h * 3
+    out = bytearray()
+    ctr = 0
+    while len(out) < n:
+        out += hashlib.blake2b(
+            f"{i}:{ctr}".encode(), digest_size=64
+        ).digest()
+        ctr += 1
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8).reshape(h, w, 3)
+
+
 def quantize_lossy(pixels: np.ndarray) -> np.ndarray:
     """The FJPG quantizer: what decode(encode(px, 'jpeg')) returns."""
     q = (pixels.astype(np.int32) // _Q) * _Q + _Q // 2

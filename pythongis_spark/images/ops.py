@@ -147,6 +147,72 @@ def phash_hamming_expr(a, b):
     return F.bit_count(a.bitwiseXOR(b))
 
 
+PHASH_SCHEMA = "image_id string, phash long"
+
+
+def phash_signatures(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(image_id, phash) recomputed from the DECODED pixels through the
+    real codecs — one mapInPandas pass over (id, blob) only, no shuffle,
+    column-pruned so the scan never reads captions/metadata."""
+
+    def run(batches):
+        for pdf in batches:
+            ids: list = []
+            hashes: list = []
+            for r in pdf.itertuples(index=False):
+                px = codec.decode_image(r.bytes)
+                ids.append(r.image_id)
+                hashes.append(codec.average_phash(px))
+            yield pd.DataFrame(
+                {
+                    "image_id": pd.Series(ids, dtype=object),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    pruned = df.select(
+        F.col(id_col).alias("image_id"), F.col(bytes_col).alias("bytes")
+    )
+    return pruned.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+    phash_col: str = "phash",
+    from_bytes: bool = True,
+    n_bands: int = 4,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the image-payload analog of text simhash dedup. ``from_bytes=True``
+    (default) recomputes the hash from the decoded pixels (real codecs,
+    catches blobs whose stored phash column drifted); ``False`` trusts
+    an existing int64 ``phash_col`` and is pure Catalyst with no Python
+    at all. EXACT for ``max_hamming <= n_bands - 1`` via the banded
+    pigeonhole join (see dedup.hamming_neardup_pairs); feed the pairs to
+    dedup.connected_components to elect one keeper per duplicate
+    cluster. Default ``bucket_cap=None`` keeps exactness — at web-corpus
+    scale pass a cap: identical boilerplate thumbnails make degenerate
+    buckets exactly like boilerplate text does."""
+    from pythongis_spark.operators.dedup import hamming_neardup_pairs
+
+    if from_bytes:
+        sig = phash_signatures(df, id_col, bytes_col)
+    else:
+        sig = df.select(
+            F.col(id_col).alias("image_id"),
+            F.col(phash_col).cast("long").alias("phash"),
+        )
+    return hamming_neardup_pairs(
+        sig, "image_id", "phash", max_hamming, n_bands, bucket_cap
+    )
+
+
 def decode_stub_external(fmt: str):
     """Where a decoder for formats beyond the built-ins would plug in.
     PNG (incl. Adam7), BMP, baseline JPEG (ITU-T T.81) and GIF87a/89a

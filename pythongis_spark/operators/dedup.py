@@ -296,42 +296,77 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
     return df.withColumn(out, F.when(txt.isNull(), None).otherwise(val))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3,
-    bucket_cap: int = DEFAULT_BUCKET_CAP,
+def hamming_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bucket_cap: int | None = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
-    """Near-dup pairs with simhash hamming ≤ k: bucket by each of 4
-    16-bit bands (pigeonhole: any pair with ≤3 differing bits collides in
-    ≥1 band), verify with JVM ``bit_count(xor)``.
+    """Near-duplicate pairs by Hamming distance over ANY 64-bit
+    signature column (simhash, image perceptual hash, audio
+    fingerprint): bucket by each of ``n_bands`` equal bit-slices,
+    candidate pairs from colliding buckets only, verify with JVM
+    ``bit_count(xor)`` — pure Catalyst end to end, the only shuffle is
+    the (band, bucket) equi-join.
 
-    The pigeonhole EXACTNESS guarantee holds only while every collision
-    bucket stays ≤ ``bucket_cap`` — oversized buckets are hub-starred
-    (see :func:`_capped_pair_ids` for the precise recall contract);
-    pass ``bucket_cap=None`` to recover unconditional exactness at the
-    cost of the B² blowup bound."""
-    s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    EXACT (not approximate) for ``max_hamming <= n_bands - 1`` by
+    pigeonhole: a pair differing in fewer bit positions than there are
+    bands leaves at least one band untouched, so it collides in that
+    band's bucket. Larger radii degrade to recall-bounded LSH (raise
+    ``n_bands`` to restore the guarantee at quadratically more
+    candidates). The guarantee also requires every collision bucket to
+    stay ≤ ``bucket_cap`` — oversized buckets are hub-starred (see
+    :func:`_capped_pair_ids` for the precise recall contract); pass
+    ``bucket_cap=None`` for unconditional exactness at the B² risk.
+
+    Returns (a_id, b_id, hamming) with a_id < b_id; null hashes drop.
+    """
+    if 64 % n_bands != 0 or not 2 <= n_bands <= 64:
+        raise ValueError(f"n_bands={n_bands} must divide 64")
+    w_bits = 64 // n_bands
+    mask = (1 << w_bits) - 1
+    s = df.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).cast("long").alias("_h")
+    )
     bands = (
         s.select(
-            "_id", "simhash",
-            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+            "_id", "_h",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
         )
         .withColumn(
             "bucket",
-            F.expr("shiftrightunsigned(simhash, band * 16)").bitwiseAND(F.lit(0xFFFF)),
+            F.expr(f"shiftrightunsigned(_h, band * {w_bits})").bitwiseAND(
+                F.lit(mask)
+            ),
         )
         .select("_id", "band", "bucket")
     )
     pair_ids = _capped_pair_ids(bands, bucket_cap)
-    sh = s.select(F.col("_id").alias("_sid"), "simhash")
+    sh = s.select(F.col("_id").alias("_sid"), "_h")
     return (
         pair_ids.join(sh, pair_ids.a_id == sh._sid)
-        .select("a_id", "b_id", F.col("simhash").alias("a_sh"))
+        .select("a_id", "b_id", F.col("_h").alias("_ah"))
         .join(sh, F.col("b_id") == sh._sid)
         .select(
             "a_id", "b_id",
-            F.bit_count(F.col("a_sh").bitwiseXOR(F.col("simhash"))).alias("hamming"),
+            F.bit_count(F.col("_ah").bitwiseXOR(F.col("_h"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming ≤ k: 4 16-bit bands over the
+    simhash signature — see :func:`hamming_neardup_pairs` for the
+    pigeonhole exactness + bucket-cap recall contract."""
+    s = simhash(df, text_col).select(F.col(id_col).alias("_id"), "simhash")
+    return hamming_neardup_pairs(
+        s, "_id", "simhash", max_hamming, n_bands=4, bucket_cap=bucket_cap
     )
 
 
