@@ -1091,6 +1091,22 @@ def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance,
+    end-to-end through the REAL codecs: 300 high-entropy images (min
+    pairwise phash Hamming ≥16, measured property of the fixture) + a
+    byte-exact planted duplicate of every 10th → decode → rehash →
+    banded pigeonhole join (exact for radius ≤ 3). The only pairs
+    within radius 3 are the 30 planted ones, at Hamming 0 — closed-form
+    oracle."""
+    from pythongis_spark.images.ops import phash_neardup_pairs
+
+    imgs = FX.noise_images_df(spark, 300, dup_every=10)
+    return phash_neardup_pairs(imgs, max_hamming=3).select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def _q_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.geometry.projections import reproject_points
 
@@ -1497,6 +1513,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _q_fingerprint_docs,
         "verify_images": _q_verify_images,
         "image_features": _q_image_features,
+        # r4 late addition: phash near-dup dedup through the real codecs
+        # (in-window; displaces the r2/r3-stable idw_bounded row past
+        # the edge)
+        "phash_neardup_images": _q_phash_neardup,
         "zonal_stats_raster": _q_zonal_stats,
         "rasterize_zones": _q_rasterize,
         "upscale_raster": _q_upscale,
@@ -1521,12 +1541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frames,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
-        "idw_bounded": _q_idw_bounded,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
         # long-stable and move just past the edge)
         "spatial_join_rects": _q_spatial_join_rects,
         "spatial_join_within": _q_spatial_join_within,
+        "idw_bounded": _q_idw_bounded,
         "ann_topk_ids": _q_ann_topk,
         "embedding_pairs_exact": _q_embedding_pairs,
         # rotated past the window this round (stable since r1, gate-green
@@ -2389,6 +2409,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 1 THEN 'jpeg' ELSE 'bmp' END AS fmt,
                    TRUE AS psnr_ok, TRUE AS phash_ok, TRUE AS caption_ok
             FROM (SELECT CAST(range AS BIGINT) AS i FROM range(200))
+        """,
+        # the noise-image fixture's measured property (min pairwise
+        # phash Hamming ≥ 16 among the 300 distinct images) makes the 30
+        # byte-exact planted duplicates the ONLY pairs within radius 3,
+        # all at distance 0; 'dz' < 'nz' so a_id is always the dup
+        "phash_neardup_images": """
+            SELECT 'dz' || lpad(CAST(i * 10 AS VARCHAR), 12, '0') AS a_id,
+                   'nz' || lpad(CAST(i * 10 AS VARCHAR), 12, '0') AS b_id,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM (SELECT CAST(range AS BIGINT) AS i FROM range(30))
         """,
         "simhash_pairs_docs": """
             WITH RECURSIVE w AS (

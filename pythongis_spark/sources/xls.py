@@ -12,10 +12,13 @@ specs:
   skipped), and the cell records NUMBER, RK, MULRK, LABELSST, LABEL
   (BIFF5 inline + BIFF8 unicode), BOOLERR, BLANK/MULBLANK, and FORMULA
   (cached numeric results).
+* SST CONTINUE records ([MS-XLS] 2.5.293): strings split across record
+  boundaries resume with a fresh fHighByte flag (a string may switch
+  latin-1↔UTF-16 mid-string); headers/rich runs span records directly.
+  The writer emits conformant CONTINUE splits past the 8224-byte
+  record max, so >8KB string tables round-trip.
 
-Documented boundary: an SST string that straddles a CONTINUE record
-boundary raises NotImplementedError (only workbooks with >8 KB of
-distinct strings hit this); encrypted workbooks (FILEPASS) raise.
+Documented boundary: encrypted workbooks (FILEPASS) raise.
 
 The DataFrame surface mirrors :func:`sources.xlsx.read_xlsx` — first
 row as field names, optional sheet selection — so ``.xls`` and
@@ -145,46 +148,90 @@ def _rk_value(v: int) -> float:
     return val / 100.0 if v & 1 else val
 
 
+class _SegCursor:
+    """Byte cursor over an SST record payload plus its CONTINUE record
+    payloads. Non-character fields (string headers, rich-run/ExtRst
+    skips) read straight across segment boundaries; CHARACTER data must
+    use :meth:`read_chars`, which honors the [MS-XLS] 2.5.293 rule that
+    every continuation of an rgb character array into a CONTINUE record
+    restarts with a fresh fHighByte option byte (a string may switch
+    between compressed latin-1 and UTF-16 mid-string)."""
+
+    def __init__(self, segs: list[bytes], pos: int = 0):
+        self.segs = segs
+        self.i = 0
+        self.p = pos
+
+    def _norm(self) -> None:
+        while self.i < len(self.segs) - 1 and self.p >= len(self.segs[self.i]):
+            self.p -= len(self.segs[self.i])
+            self.i += 1
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while n:
+            self._norm()
+            seg = self.segs[self.i]
+            take = min(n, len(seg) - self.p)
+            if take <= 0:
+                raise ValueError("SST truncated")
+            out += seg[self.p : self.p + take]
+            self.p += take
+            n -= take
+        return bytes(out)
+
+    def skip(self, n: int) -> None:
+        self.p += n  # may overshoot this segment; _norm resolves lazily
+
+    def read_chars(self, cch: int, wide: bool) -> str:
+        out: list[str] = []
+        while cch:
+            if self.p >= len(self.segs[self.i]):
+                # record boundary mid-rgb → the CONTINUE starts with a
+                # fresh fHighByte flag for the remaining characters
+                if self.i >= len(self.segs) - 1:
+                    raise ValueError("SST truncated")
+                self.p -= len(self.segs[self.i])
+                self.i += 1
+                wide = bool(self.segs[self.i][self.p] & 1)
+                self.p += 1
+            seg = self.segs[self.i]
+            avail = len(seg) - self.p
+            width = 2 if wide else 1
+            take = min(cch, avail // width)
+            if take == 0 and avail > 0:
+                raise ValueError("SST char array split mid-character")
+            raw = seg[self.p : self.p + take * width]
+            out.append(raw.decode("utf-16-le" if wide else "latin-1"))
+            self.p += take * width
+            cch -= take
+        return "".join(out)
+
+
+def _read_xlustring(cur: _SegCursor) -> str:
+    """XLUnicodeRichExtendedString (BIFF8), CONTINUE-aware."""
+    (cch,) = struct.unpack("<H", cur.read(2))
+    flags = cur.read(1)[0]
+    nrich = struct.unpack("<H", cur.read(2))[0] if flags & 0x08 else 0
+    next_ = struct.unpack("<i", cur.read(4))[0] if flags & 0x04 else 0
+    text = cur.read_chars(cch, bool(flags & 0x01))
+    cur.skip(4 * nrich + next_)
+    return text
+
+
+def _parse_sst(segs: list[bytes]) -> list[str]:
+    """SST record + following CONTINUE payloads → unique string list."""
+    (_total, nuniq) = struct.unpack_from("<ii", segs[0], 0)
+    cur = _SegCursor(segs, 8)
+    return [_read_xlustring(cur) for _ in range(nuniq)]
+
+
 def _unicode_string(payload: bytes, pos: int) -> tuple[str, int]:
-    """XLUnicodeRichExtendedString (BIFF8): returns (text, next pos)."""
-    if pos + 3 > len(payload):
-        # string header itself sits in a CONTINUE record — same
-        # documented boundary as a mid-string split
-        raise NotImplementedError(
-            "SST string spans a CONTINUE record boundary (documented "
-            "limit: >8KB of distinct strings)"
-        )
-    (cch,) = struct.unpack_from("<H", payload, pos)
-    flags = payload[pos + 2]
-    pos += 3
-    nrich = 0
-    next_ = 0
-    if flags & 0x08:
-        (nrich,) = struct.unpack_from("<H", payload, pos)
-        pos += 2
-    if flags & 0x04:
-        (next_,) = struct.unpack_from("<i", payload, pos)
-        pos += 4
-    if flags & 0x01:
-        raw = payload[pos : pos + 2 * cch]
-        if len(raw) < 2 * cch:
-            raise NotImplementedError(
-                "SST string spans a CONTINUE record boundary (documented "
-                "limit: >8KB of distinct strings)"
-            )
-        text = raw.decode("utf-16-le")
-        pos += 2 * cch
-    else:
-        raw = payload[pos : pos + cch]
-        if len(raw) < cch:
-            raise NotImplementedError(
-                "SST string spans a CONTINUE record boundary (documented "
-                "limit: >8KB of distinct strings)"
-            )
-        text = raw.decode("latin-1")
-        pos += cch
-    pos += 4 * nrich + next_
-    return text, pos
+    """Single-record XLUnicodeRichExtendedString (LABEL inline strings):
+    returns (text, next pos)."""
+    cur = _SegCursor([payload], pos)
+    text = _read_xlustring(cur)
+    return text, cur.p
 
 
 def parse_xls(path: str, sheet: str | None = None) -> list[list]:
@@ -203,7 +250,9 @@ def parse_xls(path: str, sheet: str | None = None) -> list[list]:
     sst: list[str] = []
     sheets: list[tuple[int, str]] = []  # (stream offset, name)
     # ---- globals substream: version, SST, BOUNDSHEET directory
-    for op, pos, payload in recs:
+    k = 0
+    while k < len(recs):
+        op, pos, payload = recs[k]
         if op == 0x0809 and pos == 0:
             (ver,) = struct.unpack_from("<H", payload, 0)
             biff_ver = 8 if ver >= 0x0600 else 5
@@ -223,14 +272,15 @@ def parse_xls(path: str, sheet: str | None = None) -> list[list]:
                 cch = payload[6]
                 name = payload[7 : 7 + cch].decode("latin-1")
             sheets.append((sh_off, name))
-        elif op == 0x00FC:  # SST (BIFF8)
-            (_total, nuniq) = struct.unpack_from("<ii", payload, 0)
-            p = 8
-            for _ in range(nuniq):
-                text, p = _unicode_string(payload, p)
-                sst.append(text)
+        elif op == 0x00FC:  # SST (BIFF8) + its CONTINUE records
+            segs = [payload]
+            while k + 1 < len(recs) and recs[k + 1][0] == 0x003C:
+                segs.append(recs[k + 1][2])
+                k += 1
+            sst = _parse_sst(segs)
         elif op == 0x000A:
             break  # end of globals
+        k += 1
 
     if not sheets:
         raise ValueError("no BOUNDSHEET records in workbook globals")
@@ -336,7 +386,12 @@ def assemble_xls(rows_spec: list[tuple]) -> bytes:
     for r, c, v in rows_spec:
         if isinstance(v, str) and v not in sst_list:
             sst_list.append(v)
-    sst_payload = struct.pack("<ii", len(sst_list), len(sst_list))
+    # SST payload split into ≤8224-byte records ([MS-XLS] record max):
+    # between strings where possible, mid-rgb with a fresh fHighByte
+    # flag byte when a single string is longer than one record
+    MAXREC = 8224
+    sst_records: list[bytes] = []
+    cur = bytearray(struct.pack("<ii", len(sst_list), len(sst_list)))
     for i, s in enumerate(sst_list):
         try:
             raw = s.encode("latin-1")
@@ -346,12 +401,28 @@ def assemble_xls(rows_spec: list[tuple]) -> bytes:
             flags = 1
         if i == 0:  # always exercise the UTF-16 branch once
             raw, flags = s.encode("utf-16-le"), 1
-        sst_payload += struct.pack("<HB", len(s), flags) + raw
+        if len(cur) + 3 > MAXREC:  # header never straddles
+            sst_records.append(bytes(cur))
+            cur = bytearray()
+        cur += struct.pack("<HB", len(s), flags)
+        width = 2 if flags & 1 else 1
+        pos = 0
+        while pos < len(raw):
+            room = (MAXREC - len(cur)) // width * width
+            if room <= 0:
+                sst_records.append(bytes(cur))
+                cur = bytearray([flags & 1])  # continuation grbit
+                room = (MAXREC - 1) // width * width
+            take = min(len(raw) - pos, room)
+            cur += raw[pos : pos + take]
+            pos += take
+    sst_records.append(bytes(cur))
 
     name = b"Sheet1"
     globals_part = (
         rec(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
-        + rec(0x00FC, sst_payload)
+        + rec(0x00FC, sst_records[0])
+        + b"".join(rec(0x003C, seg) for seg in sst_records[1:])
     )
     bs_pos = len(globals_part)
     globals_part += rec(0x0085, struct.pack("<IHB", 0, 0, len(name)) + b"\x00" + name)

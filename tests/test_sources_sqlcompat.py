@@ -361,6 +361,62 @@ def test_xls_biff8_read(spark, tmp_path):
     assert pdf["value"].tolist() == [123.0, 123.45, 2.5, 99.5, 123.0]
 
 
+def test_xls_sst_continue_hand_assembled():
+    """SST CONTINUE parsing per [MS-XLS] 2.5.293, hand-built segments:
+    (a) a compressed string split mid-rgb whose continuation restarts
+    WIDE (latin-1 → UTF-16 switch), (b) rich-text run arrays spanning
+    the boundary byte-wise with no flag byte, (c) a string header that
+    begins exactly at a CONTINUE start (between-strings split, also no
+    flag byte)."""
+    import struct
+
+    from pythongis_spark.sources.xls import _parse_sst
+
+    s1, s2, s3, s4 = "abcdefgh", "wïde", "tail", "next"
+    seg1 = struct.pack("<ii", 4, 4)
+    seg1 += struct.pack("<HB", len(s1), 0) + s1[:3].encode("latin-1")
+    # continuation of s1's rgb: fresh grbit says WIDE from here on
+    seg2 = bytes([1]) + s1[3:].encode("utf-16-le")
+    # s2: wide + fRichSt with 2 runs; 5 of the 8 run bytes in this
+    # segment, the rest spill into the next with no flag byte
+    seg2 += (
+        struct.pack("<HB", len(s2), 0x08 | 0x01)
+        + struct.pack("<H", 2)
+        + s2.encode("utf-16-le")
+        + b"\x00" * 5
+    )
+    seg3 = b"\x00" * 3  # remainder of s2's run array
+    seg3 += struct.pack("<HB", len(s3), 0) + s3.encode("latin-1")
+    # s4 header at the very start of a CONTINUE record
+    seg4 = struct.pack("<HB", len(s4), 0) + s4.encode("latin-1")
+    assert _parse_sst([seg1, seg2, seg3, seg4]) == [s1, s2, s3, s4]
+
+
+def test_xls_sst_continue_roundtrip(spark, tmp_path):
+    """>8KB of distinct SST strings (plus one 9000-char string that
+    must split mid-rgb) forces the writer to emit real CONTINUE
+    records; the reader reassembles every string byte-exactly."""
+    import os
+
+    from pythongis_spark.sources.xls import assemble_xls, parse_xls
+
+    vals = [f"cell value {i:05d} " + "x" * 200 for i in range(60)]
+    big = "Y" * 9000
+    rows_spec = (
+        [(0, 0, "header")]
+        + [(i + 1, 0, vals[i]) for i in range(60)]
+        + [(61, 0, big)]
+    )
+    blob = assemble_xls(rows_spec)
+    p = os.path.join(str(tmp_path), "big.xls")
+    with open(p, "wb") as fh:
+        fh.write(blob)
+    rows = parse_xls(p)
+    assert rows[0][0] == "header"
+    assert [rows[i + 1][0] for i in range(60)] == vals
+    assert rows[61][0] == big
+
+
 def test_xls_write_read_roundtrip(spark, tmp_path):
     """write_xls → read_xls round-trips a mixed-type table (numbers,
     strings incl. non-latin-1, None holes)."""
