@@ -1107,6 +1107,36 @@ def _q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs through the real WAV codec: 300 white-noise
+    clips (min pairwise fingerprint Hamming ≥16, measured) + byte-exact
+    planted duplicates of every 10th → decode → 64-segment envelope
+    hash → banded pigeonhole join. Closed-form oracle: exactly the 30
+    planted pairs at distance 0."""
+    from pythongis_spark.images.multimodal import (audio_neardup_pairs,
+                                                   noise_audio_df)
+
+    clips = noise_audio_df(spark, 300, dup_every=10)
+    return audio_neardup_pairs(clips, max_hamming=3).select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs through the real AVI/MJPEG codec: 120
+    noise-frame videos (min pairwise majority-phash Hamming ≥16,
+    measured) + byte-exact planted duplicates of every 10th → decode →
+    per-frame phash majority vote → banded join. Closed-form oracle:
+    exactly the 12 planted pairs at distance 0."""
+    from pythongis_spark.images.multimodal import (noise_video_df,
+                                                   video_neardup_pairs)
+
+    vids = noise_video_df(spark, 120, dup_every=10)
+    return video_neardup_pairs(vids, max_hamming=3).select(
+        "a_id", "b_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def _q_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.geometry.projections import reproject_points
 
@@ -1513,10 +1543,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _q_fingerprint_docs,
         "verify_images": _q_verify_images,
         "image_features": _q_image_features,
-        # r4 late addition: phash near-dup dedup through the real codecs
-        # (in-window; displaces the r2/r3-stable idw_bounded row past
-        # the edge)
+        # r4 late additions: cross-modal near-dup dedup through the
+        # real codecs — image phash, audio envelope fingerprint, video
+        # majority-frame phash, all over the same banded Hamming engine
+        # (in-window; displaces the r2/r3-stable idw_bounded,
+        # classify_quantile_breaks and sessionize_events rows past the
+        # edge — each re-verified via tools/check_oracle.py this round)
         "phash_neardup_images": _q_phash_neardup,
+        "audio_neardup_clips": _q_audio_neardup,
+        "video_neardup_vids": _q_video_neardup,
         "zonal_stats_raster": _q_zonal_stats,
         "rasterize_zones": _q_rasterize,
         "upscale_raster": _q_upscale,
@@ -1536,16 +1571,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "describe_customer": _q_describe,
         "stream_window_counts": _q_stream_window_counts,
         "moving_window_global": _q_moving_window_global,
-        "sessionize_events": _q_sessionize,
         "dedup_clusters_docs": _q_dedup_clusters,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frames,
-        "classify_quantile_breaks": _q_classify_quantile_breaks,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
         # long-stable and move just past the edge)
         "spatial_join_rects": _q_spatial_join_rects,
         "spatial_join_within": _q_spatial_join_within,
+        "sessionize_events": _q_sessionize,
+        "classify_quantile_breaks": _q_classify_quantile_breaks,
         "idw_bounded": _q_idw_bounded,
         "ann_topk_ids": _q_ann_topk,
         "embedding_pairs_exact": _q_embedding_pairs,
@@ -2419,6 +2454,20 @@ def oracle_sql() -> dict[str, str]:
                    'nz' || lpad(CAST(i * 10 AS VARCHAR), 12, '0') AS b_id,
                    CAST(0 AS INTEGER) AS hamming
             FROM (SELECT CAST(range AS BIGINT) AS i FROM range(30))
+        """,
+        # same planted-duplicate construction for the audio and video
+        # fingerprints ('dc'/'dv' duplicate ids sort before 'nc'/'nv')
+        "audio_neardup_clips": """
+            SELECT 'dc' || lpad(CAST(i * 10 AS VARCHAR), 9, '0') AS a_id,
+                   'nc' || lpad(CAST(i * 10 AS VARCHAR), 9, '0') AS b_id,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM (SELECT CAST(range AS BIGINT) AS i FROM range(30))
+        """,
+        "video_neardup_vids": """
+            SELECT 'dv' || lpad(CAST(i * 10 AS VARCHAR), 9, '0') AS a_id,
+                   'nv' || lpad(CAST(i * 10 AS VARCHAR), 9, '0') AS b_id,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM (SELECT CAST(range AS BIGINT) AS i FROM range(12))
         """,
         "simhash_pairs_docs": """
             WITH RECURSIVE w AS (

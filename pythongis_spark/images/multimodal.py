@@ -425,6 +425,207 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------
+# Cross-modal near-dup dedup: 64-bit perceptual fingerprints for audio
+# and video feeding the SAME banded Hamming engine as text simhash and
+# image phash (operators.dedup.hamming_neardup_pairs)
+# ------------------------------------------------------------------
+
+def audio_fingerprint(pcm: np.ndarray) -> int:
+    """64-bit energy-envelope fingerprint: split the clip into 64 equal
+    segments, bit b = segment-b mean energy above the clip's mean —
+    the audio analog of ``codec.average_phash`` (a simplified
+    Haitsma–Kalker sign-of-band-energy hash, public algorithm).
+    Deterministic float64 numpy; clips shorter than 64 samples hash
+    to 0."""
+    x = pcm.astype(np.float64)
+    n = (x.size // 64) * 64
+    if n == 0:
+        return 0
+    seg = x[:n].reshape(64, n // 64)
+    e = (seg * seg).mean(axis=1)
+    bits = e > e.mean()
+    val = int(np.packbits(bits).view(">u8")[0])
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def audio_fingerprints(df: DataFrame) -> DataFrame:
+    """(clip_id, afp) from decoded audio — one mapInPandas pass over
+    (id, blob) only, no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for r in pdf.itertuples(index=False):
+                ids.append(r.clip_id)
+                fps.append(audio_fingerprint(decode_audio(r.bytes)))
+            yield pd.DataFrame(
+                {"clip_id": pd.Series(ids, dtype=object),
+                 "afp": pd.Series(fps, dtype="int64")}
+            )
+
+    return df.select("clip_id", "bytes").mapInPandas(
+        run, schema="clip_id string, afp long"
+    )
+
+
+def audio_neardup_pairs(
+    df: DataFrame, max_hamming: int = 3, n_bands: int = 4,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Audio near-duplicate pairs by fingerprint Hamming distance —
+    decode → 64-bit envelope hash → banded pigeonhole join (EXACT for
+    radius ≤ bands−1; see dedup.hamming_neardup_pairs for the
+    bucket-cap recall contract at corpus scale)."""
+    from pythongis_spark.operators.dedup import hamming_neardup_pairs
+
+    return hamming_neardup_pairs(
+        audio_fingerprints(df), "clip_id", "afp", max_hamming, n_bands,
+        bucket_cap,
+    )
+
+
+def video_fingerprint(frames: np.ndarray) -> int:
+    """64-bit video hash: majority vote across per-frame average
+    phashes (simhash over the frame sequence) — frame-order invariant,
+    robust to dropping a minority of frames. Grayscale frames are
+    stacked to RGB for the phash."""
+    from pythongis_spark.images import codec
+
+    hs = []
+    for f in frames:
+        if f.ndim == 2:
+            f = np.repeat(f[..., None], 3, axis=-1)
+        hs.append(codec.average_phash(f) & ((1 << 64) - 1))
+    n = len(hs)
+    val = 0
+    for b in range(64):
+        if sum((x >> b) & 1 for x in hs) * 2 > n:  # strict: tie → 0
+            val |= 1 << b
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def video_fingerprints(df: DataFrame) -> DataFrame:
+    """(video_id, vfp) from decoded frames — one mapInPandas pass."""
+
+    def run(batches):
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for r in pdf.itertuples(index=False):
+                ids.append(r.video_id)
+                fps.append(video_fingerprint(decode_video(r.bytes)))
+            yield pd.DataFrame(
+                {"video_id": pd.Series(ids, dtype=object),
+                 "vfp": pd.Series(fps, dtype="int64")}
+            )
+
+    return df.select("video_id", "bytes").mapInPandas(
+        run, schema="video_id string, vfp long"
+    )
+
+
+def video_neardup_pairs(
+    df: DataFrame, max_hamming: int = 3, n_bands: int = 4,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Video near-duplicate pairs by majority-frame-phash Hamming
+    distance through the real AVI/MJPEG codec path."""
+    from pythongis_spark.operators.dedup import hamming_neardup_pairs
+
+    return hamming_neardup_pairs(
+        video_fingerprints(df), "video_id", "vfp", max_hamming, n_bands,
+        bucket_cap,
+    )
+
+
+def _noise_stream(tag: str, n: int) -> bytes:
+    """Deterministic blake2b counter stream (platform-independent)."""
+    import hashlib
+
+    out = bytearray()
+    c = 0
+    while len(out) < n:
+        out += hashlib.blake2b(f"{tag}:{c}".encode(), digest_size=64).digest()
+        c += 1
+    return bytes(out[:n])
+
+
+def make_noise_audio_clip(i: int, sample_rate: int = 8000,
+                          n_samples: int = 4000) -> dict:
+    """High-entropy PCM16 clip: white noise makes the 64 envelope bits
+    effectively independent coin flips, so 300 clips measure ≥16 bits
+    minimum pairwise fingerprint Hamming — planted byte dups are then
+    the only pairs within radius 3 (closed-form oracle; same fixture
+    logic as codec.make_noise_pixels for images)."""
+    pcm = np.frombuffer(_noise_stream(f"a{i}", n_samples * 2), dtype="<i2")
+    return dict(
+        clip_id=f"nc{i:09d}", bytes=encode_wav(pcm, sample_rate, 1),
+        sample_rate=sample_rate, n_samples=n_samples, channels=1, fmt="wav",
+    )
+
+
+def noise_audio_df(spark, n: int, dup_every: int | None = None,
+                   partitions: int | None = None) -> DataFrame:
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                row = make_noise_audio_clip(int(i))
+                rows.append(row)
+                if dup_every and int(i) % dup_every == 0:
+                    dup = dict(row)
+                    dup["clip_id"] = f"dc{int(i):09d}"
+                    rows.append(dup)
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(n)
+    if partitions:
+        rng = rng.repartition(partitions)
+    return rng.mapInPandas(gen, schema=AUDIO_SCHEMA_DDL)
+
+
+def make_noise_video(i: int, w: int = 32, h: int = 24,
+                     n_frames: int = 8) -> dict:
+    """High-entropy AVI/MJPEG video (per-frame noise pixels through the
+    real JPEG encoder): majority-vote fingerprints measure ≥16 bits
+    minimum pairwise Hamming at n=120."""
+    from pythongis_spark.images import codec
+
+    frames = np.stack(
+        [codec.make_noise_pixels(i * 997 + f, w, h) for f in range(n_frames)]
+    )
+    return dict(
+        video_id=f"nv{i:09d}", bytes=encode_avi_mjpeg(frames, 8.0, 92),
+        w=w, h=h, n_frames=n_frames, fps=8.0, fmt="avi",
+    )
+
+
+def noise_video_df(spark, n: int, dup_every: int | None = None,
+                   partitions: int | None = None) -> DataFrame:
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                row = make_noise_video(int(i))
+                rows.append(row)
+                if dup_every and int(i) % dup_every == 0:
+                    dup = dict(row)
+                    dup["video_id"] = f"dv{int(i):09d}"
+                    rows.append(dup)
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(n)
+    if partitions:
+        rng = rng.repartition(partitions)
+    return rng.mapInPandas(gen, schema=VIDEO_SCHEMA_DDL)
+
+
 def audio_df(spark, n: int, partitions: int | None = None) -> DataFrame:
     def gen(batches):
         for pdf in batches:

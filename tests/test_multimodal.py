@@ -260,3 +260,72 @@ def test_wav_ima_adpcm_partial_block_and_errors():
         MM.decode_wav(_wav_container(0x11, 2, 8000, 36, 4, full))
     with pytest.raises(NotImplementedError, match="not supported"):
         MM.decode_wav(_wav_container(85, 1, 8000, 1, 16, b"\x00\x00"))
+
+
+def test_audio_fingerprint_neardup_planted(spark):
+    """Planted byte-exact duplicates are the only pairs within radius 3
+    through decode → envelope fingerprint → banded join."""
+    clips = MM.noise_audio_df(spark, 40, dup_every=10)
+    assert clips.count() == 44
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in MM.audio_neardup_pairs(clips, max_hamming=3).collect()
+    }
+    assert got == {(f"dc{i:09d}", f"nc{i:09d}", 0) for i in range(0, 40, 10)}
+
+
+def test_audio_fingerprint_brute_parity(spark):
+    """Banded join == O(n²) Hamming over the actual fingerprints at a
+    radius large enough to admit non-planted pairs (n_bands raised so
+    the pigeonhole guarantee still holds)."""
+    import numpy as np
+
+    clips = MM.noise_audio_df(spark, 30)
+    sigs = [(r.clip_id, r.afp) for r in MM.audio_fingerprints(clips).collect()]
+    from pythongis_spark.operators.dedup import hamming_neardup_pairs
+
+    radius = 28
+    expect = set()
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            d = bin((sigs[i][1] ^ sigs[j][1]) & ((1 << 64) - 1)).count("1")
+            if d <= radius:
+                a, b = sorted((sigs[i][0], sigs[j][0]))
+                expect.add((a, b, d))
+    assert expect  # white-noise fingerprints sit near Hamming ~32
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in hamming_neardup_pairs(
+            MM.audio_fingerprints(clips), "clip_id", "afp",
+            max_hamming=radius, n_bands=32, bucket_cap=None,
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_video_fingerprint_neardup_planted(spark):
+    vids = MM.noise_video_df(spark, 30, dup_every=10)
+    assert vids.count() == 33
+    got = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in MM.video_neardup_pairs(vids, max_hamming=3).collect()
+    }
+    assert got == {(f"dv{i:09d}", f"nv{i:09d}", 0) for i in range(0, 30, 10)}
+
+
+def test_video_fingerprint_frame_order_invariant():
+    """Majority vote is frame-order invariant and survives dropping a
+    minority of frames at small distance."""
+    import numpy as np
+
+    from pythongis_spark.images import codec
+
+    frames = np.stack(
+        [codec.make_noise_pixels(5000 + f, 32, 24) for f in range(8)]
+    )
+    h1 = MM.video_fingerprint(frames)
+    h2 = MM.video_fingerprint(frames[::-1])
+    assert h1 == h2
+    h3 = MM.video_fingerprint(frames[:6])  # drop 2 of 8 frames
+    d = bin((h1 ^ h3) & ((1 << 64) - 1)).count("1")
+    assert d <= 16, d
