@@ -937,6 +937,29 @@ def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id")
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table with 4 FIXED anchors (the
+    lowest 4 vec_ids, so the oracle can reconstruct them): nearest-
+    anchor cosine clustering → within-cluster pairs ≥ τ → connected
+    components → keep min id. Determinism: measured min anchor-argmax
+    margin 4.5e-5 and min |cosine−τ| 1.1e-4 across sf≤0.1 — both far
+    above cross-engine float noise, so cell/grp/keep are exact."""
+    import numpy as np
+
+    from pythongis_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = np.array(
+        [r[1] for r in
+         emb.select("vec_id", "embedding").orderBy("vec_id").limit(4).collect()],
+        dtype=np.float64,
+    )
+    out = semantic_dedup(emb, tau=0.45, anchors=anchors)
+    return out.select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "grp", "keep"
+    )
+
+
 def _q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.operators.text import lang_id
 
@@ -1552,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_neardup_images": _q_phash_neardup,
         "audio_neardup_clips": _q_audio_neardup,
         "video_neardup_vids": _q_video_neardup,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
         "zonal_stats_raster": _q_zonal_stats,
         "rasterize_zones": _q_rasterize,
         "upscale_raster": _q_upscale,
@@ -1570,7 +1594,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_equal_breaks": _q_classify_equal_breaks,
         "describe_customer": _q_describe,
         "stream_window_counts": _q_stream_window_counts,
-        "moving_window_global": _q_moving_window_global,
         "dedup_clusters_docs": _q_dedup_clusters,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frames,
@@ -1579,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # long-stable and move just past the edge)
         "spatial_join_rects": _q_spatial_join_rects,
         "spatial_join_within": _q_spatial_join_within,
+        "moving_window_global": _q_moving_window_global,
         "sessionize_events": _q_sessionize,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
         "idw_bounded": _q_idw_bounded,
@@ -2468,6 +2492,43 @@ def oracle_sql() -> dict[str, str]:
                    'nv' || lpad(CAST(i * 10 AS VARCHAR), 9, '0') AS b_id,
                    CAST(0 AS INTEGER) AS hamming
             FROM (SELECT CAST(range AS BIGINT) AS i FROM range(12))
+        """,
+        # full SemDeDup replay: anchors = 4 lowest vec_ids, nearest-
+        # anchor assignment (ties → lowest cell, margins measured far
+        # above float noise), within-cluster τ-pairs, min-label closure
+        "semantic_dedup_embeddings": """
+            WITH RECURSIVE anch AS MATERIALIZED (
+              SELECT embedding,
+                     CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 4)
+            ),
+            assigned AS MATERIALIZED (
+              SELECT e.vec_id, e.embedding,
+                     (SELECT a.cell FROM anch a
+                      ORDER BY list_cosine_similarity(e.embedding, a.embedding) DESC,
+                               a.cell ASC
+                      LIMIT 1) AS cell
+              FROM embeddings e
+            ),
+            prs AS MATERIALIZED (
+              SELECT x.vec_id AS a_id, y.vec_id AS b_id
+              FROM assigned x JOIN assigned y
+                ON x.cell = y.cell AND x.vec_id < y.vec_id
+              WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.45
+            ),
+            nodes AS MATERIALIZED (SELECT a_id AS id FROM prs UNION SELECT b_id FROM prs),
+            e AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM prs
+                  UNION SELECT b_id, a_id FROM prs),
+            reach(a, b) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            ),
+            comp AS (SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a)
+            SELECT s.vec_id, s.cell,
+                   COALESCE(c.component, s.vec_id) AS grp,
+                   (COALESCE(c.component, s.vec_id) = s.vec_id) AS keep
+            FROM assigned s LEFT JOIN comp c ON c.id = s.vec_id
         """,
         "simhash_pairs_docs": """
             WITH RECURSIVE w AS (

@@ -114,6 +114,96 @@ def ivf_topk(
     return cosine_topk(pruned, q, k, id_col, vec_col)
 
 
+def anchor_assign(
+    df: DataFrame,
+    anchors: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """Nearest-anchor assignment by COSINE similarity (argmax; ties →
+    lowest anchor index) — the coarse clustering step of semantic
+    dedup. One Arrow pass, no shuffle; anchors (K × d) ride inside the
+    UDF closure like the IVF centroids."""
+    A = np.asarray(anchors, dtype=np.float64)
+    An = A / np.clip(np.linalg.norm(A, axis=1, keepdims=True), 1e-12, None)
+
+    @F.pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = _as_matrix(vecs)
+        matn = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+        S = matn @ An.T
+        return pd.Series(S.argmax(axis=1).astype(np.int32), index=vecs.index)
+
+    return df.withColumn(out, assign(F.col(vec_col)))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 16,
+    tau: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchors: np.ndarray | None = None,
+    bucket_cap: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540, public method):
+    coarse-cluster embeddings by nearest anchor (cosine), mark
+    near-duplicate pairs WITHIN clusters only (cosine ≥ ``tau``), elect
+    one representative per duplicate group — the semantic analog of the
+    signature→bucket→verify→components dedup shape used for text and
+    media payloads.
+
+    Returns (id, cell, grp, keep): ``grp`` is the duplicate-group root
+    (min id; singleton rows are their own group), ``keep`` marks the
+    representative. Scale: anchors default to the driver-bounded
+    :func:`kmeans_centroids` sample; within-cluster candidate pairs go
+    through the SAME capped bucket machinery as the LSH families (pass
+    ``bucket_cap`` to hub-star mega-clusters instead of emitting B²
+    pairs); the verify re-joins vectors once; components are the
+    iterative large-star/small-star pass."""
+    from pythongis_spark.operators.dedup import (_capped_pair_ids,
+                                                 connected_components)
+
+    if anchors is None:
+        anchors = kmeans_centroids(df, n_clusters, vec_col)
+    assigned = anchor_assign(df, anchors, id_col, vec_col, "cell")
+    banded = assigned.select(
+        F.col(id_col).alias("_id"), F.lit(0).alias("band"),
+        F.col("cell").alias("bucket"),
+    )
+    cand = _capped_pair_ids(banded, bucket_cap)
+    v = assigned.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+
+    @F.pandas_udf("double")
+    def cos(av: pd.Series, bv: pd.Series) -> pd.Series:
+        A = _as_matrix(av)
+        B = _as_matrix(bv)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(num / np.where(den == 0, 1.0, den), index=av.index)
+
+    dup_pairs = (
+        cand.join(v, cand.a_id == v._vid)
+        .select("a_id", "b_id", F.col("_v").alias("a_v"))
+        .join(v, F.col("b_id") == v._vid)
+        .select("a_id", "b_id", cos(F.col("a_v"), F.col("_v")).alias("cosine"))
+        .filter(F.col("cosine") >= tau)
+        .select("a_id", "b_id")
+    )
+    labels = connected_components(dup_pairs, max_iter)
+    out = assigned.select(id_col, "cell").join(
+        labels.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    return out.select(
+        id_col,
+        "cell",
+        F.coalesce(F.col("component"), F.col(id_col)).alias("grp"),
+        (F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )
+
+
 def pairwise_topk_join(
     queries: DataFrame,
     corpus: DataFrame,

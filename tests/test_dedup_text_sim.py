@@ -375,3 +375,67 @@ def test_repetition_signals(spark):
         TX.repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_semantic_dedup_bruteforce_parity(spark, sf_dir):
+    """semantic_dedup (anchor assign → within-cluster τ-pairs → CC →
+    keep min id) matches a numpy brute force on the real embeddings
+    table, and the kept set is consistent with the grp labels."""
+    import numpy as np
+
+    from pythongis_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r[0] for r in rows])
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    Mn = M / np.clip(np.linalg.norm(M, axis=1, keepdims=True), 1e-12, None)
+    anchors = M[:4]
+    An = anchors / np.linalg.norm(anchors, axis=1, keepdims=True)
+    cell = (Mn @ An.T).argmax(axis=1)
+    # brute-force within-cluster pairs at tau, then min-label closure
+    S = Mn @ Mn.T
+    n = len(ids)
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell[i] == cell[j] and S[i, j] >= 0.45:
+                ra, rb = find(int(ids[i])), find(int(ids[j]))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    expect = {
+        int(v): (int(cell[k]), find(int(v)), find(int(v)) == int(v))
+        for k, v in enumerate(ids)
+    }
+    got = {
+        r.vec_id: (r.cell, r.grp, r.keep)
+        for r in semantic_dedup(emb, tau=0.45, anchors=anchors).collect()
+    }
+    assert got == expect
+    assert any(not k for _, _, k in got.values())  # dups exist in the corpus
+
+
+def test_semantic_dedup_bucket_cap_keeps_clusters_connected(spark, sf_dir):
+    """With a tiny bucket_cap the candidate pairs hub-star, but groups
+    that survive the exact cosine verify stay connected through the
+    hub: keep-count can only grow (never lose a true representative)."""
+    from pythongis_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import numpy as np
+
+    rows = emb.select("embedding").orderBy("vec_id").limit(4).collect()
+    anchors = np.array([r[0] for r in rows], dtype=np.float64)
+    full = semantic_dedup(emb, tau=0.45, anchors=anchors)
+    capped = semantic_dedup(emb, tau=0.45, anchors=anchors, bucket_cap=8)
+    n_full = full.filter("keep").count()
+    n_capped = capped.filter("keep").count()
+    assert n_capped >= n_full
+    assert capped.count() == full.count()
