@@ -937,6 +937,39 @@ def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id")
 
 
+def _q_gopher_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule gate over a deterministically-degraded corpus: every
+    doc_id % 3 == 0 doc gains English stopwords (r_stop flips true),
+    % 7 == 0 gains a symbol run (r_symbol flips false), % 11 == 0 gains
+    a repeated-token tail (r_rep2/r_toptok flip false); word-count
+    bounds split naturally (277/500 pass at sf0.01) — every emitted
+    rule fires in both directions somewhere in the corpus."""
+    from pythongis_spark.operators.text import gopher_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" the cat sat with the dog and that hat"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" "), F.repeat(F.lit("### ... "), 20)),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.repeat(F.lit(" spam"), 100)
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return gopher_filter(aug).select(
+        "doc_id", "r_nwords", "r_mwl", "r_alpha", "r_stop", "r_symbol",
+        "r_rep2", "r_toptok", "keep",
+    )
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table with 4 FIXED anchors (the
     lowest 4 vec_ids, so the oracle can reconstruct them): nearest-
@@ -1576,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_neardup_clips": _q_audio_neardup,
         "video_neardup_vids": _q_video_neardup,
         "semantic_dedup_embeddings": _q_semantic_dedup,
+        "gopher_filter_docs": _q_gopher_docs,
         "zonal_stats_raster": _q_zonal_stats,
         "rasterize_zones": _q_rasterize,
         "upscale_raster": _q_upscale,
@@ -1594,7 +1628,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_equal_breaks": _q_classify_equal_breaks,
         "describe_customer": _q_describe,
         "stream_window_counts": _q_stream_window_counts,
-        "dedup_clusters_docs": _q_dedup_clusters,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frames,
         # r4 rect fast paths: keep these two inside the 50-slot gate
@@ -1602,6 +1635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # long-stable and move just past the edge)
         "spatial_join_rects": _q_spatial_join_rects,
         "spatial_join_within": _q_spatial_join_within,
+        # displaced r2/r3-stable rows (re-verified via check_oracle
+        # this round): dedup_clusters' CC machinery is exercised
+        # in-window by semantic_dedup_embeddings' closure oracle
+        "dedup_clusters_docs": _q_dedup_clusters,
         "moving_window_global": _q_moving_window_global,
         "sessionize_events": _q_sessionize,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
@@ -2492,6 +2529,68 @@ def oracle_sql() -> dict[str, str]:
                    'nv' || lpad(CAST(i * 10 AS VARCHAR), 9, '0') AS b_id,
                    CAST(0 AS INTEGER) AS hamming
             FROM (SELECT CAST(range AS BIGINT) AS i FROM range(12))
+        """,
+        # integer-exact Gopher rule replay (cross-multiplied bounds, no
+        # float ratios) over the same deterministic corpus degradation
+        "gopher_filter_docs": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN ' the cat sat with the dog and that hat'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN ' ' || repeat('### ... ', 20)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN repeat(' spam', 100)
+                             ELSE '' END AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, text,
+                     string_split_regex(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+              FROM aug
+            ), g AS (
+              SELECT doc_id, text, t,
+                     CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(1, len(t)-1),
+                               i -> array_to_string(t[i:i+1], ' '))
+                          ELSE [] END AS gr
+              FROM toks
+            ), m AS (
+              SELECT doc_id,
+                     len(t) AS nw,
+                     list_aggregate(list_transform(t, x -> len(x)), 'sum') AS wchars,
+                     len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) AS nalpha,
+                     len(list_filter(['the','be','to','of','and','that','have','with'],
+                                     w -> list_contains(t, w))) AS nstop,
+                     len(regexp_extract_all(text, '#|\.\.\.')) AS nsym,
+                     COALESCE(list_aggregate(list_transform(list_distinct(t),
+                         v -> len(list_filter(t, x -> x = v))), 'max'), 0) AS top,
+                     len(gr) AS n2,
+                     COALESCE(list_aggregate(list_transform(list_transform(
+                         list_distinct(gr), v -> len(list_filter(gr, x -> x = v))),
+                         c -> CASE WHEN c > 1 THEN c ELSE 0 END), 'sum'), 0) AS dup2
+              FROM g
+            )
+            SELECT doc_id,
+                   nw >= 50 AND nw <= 100000 AS r_nwords,
+                   wchars >= 3 * nw AND wchars <= 10 * nw AS r_mwl,
+                   nalpha * 5 >= nw * 4 AS r_alpha,
+                   nstop >= 2 AS r_stop,
+                   nsym * 10 <= nw AS r_symbol,
+                   dup2 * 5 <= n2 AS r_rep2,
+                   top * 5 <= nw AS r_toptok,
+                   (nw >= 50 AND nw <= 100000)
+                   AND (wchars >= 3 * nw AND wchars <= 10 * nw)
+                   AND (nalpha * 5 >= nw * 4)
+                   AND (nstop >= 2)
+                   AND (nsym * 10 <= nw)
+                   AND (dup2 * 5 <= n2)
+                   AND (top * 5 <= nw) AS keep
+            FROM m
         """,
         # full SemDeDup replay: anchors = 4 lowest vec_ids, nearest-
         # anchor assignment (ties → lowest cell, margins measured far

@@ -312,3 +312,111 @@ def repetition_signals(
         )
         .drop("_t", "_g")
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    prefix: str = "r_",
+) -> DataFrame:
+    """Gopher/MassiveText document-quality rule filter (Rae et al. 2021
+    §A1.1, public): per-rule boolean flags plus ``keep`` = AND of all —
+    the standard pre-training corpus gate, composed from the same token
+    array the repetition signals use.
+
+    Every rule compares INTEGER counts via cross-multiplication
+    (``5 * dup_2grams <= n_2grams`` instead of ``dup/n <= 0.2``), so
+    the flags are exact at any scale and bit-reproducible in the SQL
+    oracle — no float-ratio boundary cases. Pure Catalyst projection
+    over the scan: no shuffle, no Python.
+
+    Rules (flag TRUE = passes):
+    - ``r_nwords``:   min_words ≤ word count ≤ max_words;
+    - ``r_mwl``:      mean word length in [min,max] chars (integer
+                      bound: min·n ≤ Σ len(word) ≤ max·n);
+    - ``r_alpha``:    ≥80% of words contain an alphabetic character;
+    - ``r_stop``:     ≥2 distinct Gopher stop words present;
+    - ``r_symbol``:   hash/ellipsis-to-word ratio ≤ 0.1;
+    - ``r_rep2``:     duplicate-2-gram occurrences ≤ 20% of 2-grams;
+    - ``r_toptok``:   most frequent token ≤ 20% of tokens.
+    """
+    text = F.col(text_col)
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " ")), " "
+    )
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(1)),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def counts(arr):
+        return F.transform(
+            F.array_distinct(arr),
+            lambda v: F.size(F.filter(arr, lambda x: x == v)),
+        )
+
+    out = (
+        df.withColumn("_t", toks)
+        .withColumn("_g", grams)
+        .withColumn("_nw", F.size("_t"))
+        .withColumn(
+            "_wchars",
+            F.aggregate(F.col("_t"), F.lit(0), lambda a, x: a + F.length(x)),
+        )
+        .withColumn(
+            "_nalpha",
+            F.size(F.filter(F.col("_t"), lambda x: x.rlike("[a-z]"))),
+        )
+        .withColumn(
+            "_nstop",
+            F.size(
+                F.filter(
+                    F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+                    lambda w: F.array_contains(F.col("_t"), w),
+                )
+            ),
+        )
+        .withColumn("_nsym", F.regexp_count(text, F.lit(r"#|\.\.\.")))
+        .withColumn("_top", F.coalesce(F.array_max(counts(F.col("_t"))), F.lit(0)))
+        .withColumn("_n2", F.size("_g"))
+        .withColumn(
+            "_dup2",
+            F.coalesce(
+                F.aggregate(
+                    counts(F.col("_g")),
+                    F.lit(0),
+                    lambda acc, c: acc + F.when(c > 1, c).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    rules = {
+        prefix + "nwords": (F.col("_nw") >= min_words)
+        & (F.col("_nw") <= max_words),
+        prefix + "mwl": (F.col("_wchars") >= min_mean_word_len * F.col("_nw"))
+        & (F.col("_wchars") <= max_mean_word_len * F.col("_nw")),
+        prefix + "alpha": F.col("_nalpha") * 5 >= F.col("_nw") * 4,
+        prefix + "stop": F.col("_nstop") >= 2,
+        prefix + "symbol": F.col("_nsym") * 10 <= F.col("_nw"),
+        prefix + "rep2": F.col("_dup2") * 5 <= F.col("_n2"),
+        prefix + "toptok": F.col("_top") * 5 <= F.col("_nw"),
+    }
+    keep = F.lit(True)
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep).drop(
+        "_t", "_g", "_nw", "_wchars", "_nalpha", "_nstop", "_nsym",
+        "_top", "_n2", "_dup2",
+    )

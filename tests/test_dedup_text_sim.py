@@ -439,3 +439,52 @@ def test_semantic_dedup_bucket_cap_keeps_clusters_connected(spark, sf_dir):
     n_capped = capped.filter("keep").count()
     assert n_capped >= n_full
     assert capped.count() == full.count()
+
+
+def test_gopher_filter_rules_fire_both_ways(spark):
+    """Crafted strings flip every Gopher rule in both directions,
+    including the mwl/alpha rules the corpus gate can't flip."""
+    from pythongis_spark.operators.text import gopher_filter
+
+    # 60+ DISTINCT words (a repeated sentence rightly fails the
+    # dup-2-gram rule), stopwords present, mean word length in range
+    good = ("the quick brown fox jumps over that lazy dog and friends "
+            "keep having words with everyone nearby today while rivers "
+            "flow under bright skies children read books about distant "
+            "planets wonder fills every morning before school starts "
+            "teachers drink coffee students write essays gardens bloom "
+            "softly autumn leaves drift past open windows music plays "
+            "gently somewhere villages wake slowly mountains guard "
+            "valleys oceans carry ships toward harbors full of light")
+    cases = [
+        ("ok", good, None, True),
+        ("short", "the cat sat with that hat", "r_nwords", False),
+        ("mwl_long", " ".join(["absolutely"] * 30 + [
+            "supercalifragilisticexpialidocious"] * 40) + " the of", "r_mwl", False),
+        ("alpha", good + " " + " ".join(str(n) for n in range(90)), "r_alpha", False),
+        ("nostop", ("lorem ipsum dolor sit amet consectetur adipiscing "
+                    "elit sed do eiusmod tempor incididunt ut labore ") * 8,
+         "r_stop", False),
+        ("symbols", good + " " + "### ... " * 10, "r_symbol", False),
+        ("repeat2", good + " spam ham" * 40, "r_rep2", False),
+        ("toptok", good + " spam" * 60, "r_toptok", False),
+    ]
+    df = spark.createDataFrame(
+        [(n, t) for n, t, _, _ in cases], "doc_id string, text string"
+    )
+    got = {r.doc_id: r.asDict() for r in gopher_filter(df).collect()}
+    assert got["ok"]["keep"] is True
+    for name, _, rule, keep in cases:
+        assert got[name]["keep"] is keep, (name, got[name])
+        if rule is not None:
+            assert got[name][rule] is False, (name, rule, got[name])
+
+
+def test_gopher_filter_mean_word_len_short_side(spark):
+    """mwl also fails on the short side (mean word length < 3)."""
+    from pythongis_spark.operators.text import gopher_filter
+
+    txt = "a b c d e " * 12 + "the of to be"  # 64 words, mean len ~1
+    df = spark.createDataFrame([("x", txt)], "doc_id string, text string")
+    row = gopher_filter(df).collect()[0]
+    assert row.r_mwl is False and row.keep is False and row.r_nwords is True
