@@ -937,6 +937,49 @@ def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id")
 
 
+def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registered-domain extraction over a
+    deterministically-synthesized messy URL per document (mixed-case
+    scheme/host, www prefix, default ports, tracking params, unsorted
+    query, fragments, scheme-less rows, multi-part public suffixes) —
+    every canonicalization rule fires somewhere in the corpus."""
+    from pythongis_spark.operators.web import with_url_parts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 40).cast("string"),
+                F.lit(".Example.COM:443/a/b/?utm_source=mail&z=9&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://site"), (F.col("doc_id") % 40).cast("string"),
+                F.lit(".example.co.uk:80/path/"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://News.Portal"), (F.col("doc_id") % 40).cast("string"),
+                F.lit(".ORG/x?gclid=abc&q="), F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("bare.example"), (F.col("doc_id") % 40).cast("string"),
+                F.lit(".com/y/?b=2&a=1&"),
+            )
+        )
+    )
+    return with_url_parts(docs.withColumn("url", url)).select(
+        "doc_id", "canon_url", "host", "domain"
+    )
+
+
 def _q_gopher_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule gate over a deterministically-degraded corpus: every
     doc_id % 3 == 0 doc gains English stopwords (r_stop flips true),
@@ -1610,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_neardup_vids": _q_video_neardup,
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "gopher_filter_docs": _q_gopher_docs,
+        "url_canonical_docs": _q_url_canon,
         "zonal_stats_raster": _q_zonal_stats,
         "rasterize_zones": _q_rasterize,
         "upscale_raster": _q_upscale,
@@ -1627,7 +1671,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_quantile": _q_classify_quantile,
         "classify_equal_breaks": _q_classify_equal_breaks,
         "describe_customer": _q_describe,
-        "stream_window_counts": _q_stream_window_counts,
         "audio_features": _q_audio_features,
         "video_frame_sample": _q_video_frames,
         # r4 rect fast paths: keep these two inside the 50-slot gate
@@ -1637,7 +1680,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_within": _q_spatial_join_within,
         # displaced r2/r3-stable rows (re-verified via check_oracle
         # this round): dedup_clusters' CC machinery is exercised
-        # in-window by semantic_dedup_embeddings' closure oracle
+        # in-window by semantic_dedup_embeddings' closure oracle;
+        # stream_window_counts was r3 gate-green
+        "stream_window_counts": _q_stream_window_counts,
         "dedup_clusters_docs": _q_dedup_clusters,
         "moving_window_global": _q_moving_window_global,
         "sessionize_events": _q_sessionize,
@@ -2529,6 +2574,71 @@ def oracle_sql() -> dict[str, str]:
                    'nv' || lpad(CAST(i * 10 AS VARCHAR), 9, '0') AS b_id,
                    CAST(0 AS INTEGER) AS hamming
             FROM (SELECT CAST(range AS BIGINT) AS i FROM range(12))
+        """,
+        # URL canonicalization replay: same anchored regexps (Java and
+        # RE2 agree), same list sort/filter, same suffix subset
+        "url_canonical_docs": r"""
+            WITH urls AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                  WHEN 0 THEN 'HTTPS://WWW.Site' || CAST(doc_id % 40 AS VARCHAR)
+                       || '.Example.COM:443/a/b/?utm_source=mail&z=9&a=1#frag'
+                  WHEN 1 THEN 'http://site' || CAST(doc_id % 40 AS VARCHAR)
+                       || '.example.co.uk:80/path/'
+                  WHEN 2 THEN 'https://News.Portal' || CAST(doc_id % 40 AS VARCHAR)
+                       || '.ORG/x?gclid=abc&q=' || CAST(doc_id AS VARCHAR)
+                  ELSE 'bare.example' || CAST(doc_id % 40 AS VARCHAR)
+                       || '.com/y/?b=2&a=1&'
+                END AS url
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id,
+                     lower(COALESCE(regexp_extract(trim(url),
+                         '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS sch0,
+                     regexp_replace(trim(url),
+                         '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+              FROM urls
+            ),
+            p2 AS (
+              SELECT doc_id,
+                     CASE WHEN sch0 = '' THEN 'http' ELSE sch0 END AS scheme,
+                     regexp_replace(regexp_replace(
+                         lower(COALESCE(regexp_extract(rest, '^([^/?#]*)', 1), '')),
+                         '^www\.', ''), ':(80|443)$', '') AS host,
+                     regexp_replace(rest, '^[^/?#]*', '') AS pathq
+              FROM parts
+            ),
+            p3 AS (
+              SELECT doc_id, scheme, host,
+                     CASE WHEN COALESCE(regexp_extract(pathq, '^([^?#]*)', 1), '') = '/'
+                          THEN ''
+                          ELSE regexp_replace(COALESCE(
+                              regexp_extract(pathq, '^([^?#]*)', 1), ''), '/$', '')
+                     END AS path,
+                     COALESCE(array_to_string(list_sort(list_filter(
+                         string_split(COALESCE(regexp_extract(pathq, '\?([^#]*)', 1), ''), '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                              '^(utm_[^=]*|fbclid|gclid|ref)='))), '&'), '') AS q
+              FROM p2
+            ),
+            lab AS (
+              SELECT doc_id, scheme, host, path, q,
+                     string_split(host, '.') AS ls
+              FROM p3
+            )
+            SELECT doc_id,
+                   scheme || '://' || host || path
+                   || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon_url,
+                   host,
+                   CASE WHEN len(ls) <= 2 THEN host
+                        WHEN (ls[-2] || '.' || ls[-1]) IN
+                             ('co.uk','org.uk','ac.uk','gov.uk','com.au',
+                              'net.au','co.jp','com.br','co.in','com.cn')
+                             AND len(ls) >= 3
+                        THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                        ELSE ls[-2] || '.' || ls[-1] END AS domain
+            FROM lab
         """,
         # integer-exact Gopher rule replay (cross-multiplied bounds, no
         # float ratios) over the same deterministic corpus degradation
