@@ -206,6 +206,48 @@ def main():
         must_not=[r"Exchange SinglePartition"],
     )
 
+    # 14. Gopher rule gate: a pure codegen projection over the parquet
+    # scan — no shuffle, no Python anywhere (the whole 7-rule gate is
+    # higher-order array exprs + regexp counts)
+    gf = E.queries()["gopher_filter_docs"](spark, sf)
+    plan = fmt(gf)
+    failures += not check(
+        "gopher_filter_projection",
+        plan,
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+
+    # 15. URL canonicalization: same contract — regexp/array codegen
+    # projection, no shuffle, no Python
+    uc = E.queries()["url_canonical_docs"](spark, sf)
+    plan = fmt(uc)
+    failures += not check(
+        "url_canon_projection",
+        plan,
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+
+    # 16. banded Hamming near-dup (stored-hash path): the ONLY Python
+    # is absent entirely (from_bytes=False is pure Catalyst); the band
+    # explode feeds one (band, bucket) shuffle and the verify is
+    # codegen bit_count(xor) — no second Python pass, no cartesian
+    from pythongis_spark.operators.dedup import hamming_neardup_pairs
+
+    sig = spark.range(1000).select(
+        F.col("id").cast("string").alias("image_id"),
+        F.xxhash64(F.col("id")).alias("phash"),
+    )
+    hn = hamming_neardup_pairs(sig, "image_id", "phash", 3, bucket_cap=256)
+    plan = fmt(hn)
+    failures += not check(
+        "hamming_neardup_catalyst",
+        plan,
+        must=[r"hashpartitioning\(band", r"bit_count"],
+        must_not=[r"ArrowEvalPython", r"BatchEvalPython", r"CartesianProduct"],
+    )
+
     sys.exit(1 if failures else 0)
 
 
