@@ -937,6 +937,24 @@ def _q_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id")
 
 
+def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication over the raw corpus (1015 hot
+    8-grams covering 47 of 500 docs at sf0.01 — non-trivial without
+    augmentation): per-doc coverage integers + stripped-text length."""
+    from pythongis_spark.operators.dedup import exact_substring_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_substring_signals(docs, k=8, min_count=2)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_gram_starts").cast("int").alias("n_gram_starts"),
+        F.col("n_hot_starts").cast("int").alias("n_hot_starts"),
+        F.col("n_dup_tokens").cast("int").alias("n_dup_tokens"),
+        F.length("text_clean").cast("int").alias("clean_len"),
+    )
+
+
 def _q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + registered-domain extraction over a
     deterministically-synthesized messy URL per document (mixed-case
@@ -1654,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": _q_semantic_dedup,
         "gopher_filter_docs": _q_gopher_docs,
         "url_canonical_docs": _q_url_canon,
+        "exact_substring_docs": _q_exact_substring,
         "zonal_stats_raster": _q_zonal_stats,
         "rasterize_zones": _q_rasterize,
         "upscale_raster": _q_upscale,
@@ -1667,7 +1686,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join_centers": _q_distance_join,
         "agg_customer_nation": _q_agg_customer_nation,
         "join_orders_collapse": _q_join_orders_collapse,
-        "moving_window_events": _q_moving_window,
         "classify_quantile": _q_classify_quantile,
         "classify_equal_breaks": _q_classify_equal_breaks,
         "describe_customer": _q_describe,
@@ -1684,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream_window_counts was r3 gate-green
         "stream_window_counts": _q_stream_window_counts,
         "dedup_clusters_docs": _q_dedup_clusters,
+        "moving_window_events": _q_moving_window,
         "moving_window_global": _q_moving_window_global,
         "sessionize_events": _q_sessionize,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
@@ -2574,6 +2593,49 @@ def oracle_sql() -> dict[str, str]:
                    'nv' || lpad(CAST(i * 10 AS VARCHAR), 9, '0') AS b_id,
                    CAST(0 AS INTEGER) AS hamming
             FROM (SELECT CAST(range AS BIGINT) AS i FROM range(12))
+        """,
+        # exact-substring duplication replay: same tokenization, same
+        # hot-gram rule, same span coverage and strip (COALESCE around
+        # array_to_string — empty list is NULL in DuckDB, '' in Spark)
+        "exact_substring_docs": r"""
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     string_split_regex(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ),
+            grams AS MATERIALIZED (
+              SELECT doc_id, i AS s, array_to_string(t[i:i+7], ' ') AS g
+              FROM toks, LATERAL (
+                SELECT unnest(generate_series(1, len(t) - 7))) u(i)
+              WHERE len(t) >= 8
+            ),
+            hotg AS MATERIALIZED (
+              SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2
+            ),
+            hs AS MATERIALIZED (
+              SELECT doc_id, s FROM grams JOIN hotg USING (g)
+            ),
+            nh AS (SELECT doc_id, COUNT(*) AS n_hot FROM hs GROUP BY doc_id),
+            cov AS (
+              SELECT DISTINCT doc_id, s + d AS p
+              FROM hs, LATERAL (SELECT unnest(range(8))) v(d)
+            ),
+            cps AS (SELECT doc_id, list(p) AS ps FROM cov GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CAST(len(b.t) AS INT) AS n_tokens,
+                   CAST(greatest(len(b.t) - 7, 0) AS INT) AS n_gram_starts,
+                   CAST(COALESCE(nh.n_hot, 0) AS INT) AS n_hot_starts,
+                   CAST(COALESCE(len(cps.ps), 0) AS INT) AS n_dup_tokens,
+                   CAST(length(COALESCE(array_to_string(list_filter(
+                       list_transform(generate_series(1, len(b.t)),
+                           i -> CASE WHEN NOT list_contains(
+                                    COALESCE(cps.ps, []), i)
+                                THEN b.t[i] END),
+                       x -> x IS NOT NULL), ' '), '')) AS INT) AS clean_len
+            FROM toks b
+            LEFT JOIN nh ON nh.doc_id = b.doc_id
+            LEFT JOIN cps ON cps.doc_id = b.doc_id
         """,
         # URL canonicalization replay: same anchored regexps (Java and
         # RE2 agree), same list sort/filter, same suffix subset

@@ -645,6 +645,97 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     return labels
 
 
+def exact_substring_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication (Lee et al. 2021, arXiv:2107.06499
+    "Deduplicating Training Data Makes Language Models Better", public
+    method, token-window form): every k-token window occurring ≥
+    ``min_count`` times ANYWHERE in the corpus (cross- or within-doc)
+    marks its token span as duplicated. Per doc emits integer coverage
+    signals plus ``text_clean`` — the document with every duplicated
+    span stripped (what the ExactSubstr dedup pass would train on).
+
+    Plan: k-gram explode (no shuffle) → ONE corpus-wide shuffle (count
+    per gram, window over the gram partition) → (doc, position)
+    distinct for span coverage → left join back; the strip is a pure
+    higher-order array rebuild. At 10^12 docs swap the gram string for
+    an 8-byte hash (the ``hash_grams`` path in :func:`decontaminate`)
+    — kept as the string here so the DuckDB oracle replays
+    byte-for-byte.
+
+    Returns (id, n_tokens, n_gram_starts, n_hot_starts, n_dup_tokens,
+    text_clean).
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
+        " ",
+    )
+    base = (
+        df.select(id_col, text_col)
+        .withColumn("_t", toks)
+        .withColumn("_nt", F.size("_t"))
+    )
+    grams = (
+        base.select(
+            id_col, "_t",
+            F.explode(
+                F.when(
+                    F.col("_nt") >= k,
+                    F.sequence(F.lit(1), F.col("_nt") - k + 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("s"),
+        )
+        .withColumn("_g", F.array_join(F.slice(F.col("_t"), F.col("s"), k), " "))
+        .select(id_col, "s", "_g")
+    )
+    w = Window.partitionBy("_g")
+    hot_starts = (
+        grams.withColumn("_c", F.count("*").over(w))
+        .filter(F.col("_c") >= min_count)
+        .select(id_col, "s")
+    )
+    n_hot = hot_starts.groupBy(id_col).agg(F.count("*").alias("n_hot_starts"))
+    cov = hot_starts.select(
+        id_col, F.explode(F.sequence(F.col("s"), F.col("s") + k - 1)).alias("p")
+    ).distinct()
+    cps = cov.groupBy(id_col).agg(F.collect_set("p").alias("_cps"))
+    empty = F.array().cast("array<int>")
+    out = (
+        base.join(n_hot, id_col, "left")
+        .join(cps, id_col, "left")
+        .withColumn("_cps", F.coalesce(F.col("_cps"), empty))
+        .withColumn("n_tokens", F.col("_nt"))
+        .withColumn("n_gram_starts", F.greatest(F.col("_nt") - k + 1, F.lit(0)))
+        .withColumn("n_hot_starts", F.coalesce(F.col("n_hot_starts"), F.lit(0)))
+        .withColumn("n_dup_tokens", F.size("_cps"))
+        .withColumn(
+            "text_clean",
+            F.array_join(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("_nt")),
+                        lambda i: F.when(
+                            ~F.array_contains(F.col("_cps"), i),
+                            F.element_at(F.col("_t"), i),
+                        ),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
+                " ",
+            ),
+        )
+    )
+    return out.select(
+        id_col, "n_tokens", "n_gram_starts", "n_hot_starts", "n_dup_tokens",
+        "text_clean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # train/eval decontamination (n-gram overlap anti-join)
 

@@ -488,3 +488,32 @@ def test_gopher_filter_mean_word_len_short_side(spark):
     df = spark.createDataFrame([("x", txt)], "doc_id string, text string")
     row = gopher_filter(df).collect()[0]
     assert row.r_mwl is False and row.keep is False and row.r_nwords is True
+
+
+def test_exact_substring_signals_planted(spark):
+    """A shared 10-token run across two docs (and a within-doc repeat
+    in a third) is detected and stripped exactly; unique docs untouched."""
+    from pythongis_spark.operators.dedup import exact_substring_signals
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        ("a", f"one two three {shared} four five six seven eight nine"),
+        ("b", f"red green blue {shared} cyan magenta yellow black white"),
+        ("c", "solo " + "rep one two three four five six seven " * 2 + "tail"),
+        ("d", "totally unique words without any duplicated window here "
+              "every token differs across this entire small document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r for r in exact_substring_signals(df, k=8).collect()}
+    # the 10-token shared run has 3 hot 8-gram starts per doc → covers
+    # exactly the 10 shared tokens
+    assert got["a"].n_hot_starts == 3 and got["a"].n_dup_tokens == 10
+    assert got["b"].n_dup_tokens == 10
+    assert shared not in got["a"].text_clean
+    assert got["a"].text_clean == (
+        "one two three four five six seven eight nine"
+    )
+    # within-doc repetition also counts (min_count over the CORPUS)
+    assert got["c"].n_hot_starts > 0 and got["c"].n_dup_tokens > 0
+    assert got["d"].n_hot_starts == 0 and got["d"].n_dup_tokens == 0
+    assert got["d"].text_clean.startswith("totally unique")
