@@ -324,6 +324,7 @@ def gopher_filter(
     max_words: int = 100_000,
     min_mean_word_len: int = 3,
     max_mean_word_len: int = 10,
+    min_stop_words: int = 2,
     prefix: str = "r_",
 ) -> DataFrame:
     """Gopher/MassiveText document-quality rule filter (Rae et al. 2021
@@ -342,7 +343,7 @@ def gopher_filter(
     - ``r_mwl``:      mean word length in [min,max] chars (integer
                       bound: min·n ≤ Σ len(word) ≤ max·n);
     - ``r_alpha``:    ≥80% of words contain an alphabetic character;
-    - ``r_stop``:     ≥2 distinct Gopher stop words present;
+    - ``r_stop``:     ≥``min_stop_words`` distinct Gopher stop words present;
     - ``r_symbol``:   hash/ellipsis-to-word ratio ≤ 0.1;
     - ``r_rep2``:     duplicate-2-gram occurrences ≤ 20% of 2-grams;
     - ``r_toptok``:   most frequent token ≤ 20% of tokens.
@@ -407,7 +408,7 @@ def gopher_filter(
         prefix + "mwl": (F.col("_wchars") >= min_mean_word_len * F.col("_nw"))
         & (F.col("_wchars") <= max_mean_word_len * F.col("_nw")),
         prefix + "alpha": F.col("_nalpha") * 5 >= F.col("_nw") * 4,
-        prefix + "stop": F.col("_nstop") >= 2,
+        prefix + "stop": F.col("_nstop") >= min_stop_words,
         prefix + "symbol": F.col("_nsym") * 10 <= F.col("_nw"),
         prefix + "rep2": F.col("_dup2") * 5 <= F.col("_n2"),
         prefix + "toptok": F.col("_top") * 5 <= F.col("_nw"),

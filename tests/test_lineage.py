@@ -53,3 +53,35 @@ def test_checkpoint_idempotent_rerun_overwrites(spark, tmp_path):
     # dynamic overwrite of the same partition must not duplicate rows
     L.run_checkpointed(df, base, "k")
     assert L.read_checkpointed(spark, base).count() == 100
+
+
+def test_text_pipeline_job_end_to_end(spark, tmp_path, capsys):
+    """Flagship text-pipeline job: funnel monotone non-increasing, every
+    stage present, output partitioned by lang, second run resumes (skips
+    all completed partitions). Runs at sf0.001 on the fixture session
+    (SparkSession.getOrCreate reuses it)."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import text_pipeline_job
+
+    base = str(tmp_path / "tpj")
+    text_pipeline_job.main(["--sf-dir", "/root/testdata/sf0.001", "--out", base])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    f = rep["funnel"]
+    order = ["input", "after_domain_cap", "after_quality_gate",
+             "after_exact_dedup", "after_near_dedup", "after_decontamination"]
+    assert list(f) == order
+    vals = [f[k] for k in order]
+    assert vals == sorted(vals, reverse=True) and vals[-1] > 0
+    assert not rep["skipped"] and rep["written_keys"] >= 1
+
+    out = L.read_checkpointed(spark, base)
+    assert out.count() == f["after_decontamination"]
+    assert {"chunk_id", "chunk_offset", "n_chunks", "lang"} <= set(out.columns)
+
+    # resume: identical deterministic funnel, nothing rewritten
+    text_pipeline_job.main(["--sf-dir", "/root/testdata/sf0.001", "--out", base])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["skipped"] and rep2["funnel"] == f
