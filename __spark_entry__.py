@@ -1460,6 +1460,25 @@ def _q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(video_df(spark, 50), every=2)
 
 
+def _q_audio_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact audio features through the REAL WAV encode→decode
+    round trip on a SQL-replayable LCG corpus: the oracle rebuilds every
+    PCM sample in closed form, so any bit error in the RIFF writer, the
+    chunk-walking reader, or the feature pass breaks the equality."""
+    from pythongis_spark.images.multimodal import audio_features_int, lcg_audio_df
+
+    return audio_features_int(lcg_audio_df(spark, 100))
+
+
+def _q_image_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact image features through the REAL (lossless) PNG
+    encode→decode round trip on a SQL-replayable LCG pixel corpus —
+    same contract as audio_features_exact for the image codec path."""
+    from pythongis_spark.images.ops import image_features_int, lcg_image_df
+
+    return image_features_int(lcg_image_df(spark, 100))
+
+
 # ---- deterministic sampling (operators/sampling.py; mult31 hash so
 # the DuckDB oracle reproduces membership bit-exactly) ----
 
@@ -1639,6 +1658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "image_raster_roundtrip": _q_image_raster_roundtrip,
         "xls_roundtrip": _q_xls_roundtrip,
+        # late-r4: the previously rows-only multimodal feature paths,
+        # now oracle-proven end-to-end through the REAL WAV/PNG codecs
+        # on SQL-replayable LCG payloads
+        "audio_features_exact": _q_audio_features_exact,
+        "image_features_exact": _q_image_features_exact,
         # r4 late additions: deterministic sampling family (new code →
         # in-window; displaces five more r2/r3 long-stable rows)
         "sample_hash_docs": _q_sample_hash_docs,
@@ -2587,6 +2611,44 @@ def oracle_sql() -> dict[str, str]:
                    'nc' || lpad(CAST(i * 10 AS VARCHAR), 9, '0') AS b_id,
                    CAST(0 AS INTEGER) AS hamming
             FROM (SELECT CAST(range AS BIGINT) AS i FROM range(30))
+        """,
+        # integer-exact feature replay: the oracle regenerates every
+        # PCM sample / sub-pixel from the LCG closed form; Spark gets
+        # them through the real WAV / PNG encode→decode round trip
+        "audio_features_exact": """
+            WITH s AS (
+              SELECT c.clip_id, t.t,
+                     ((c.clip_id * 48271 + t.t * 40503) % 65536) - 32768 AS v
+              FROM (SELECT range AS clip_id FROM range(100)) c,
+                   (SELECT range AS t FROM range(4000)) t
+            ), d AS (
+              SELECT clip_id, t, v,
+                     lag(v) OVER (PARTITION BY clip_id ORDER BY t) AS pv
+              FROM s
+            )
+            SELECT CAST(clip_id AS BIGINT) AS clip_id,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+                   CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+                   CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+            FROM d GROUP BY clip_id
+        """,
+        "image_features_exact": """
+            WITH s AS (
+              SELECT i.image_id,
+                     ((i.image_id * 48271 + p.p * 104729) % 256) AS v
+              FROM (SELECT range AS image_id FROM range(100)) i,
+                   (SELECT range AS p FROM range(9216)) p
+            )
+            SELECT CAST(image_id AS BIGINT) AS image_id,
+                   CAST(count(*) AS BIGINT) AS n_subpx,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(min(v) AS BIGINT) AS min_v,
+                   CAST(max(v) AS BIGINT) AS max_v,
+                   CAST(sum(CASE WHEN v >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bright
+            FROM s GROUP BY image_id
         """,
         "video_neardup_vids": """
             SELECT 'dv' || lpad(CAST(i * 10 AS VARCHAR), 9, '0') AS a_id,

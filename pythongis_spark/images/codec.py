@@ -424,3 +424,18 @@ def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+def make_lcg_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """(h, w, 3) uint8 pixels from a closed-form integer recurrence an
+    ANSI-SQL oracle can replay exactly (flat sub-pixel index p):
+
+        v[p] = (i * 48271 + p * 104729) % 256
+
+    The SQL-replayable counterpart of :func:`make_noise_pixels` (whose
+    blake2b stream no SQL engine reproduces): pushing these through the
+    REAL lossless PNG encode→decode makes the whole codec round trip
+    oracle-checkable end-to-end."""
+    p = np.arange(w * h * 3, dtype=np.int64)
+    v = (np.int64(i) * 48271 + p * 104729) % 256
+    return v.astype(np.uint8).reshape(h, w, 3)

@@ -646,3 +646,73 @@ def video_df(spark, n: int, partitions: int | None = None) -> DataFrame:
     if partitions:
         rng = rng.repartition(partitions)
     return rng.mapInPandas(gen, schema=VIDEO_SCHEMA_DDL)
+
+
+# ------------------------------------------------------------------
+# SQL-replayable integer-exact audio fixtures + features
+# ------------------------------------------------------------------
+
+def make_lcg_audio_clip(i: int, sample_rate: int = 8000,
+                        n_samples: int = 4000) -> dict:
+    """PCM16 clip whose samples follow a closed-form integer recurrence
+    an ANSI-SQL oracle can replay exactly:
+
+        pcm[t] = ((i * 48271 + t * 40503) % 65536) - 32768
+
+    Unlike the blake2b noise clips (whose byte stream no SQL engine can
+    reproduce), this makes the REAL WAV encode→decode round trip
+    oracle-checkable end-to-end: any bit error anywhere in the RIFF
+    writer, the chunk-walking reader, or the feature pass breaks the
+    integer equality."""
+    t = np.arange(n_samples, dtype=np.int64)
+    pcm = ((np.int64(i) * 48271 + t * 40503) % 65536 - 32768).astype("<i2")
+    return dict(
+        clip_id=int(i), bytes=encode_wav(pcm, sample_rate, 1),
+        sample_rate=sample_rate, n_samples=n_samples, channels=1, fmt="wav",
+    )
+
+
+LCG_AUDIO_SCHEMA_DDL = (
+    "clip_id long, bytes binary, sample_rate int, n_samples int, "
+    "channels int, fmt string"
+)
+
+
+def lcg_audio_df(spark, n: int, partitions: int | None = None) -> DataFrame:
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([make_lcg_audio_clip(int(i)) for i in pdf["id"]])
+
+    rng = spark.range(n)
+    if partitions:
+        rng = rng.repartition(partitions)
+    return rng.mapInPandas(gen, schema=LCG_AUDIO_SCHEMA_DDL)
+
+
+def audio_features_int(df: DataFrame) -> DataFrame:
+    """Integer-exact per-clip features through the real WAV decode —
+    the oracle-provable counterpart of :func:`audio_features` (whose
+    rms/zcr floats depend on summation order). peak/sum of |pcm| and
+    the sign-change count are order-independent integers, so Spark and
+    a SQL replay agree bit-for-bit. One mapInPandas pass, no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pcm = decode_audio(r.bytes).astype(np.int64)
+                neg = pcm < 0
+                rows.append(dict(
+                    clip_id=r.clip_id,
+                    n_samples=len(pcm),
+                    peak_abs=int(np.abs(pcm).max()) if len(pcm) else 0,
+                    sum_abs=int(np.abs(pcm).sum()),
+                    zero_crossings=int(np.count_nonzero(neg[1:] != neg[:-1])),
+                ))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema="clip_id long, n_samples long, peak_abs long, "
+               "sum_abs long, zero_crossings long",
+    )

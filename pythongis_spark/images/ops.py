@@ -226,3 +226,61 @@ def decode_stub_external(fmt: str):
         "environment; PNG/BMP/baseline-JPEG/GIF are implemented natively "
         "in pythongis_spark.images"
     )
+
+
+# ------------------------------------------------------------------
+# SQL-replayable integer-exact image fixtures + features
+# ------------------------------------------------------------------
+
+LCG_IMAGE_SCHEMA = "image_id long, bytes binary, w int, h int, fmt string"
+
+
+def lcg_image_df(spark: SparkSession, n: int, w: int = 64, h: int = 48,
+                 partitions: int | None = None) -> DataFrame:
+    """n images of :func:`codec.make_lcg_pixels` pixels, REAL-PNG
+    encoded — the oracle-checkable image corpus (the PNG round trip is
+    lossless, so integer pixel features have a closed SQL form)."""
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([
+                dict(image_id=int(i),
+                     bytes=codec.encode_png(codec.make_lcg_pixels(int(i), w, h)),
+                     w=w, h=h, fmt="png")
+                for i in pdf["id"]
+            ])
+
+    rng = spark.range(n)
+    if partitions:
+        rng = rng.repartition(partitions)
+    return rng.mapInPandas(gen, schema=LCG_IMAGE_SCHEMA)
+
+
+def image_features_int(df: DataFrame, bright: int = 200) -> DataFrame:
+    """Integer-exact per-image features through the real codec decode —
+    the oracle-provable counterpart of :func:`extract_features` (whose
+    float means/contrast depend on summation order). Sub-pixel sum,
+    min/max and the ≥``bright`` count are order-independent integers,
+    so Spark and a SQL replay agree bit-for-bit. One mapInPandas pass,
+    no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                v = codec.decode_image(r.bytes).astype(np.int64).ravel()
+                rows.append(dict(
+                    image_id=r.image_id,
+                    n_subpx=int(v.size),
+                    sum_v=int(v.sum()),
+                    min_v=int(v.min()) if v.size else 0,
+                    max_v=int(v.max()) if v.size else 0,
+                    n_bright=int(np.count_nonzero(v >= bright)),
+                ))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema="image_id long, n_subpx long, sum_v long, min_v long, "
+               "max_v long, n_bright long",
+    )

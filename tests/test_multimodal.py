@@ -329,3 +329,30 @@ def test_video_fingerprint_frame_order_invariant():
     h3 = MM.video_fingerprint(frames[:6])  # drop 2 of 8 frames
     d = bin((h1 ^ h3) & ((1 << 64) - 1)).count("1")
     assert d <= 16, d
+
+
+def test_lcg_audio_clip_matches_closed_form():
+    """The SQL-replayable clip really follows the documented recurrence
+    after a full WAV encode->decode round trip."""
+    import numpy as np
+
+    from pythongis_spark.images.multimodal import decode_audio, make_lcg_audio_clip
+
+    clip = make_lcg_audio_clip(7)
+    pcm = decode_audio(clip["bytes"]).astype(np.int64)
+    t = np.arange(4000, dtype=np.int64)
+    expect = (7 * 48271 + t * 40503) % 65536 - 32768
+    assert np.array_equal(pcm, expect)
+
+
+def test_lcg_pixels_match_closed_form_after_png():
+    import numpy as np
+
+    from pythongis_spark.images import codec
+
+    px = codec.make_lcg_pixels(7, 64, 48)
+    out = codec.decode_image(codec.encode_png(px))
+    assert np.array_equal(out, px)
+    p = np.arange(64 * 48 * 3, dtype=np.int64)
+    expect = ((7 * 48271 + p * 104729) % 256).astype(np.uint8).reshape(48, 64, 3)
+    assert np.array_equal(px, expect)
