@@ -1479,6 +1479,15 @@ def _q_image_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features_int(lcg_image_df(spark, 100))
 
 
+def _q_video_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact video features through the REAL uncompressed-DIB
+    AVI writer/reader round trip (BI_RGB 'vids' stream — lossless,
+    unlike MJPG) on a SQL-replayable LCG frame corpus."""
+    from pythongis_spark.images.multimodal import lcg_video_df, video_features_int
+
+    return video_features_int(lcg_video_df(spark, 100))
+
+
 # ---- deterministic sampling (operators/sampling.py; mult31 hash so
 # the DuckDB oracle reproduces membership bit-exactly) ----
 
@@ -1663,6 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # on SQL-replayable LCG payloads
         "audio_features_exact": _q_audio_features_exact,
         "image_features_exact": _q_image_features_exact,
+        "video_features_exact": _q_video_features_exact,
         # r4 late additions: deterministic sampling family (new code →
         # in-window; displaces five more r2/r3 long-stable rows)
         "sample_hash_docs": _q_sample_hash_docs,
@@ -2649,6 +2659,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN v >= 200 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_bright
             FROM s GROUP BY image_id
+        """,
+        "video_features_exact": """
+            WITH s AS (
+              SELECT i.video_id,
+                     ((i.video_id * 48271 + q.q * 104729) % 256) AS v
+              FROM (SELECT range AS video_id FROM range(100)) i,
+                   (SELECT range AS q FROM range(18432)) q
+            )
+            SELECT CAST(video_id AS BIGINT) AS video_id,
+                   CAST(count(*) AS BIGINT) AS n_subpx,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   CAST(min(v) AS BIGINT) AS min_v,
+                   CAST(max(v) AS BIGINT) AS max_v,
+                   CAST(sum(CASE WHEN v >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bright
+            FROM s GROUP BY video_id
         """,
         "video_neardup_vids": """
             SELECT 'dv' || lpad(CAST(i * 10 AS VARCHAR), 9, '0') AS a_id,

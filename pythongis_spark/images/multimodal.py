@@ -283,9 +283,49 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: float = 8.0,
         frames = np.repeat(frames[..., None], 3, axis=-1)
     n, h, w, _ = frames.shape
     payloads = [encode_jpeg(frames[f], quality) for f in range(n)]
+    return _assemble_avi(payloads, n, w, h, fps, b"MJPG",
+                         struct.unpack("<I", b"MJPG")[0], b"00dc")
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+def _dib_frame(px: np.ndarray) -> bytes:
+    """(h, w, 3) RGB → bottom-up BGR DIB rows padded to 4 bytes — the
+    BI_RGB frame payload layout (public BITMAPINFOHEADER spec, same row
+    convention the BMP codec uses)."""
+    h, w, _ = px.shape
+    bgr = px[::-1, :, ::-1]
+    row = bgr.reshape(h, w * 3)
+    pad = (-w * 3) % 4
+    if pad:
+        row = np.concatenate(
+            [row, np.zeros((h, pad), dtype=np.uint8)], axis=1
+        )
+    return row.tobytes()
+
+
+def encode_avi_raw(frames: np.ndarray, fps: float = 8.0) -> bytes:
+    """(n, h, w, 3) uint8 frames → AVI with an UNCOMPRESSED 'vids'
+    stream (fourcc 'DIB ', biCompression=0/BI_RGB, one bottom-up padded
+    BGR DIB per '00db' chunk). Losslessness makes the video payload
+    path oracle-checkable end-to-end (MJPG frames are JPEG-lossy).
+    Grayscale (n, h, w) input is stacked to RGB."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim == 3:
+        frames = np.repeat(frames[..., None], 3, axis=-1)
+    n, h, w, _ = frames.shape
+    payloads = [_dib_frame(frames[f]) for f in range(n)]
+    return _assemble_avi(payloads, n, w, h, fps, b"DIB ", 0, b"00db")
+
+
+def _assemble_avi(payloads: list, n: int, w: int, h: int, fps: float,
+                  fourcc: bytes, compression: int, cid: bytes) -> bytes:
+    """Shared AVI RIFF assembly: LIST hdrl (avih + LIST strl
+    (strh + strf)) + LIST movi + idx1. ``fourcc`` names the stream
+    handler ('MJPG' / 'DIB '), ``compression`` is the strf
+    biCompression dword (mmioFOURCC for MJPG, 0 = BI_RGB for raw DIB),
+    ``cid`` the frame chunk id ('00dc' compressed / '00db' raw)."""
+
+    def chunk(c: bytes, body: bytes) -> bytes:
+        return c + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
 
     def lst(four: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", four + body)
@@ -299,11 +339,11 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: float = 8.0,
         n, 0, 1, max_size, w, h, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"MJPG"
+        b"vids" + fourcc
         + struct.pack("<IHHIIIIIIiI4H", 0, 0, 0, 0, scale, rate, 0, n,
                       max_size, -1, 0, 0, 0, w, h)
     )
-    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression,
                        w * h * 3, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
 
@@ -311,8 +351,8 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: float = 8.0,
     idx = b""
     for p in payloads:
         # idx1 offsets are relative to the 'movi' fourcc position
-        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(p))
-        movi_body += chunk(b"00dc", p)
+        idx += cid + struct.pack("<III", 0x10, 4 + len(movi_body), len(p))
+        movi_body += chunk(cid, p)
     movi = lst(b"movi", movi_body)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -320,11 +360,13 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: float = 8.0,
 
 def decode_avi_mjpeg(blob: bytes) -> tuple[np.ndarray, float]:
     """AVI bytes → ((n, h, w, 3) uint8 frames, fps). Chunk-walking
-    reader: finds the first 'vids' stream header for the frame rate and
-    collects every '00dc'/'00db' chunk from LIST movi; each payload
-    decodes through the signature-dispatched image codec (MJPG = one
-    baseline JPEG per frame). idx1 is ignored (the movi walk is
-    authoritative)."""
+    reader: finds the first 'vids' stream header for the frame rate
+    (and its strf for the compression dword), then collects every
+    '00dc'/'00db' chunk from LIST movi. biCompression=0 (BI_RGB)
+    payloads decode as bottom-up padded BGR DIB rows using the strf
+    dimensions (raw frames are not self-describing); anything else goes
+    through the signature-dispatched image codec (MJPG = one baseline
+    JPEG per frame). idx1 is ignored (the movi walk is authoritative)."""
     from pythongis_spark.images import codec
 
     blob = bytes(blob)
@@ -332,9 +374,22 @@ def decode_avi_mjpeg(blob: bytes) -> tuple[np.ndarray, float]:
         raise ValueError("not a RIFF/AVI stream")
     fps = None
     frames: list[np.ndarray] = []
+    vids_seen = False       # the strf following the first vids strh is ours
+    strf_info = None        # (w, h, bit_count, compression)
+
+    def decode_dib(payload: bytes) -> np.ndarray:
+        w, h, bits, _comp = strf_info
+        if bits != 24:
+            raise NotImplementedError(f"raw AVI bit depth {bits}")
+        stride = (w * 3 + 3) & ~3
+        if len(payload) < stride * h:
+            raise ValueError("raw DIB frame shorter than stride*height")
+        rows = np.frombuffer(payload[: stride * h], dtype=np.uint8)
+        bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        return bgr[::-1, :, ::-1]
 
     def walk(buf: bytes, pos: int, end: int):
-        nonlocal fps
+        nonlocal fps, vids_seen, strf_info
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
             size = struct.unpack_from("<I", buf, pos + 4)[0]
@@ -345,10 +400,20 @@ def decode_avi_mjpeg(blob: bytes) -> tuple[np.ndarray, float]:
                 scale, rate = struct.unpack_from("<II", buf, body_start + 20)
                 if scale:
                     fps = rate / scale
+                if strf_info is None:
+                    vids_seen = True
+            elif cid == b"strf" and vids_seen and strf_info is None:
+                _sz, w, h = struct.unpack_from("<Iii", buf, body_start)
+                bits, = struct.unpack_from("<H", buf, body_start + 14)
+                comp, = struct.unpack_from("<I", buf, body_start + 16)
+                strf_info = (w, abs(h), bits, comp)
+                vids_seen = False
             elif cid in (b"00dc", b"00db") and size:
-                frames.append(
-                    codec.decode_image(buf[body_start : body_start + size])
-                )
+                payload = buf[body_start : body_start + size]
+                if strf_info is not None and strf_info[3] == 0:
+                    frames.append(decode_dib(payload))
+                else:
+                    frames.append(codec.decode_image(payload))
             pos = body_start + size + (size % 2)
 
     walk(blob, 12, 8 + struct.unpack_from("<I", blob, 4)[0])
@@ -715,4 +780,73 @@ def audio_features_int(df: DataFrame) -> DataFrame:
         run,
         schema="clip_id long, n_samples long, peak_abs long, "
                "sum_abs long, zero_crossings long",
+    )
+
+
+# ------------------------------------------------------------------
+# SQL-replayable integer-exact video fixtures + features
+# ------------------------------------------------------------------
+
+def make_lcg_video(i: int, w: int = 32, h: int = 24,
+                   n_frames: int = 8) -> dict:
+    """Raw-DIB AVI whose sub-pixels follow a closed-form integer
+    recurrence an ANSI-SQL oracle can replay exactly (global flat
+    sub-pixel index q across frames):
+
+        v[q] = (i * 48271 + q * 104729) % 256
+
+    The uncompressed BI_RGB stream is lossless, so — like the WAV and
+    PNG counterparts — the whole AVI writer/reader round trip becomes
+    oracle-checkable end-to-end (MJPG frames are JPEG-lossy and can't
+    be)."""
+    q = np.arange(n_frames * h * w * 3, dtype=np.int64)
+    v = ((np.int64(i) * 48271 + q * 104729) % 256).astype(np.uint8)
+    frames = v.reshape(n_frames, h, w, 3)
+    return dict(
+        video_id=int(i), bytes=encode_avi_raw(frames, 8.0),
+        w=w, h=h, n_frames=n_frames, fps=8.0, fmt="avi-raw",
+    )
+
+
+LCG_VIDEO_SCHEMA_DDL = (
+    "video_id long, bytes binary, w int, h int, n_frames int, "
+    "fps double, fmt string"
+)
+
+
+def lcg_video_df(spark, n: int, partitions: int | None = None) -> DataFrame:
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([make_lcg_video(int(i)) for i in pdf["id"]])
+
+    rng = spark.range(n)
+    if partitions:
+        rng = rng.repartition(partitions)
+    return rng.mapInPandas(gen, schema=LCG_VIDEO_SCHEMA_DDL)
+
+
+def video_features_int(df: DataFrame, bright: int = 200) -> DataFrame:
+    """Integer-exact per-video features over every decoded sub-pixel of
+    every frame — order-independent integers, so Spark and a SQL replay
+    agree bit-for-bit. One mapInPandas pass, no shuffle."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                v = decode_video(r.bytes).astype(np.int64).ravel()
+                rows.append(dict(
+                    video_id=r.video_id,
+                    n_subpx=int(v.size),
+                    sum_v=int(v.sum()),
+                    min_v=int(v.min()) if v.size else 0,
+                    max_v=int(v.max()) if v.size else 0,
+                    n_bright=int(np.count_nonzero(v >= bright)),
+                ))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema="video_id long, n_subpx long, sum_v long, min_v long, "
+               "max_v long, n_bright long",
     )

@@ -356,3 +356,29 @@ def test_lcg_pixels_match_closed_form_after_png():
     p = np.arange(64 * 48 * 3, dtype=np.int64)
     expect = ((7 * 48271 + p * 104729) % 256).astype(np.uint8).reshape(48, 64, 3)
     assert np.array_equal(px, expect)
+
+
+def test_avi_raw_round_trip_exact():
+    """Uncompressed BI_RGB AVI is lossless for any frame content,
+    including widths that force DIB row padding."""
+    import numpy as np
+
+    from pythongis_spark.images.multimodal import decode_avi_mjpeg, encode_avi_raw
+
+    rng = np.random.default_rng(11)
+    for w, h in [(32, 24), (33, 17), (1, 1)]:
+        frames = rng.integers(0, 256, size=(3, h, w, 3), dtype=np.uint8)
+        out, fps = decode_avi_mjpeg(encode_avi_raw(frames, 8.0))
+        assert out.shape == frames.shape and np.array_equal(out, frames)
+        assert fps == 8.0
+
+
+def test_lcg_video_matches_closed_form():
+    import numpy as np
+
+    from pythongis_spark.images.multimodal import decode_video, make_lcg_video
+
+    vid = make_lcg_video(7)
+    v = decode_video(vid["bytes"]).astype(np.int64).ravel()
+    q = np.arange(v.size, dtype=np.int64)
+    assert np.array_equal(v, (7 * 48271 + q * 104729) % 256)
