@@ -51,7 +51,7 @@ def main(argv=None):
     ap.add_argument("--out", required=True)
     ap.add_argument("--url-col", default=None,
                     help="existing URL column (default: synthesize deterministically)")
-    ap.add_argument("--domain-cap", type=int, default=200,
+    ap.add_argument("--domain-cap", type=int, default=50,
                     help="max docs kept per registered domain")
     ap.add_argument("--min-words", type=int, default=10,
                     help="Gopher gate lower word bound (50 for real corpora; "
@@ -95,18 +95,21 @@ def main(argv=None):
     if args.url_col:
         docs = docs.withColumn("url", F.col(args.url_col))
     else:
-        # Deterministic messy-URL stand-in (same shape as the
-        # url_canonical_docs gate query): ~40 domains across 4 suffix
-        # patterns so the per-domain cap actually bites.
+        # Deterministic messy-URL stand-in (same canonicalization rules
+        # as the url_canonical_docs gate query). The varying label sits
+        # in the REGISTERED domain (exampleN.com / exampleN.co.uk — 80
+        # distinct), not a subdomain, so the per-domain cap measures
+        # real per-site concentration instead of collapsing the whole
+        # corpus onto two registered domains.
         docs = docs.withColumn(
             "url",
             F.when(
                 F.col("doc_id") % 2 == 0,
-                F.concat(F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 40).cast("string"),
-                         F.lit(".Example.COM:443/a/?utm_source=m&a=1")),
+                F.concat(F.lit("HTTPS://WWW.Example"), (F.col("doc_id") % 40).cast("string"),
+                         F.lit(".COM:443/a/?utm_source=m&a=1")),
             ).otherwise(
-                F.concat(F.lit("http://site"), (F.col("doc_id") % 40).cast("string"),
-                         F.lit(".example.co.uk:80/p/")),
+                F.concat(F.lit("http://sub.example"), (F.col("doc_id") % 40).cast("string"),
+                         F.lit(".co.uk:80/p/")),
             ),
         )
     docs = stage(cap_per_domain(docs, "url", ["doc_id"], args.domain_cap), "after_domain_cap")
