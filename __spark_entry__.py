@@ -1693,7 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
         "verify_images": _q_verify_images,
-        "image_features": _q_image_features,
+        "spatial_join_rects": _q_spatial_join_rects,
         # r4 late additions: cross-modal near-dup dedup through the
         # real codecs — image phash, audio envelope fingerprint, video
         # majority-frame phash, all over the same banded Hamming engine
@@ -1723,13 +1723,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_quantile": _q_classify_quantile,
         "classify_equal_breaks": _q_classify_equal_breaks,
         "describe_customer": _q_describe,
-        "audio_features": _q_audio_features,
-        "video_frame_sample": _q_video_frames,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
-        # long-stable and move just past the edge)
-        "spatial_join_rects": _q_spatial_join_rects,
+        # long-stable and move just past the edge). The rows-only float
+        # feature queries (audio_features / image_features /
+        # video_frame_sample) moved past the window once their
+        # integer-exact codec-proving counterparts (*_features_exact)
+        # took in-window slots.
         "spatial_join_within": _q_spatial_join_within,
+        "audio_features": _q_audio_features,
+        "image_features": _q_image_features,
+        "video_frame_sample": _q_video_frames,
         # displaced r2/r3-stable rows (re-verified via check_oracle
         # this round): dedup_clusters' CC machinery is exercised
         # in-window by semantic_dedup_embeddings' closure oracle;
