@@ -1639,6 +1639,42 @@ def _q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _c4_page(doc_id, text):
+    """Deterministic multi-line page synthesis shared by the Spark query
+    and the SQL oracle: the corpus documents are single-line, so every
+    C4 rule (terminal punctuation, short line, javascript line, no-punct
+    line, brace page, lorem page, 3-sentence gate) is planted to fire
+    both ways across the corpus."""
+    return F.concat_ws(
+        "\n",
+        F.concat(text, F.lit(".")),
+        F.when(doc_id % 2 == 0, F.lit("Second proper sentence lands right here.")),
+        F.when(doc_id % 4 == 0, F.lit("And a third full sentence follows here.")),
+        F.when(doc_id % 3 == 0, F.lit("too short.")),
+        F.when(doc_id % 5 == 0,
+               F.lit("please enable javascript to continue reading.")),
+        F.when(doc_id % 7 == 0,
+               F.lit("this line has no terminal punctuation at all")),
+        F.when(doc_id % 11 == 0, F.lit("function f() { return 1; }")),
+        F.when(doc_id % 13 == 0,
+               F.lit("Lorem ipsum dolor sit amet consectetur.")),
+    )
+
+
+def _q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 page/line cleaning over deterministically-synthesized
+    multi-line pages — every line rule and page flag fires somewhere and
+    the cleaned text plus all integer flags replay in SQL."""
+    from pythongis_spark.operators.text import c4_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.withColumn("text", _c4_page(F.col("doc_id"), F.col("text")))
+    return c4_clean(pages).select(
+        "doc_id", "text_clean", "c4_n_lines", "c4_n_kept",
+        "c4_has_brace", "c4_has_lorem", "c4_n_sentences", "keep",
+    )
+
+
 def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.operators.text import repetition_signals
 
@@ -1689,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_docs": _q_boilerplate_docs,
         "pii_redact_docs": _q_pii_redact_docs,
         "repetition_docs": _q_repetition_docs,
+        "c4_clean_docs": _q_c4_clean_docs,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1721,7 +1758,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_customer_nation": _q_agg_customer_nation,
         "join_orders_collapse": _q_join_orders_collapse,
         "classify_quantile": _q_classify_quantile,
-        "classify_equal_breaks": _q_classify_equal_breaks,
         "describe_customer": _q_describe,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
@@ -1731,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-exact codec-proving counterparts (*_features_exact)
         # took in-window slots.
         "spatial_join_within": _q_spatial_join_within,
+        "classify_equal_breaks": _q_classify_equal_breaks,
         "audio_features": _q_audio_features,
         "image_features": _q_image_features,
         "video_frame_sample": _q_video_frames,
@@ -2023,6 +2060,58 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
                        '<PII>', 'g')) AS len_red
             FROM aug
+        """,
+        # C4 page/line cleaning replay: same page synthesis, same line
+        # lambda, same flags (COALESCE around array_to_string — empty
+        # list is NULL in DuckDB, '' in Spark)
+        "c4_clean_docs": r"""
+            WITH pages AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       text || '.',
+                       CASE WHEN doc_id % 2 = 0
+                            THEN 'Second proper sentence lands right here.' END,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN 'And a third full sentence follows here.' END,
+                       CASE WHEN doc_id % 3 = 0 THEN 'too short.' END,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'please enable javascript to continue reading.' END,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'this line has no terminal punctuation at all' END,
+                       CASE WHEN doc_id % 11 = 0
+                            THEN 'function f() { return 1; }' END,
+                       CASE WHEN doc_id % 13 = 0
+                            THEN 'Lorem ipsum dolor sit amet consectetur.' END
+                     ) AS page
+              FROM documents
+            ),
+            split AS (
+              SELECT doc_id, page,
+                     string_split(page, chr(10)) AS ls,
+                     list_filter(string_split(page, chr(10)), x ->
+                         regexp_matches(x, '[.!?"]\s*$')
+                         AND len(string_split_regex(trim(x), '\s+')) >= 5
+                         AND trim(x) <> ''
+                         AND NOT contains(lower(x), 'javascript')) AS kept
+              FROM pages
+            ),
+            built AS (
+              SELECT doc_id, page, ls, kept,
+                     COALESCE(array_to_string(kept, chr(10)), '') AS clean
+              FROM split
+            )
+            SELECT doc_id,
+                   clean AS text_clean,
+                   CAST(len(ls) AS INTEGER) AS c4_n_lines,
+                   CAST(len(kept) AS INTEGER) AS c4_n_kept,
+                   contains(page, '{') AS c4_has_brace,
+                   contains(lower(page), 'lorem ipsum') AS c4_has_lorem,
+                   CAST(len(regexp_extract_all(clean, '[.!?]')) AS INTEGER)
+                       AS c4_n_sentences,
+                   (NOT contains(page, '{')
+                    AND NOT contains(lower(page), 'lorem ipsum')
+                    AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS keep
+            FROM built
         """,
         "repetition_docs": r"""
             WITH toks AS (

@@ -421,3 +421,63 @@ def gopher_filter(
         "_t", "_g", "_nw", "_wchars", "_nalpha", "_nstop", "_nsym",
         "_top", "_n2", "_dup2",
     )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+    out: str = "text_clean",
+    prefix: str = "c4_",
+) -> DataFrame:
+    """C4-style page/line cleaning (Raffel et al. 2020 §2.2, public
+    methodology) as a pure-Catalyst projection — no shuffle, no Python.
+
+    Line level (applied to ``\\n``-split lines, surviving lines
+    re-joined into ``out``):
+
+    - keep only lines whose right-trimmed text ends in a terminal
+      punctuation mark (``.`` ``!`` ``?`` ``"``);
+    - keep only lines with ≥ ``min_line_words`` whitespace words;
+    - drop lines containing the word ``javascript`` (case-insensitive).
+
+    Page level (integer/boolean flags; ``keep`` = AND):
+
+    - ``c4_has_brace``: ``{`` anywhere on the page (code marker);
+    - ``c4_has_lorem``: ``lorem ipsum`` anywhere (case-insensitive);
+    - ``c4_n_lines`` / ``c4_n_kept``: line counts before/after;
+    - ``c4_n_sentences``: terminal-punctuation count in the cleaned
+      text (the §2.2 "at least 3 sentences" proxy);
+    - ``keep``: no brace, no lorem, ``c4_n_sentences ≥ min_sentences``.
+
+    The §2.2 bad-word list and the three-sentence-span dedup are
+    covered elsewhere in this engine (callers compose ``redact_pii`` /
+    a block-list filter and :func:`~pythongis_spark.operators.dedup.
+    exact_substring_signals`).
+    """
+    text = F.col(text_col)
+    lines = F.split(text, "\n")
+    pred = (
+        lambda x: x.rlike('[.!?"]\\s*$')
+        & (F.size(F.split(F.trim(x), "\\s+")) >= min_line_words)
+        & (F.trim(x) != "")
+        & ~F.lower(x).contains("javascript")
+    )
+    kept = F.filter(lines, pred)
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(cleaned, F.lit("[.!?]"))
+    return (
+        df.withColumn(out, cleaned)
+        .withColumn(prefix + "n_lines", F.size(lines).cast("int"))
+        .withColumn(prefix + "n_kept", F.size(kept).cast("int"))
+        .withColumn(prefix + "has_brace", text.contains("{"))
+        .withColumn(prefix + "has_lorem", F.lower(text).contains("lorem ipsum"))
+        .withColumn(prefix + "n_sentences", n_sent.cast("int"))
+        .withColumn(
+            "keep",
+            ~text.contains("{")
+            & ~F.lower(text).contains("lorem ipsum")
+            & (n_sent >= min_sentences),
+        )
+    )

@@ -517,3 +517,40 @@ def test_exact_substring_signals_planted(spark):
     assert got["c"].n_hot_starts > 0 and got["c"].n_dup_tokens > 0
     assert got["d"].n_hot_starts == 0 and got["d"].n_dup_tokens == 0
     assert got["d"].text_clean.startswith("totally unique")
+
+
+def test_c4_clean_rules(spark):
+    """Every C4 line rule and page flag fires on crafted pages."""
+    from pythongis_spark.operators.text import c4_clean
+
+    rows = [
+        # all three sentences survive -> keep
+        (1, "One good sentence lands right here. Another proper sentence follows now.\n"
+            "And a third full sentence closes the page."),
+        # short line + javascript line + unterminated line all dropped
+        (2, "One good sentence lands right here. A second one follows. A third one too.\n"
+            "too short.\nplease enable javascript to continue reading.\n"
+            "this line has no terminal punctuation at all"),
+        # brace page: line survives the filter but the page is dropped
+        (3, "Perfectly fine sentence one lands. Sentence two lands. Sentence three lands.\n"
+            "var x = { a: 1 };"),
+        # lorem page dropped even though every line is clean
+        (4, "Lorem ipsum dolor sit amet consectetur. Good sentence two lands here.\n"
+            "Good sentence three closes it out."),
+        # quote-terminated line counts as terminal punctuation
+        (5, 'He said the words "this is a full quote." A second sentence lands here.\n'
+            "A third sentence finishes the page."),
+        # fewer than 3 sentences -> dropped
+        (6, "Only one good sentence lands here."),
+    ]
+    out = {r["doc_id"]: r for r in
+           c4_clean(spark.createDataFrame(rows, "doc_id int, text string"))
+           .collect()}
+    assert out[1]["keep"] and out[1]["c4_n_kept"] == 2
+    assert out[2]["keep"] and out[2]["c4_n_kept"] == 1 and out[2]["c4_n_lines"] == 4
+    assert not out[3]["keep"] and out[3]["c4_has_brace"]
+    assert not out[4]["keep"] and out[4]["c4_has_lorem"]
+    assert out[5]["keep"] and out[5]["c4_n_sentences"] == 3
+    assert not out[6]["keep"] and out[6]["c4_n_sentences"] == 1
+    # cleaned text drops exactly the bad lines
+    assert out[2]["text_clean"].count("\n") == 0
