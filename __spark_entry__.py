@@ -1675,6 +1675,20 @@ def _q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-fit filter, self-trained on the corpus (min_count=3
+    bigram table): the integer backbone (positions / table hits / hit
+    count sum) replays 1:1 in SQL; the float lm_nll is a deterministic
+    transform of those integers plus two corpus scalars."""
+    from pythongis_spark.operators.text import bigram_lm_counts, lm_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = bigram_lm_counts(docs, min_count=3)
+    return lm_fit(docs, counts, "doc_id").select(
+        "doc_id", "lang", "n_bigrams", "n_hits", "hit_cnt_sum"
+    )
+
+
 def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.operators.text import repetition_signals
 
@@ -1726,6 +1740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": _q_pii_redact_docs,
         "repetition_docs": _q_repetition_docs,
         "c4_clean_docs": _q_c4_clean_docs,
+        "lm_fit_docs": _q_lm_fit_docs,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1758,7 +1773,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_customer_nation": _q_agg_customer_nation,
         "join_orders_collapse": _q_join_orders_collapse,
         "classify_quantile": _q_classify_quantile,
-        "describe_customer": _q_describe,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
         # long-stable and move just past the edge). The rows-only float
@@ -1767,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-exact codec-proving counterparts (*_features_exact)
         # took in-window slots.
         "spatial_join_within": _q_spatial_join_within,
+        "describe_customer": _q_describe,
         "classify_equal_breaks": _q_classify_equal_breaks,
         "audio_features": _q_audio_features,
         "image_features": _q_image_features,
@@ -2112,6 +2127,36 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(page), 'lorem ipsum')
                     AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS keep
             FROM built
+        """,
+        # LM-fit replay: same bigram table (HAVING >= 3), same per-doc
+        # integer aggregates; zero-bigram docs come back via LEFT JOIN
+        "lm_fit_docs": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(trim(regexp_replace(
+                         lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS t
+              FROM documents
+            ), tg AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(t) - 1),
+                            i -> array_to_string(t[i:i+1], ' '))) AS g
+              FROM toks WHERE len(t) >= 2
+            ), lm AS (
+              SELECT g, count(*) AS cnt FROM tg GROUP BY g
+              HAVING count(*) >= 3
+            ), agg AS (
+              SELECT tg.doc_id,
+                     count(*) AS n_bigrams,
+                     count(lm.cnt) AS n_hits,
+                     sum(COALESCE(lm.cnt, 0)) AS hit_cnt_sum
+              FROM tg LEFT JOIN lm ON tg.g = lm.g
+              GROUP BY tg.doc_id
+            )
+            SELECT d.doc_id, d.lang,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(a.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(a.hit_cnt_sum, 0) AS BIGINT) AS hit_cnt_sum
+            FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
         "repetition_docs": r"""
             WITH toks AS (

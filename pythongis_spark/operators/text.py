@@ -481,3 +481,88 @@ def c4_clean(
             & (n_sent >= min_sentences),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM-fit quality filter (Wenzek et al. 2020, public
+# methodology: score documents by fit against a reference-corpus LM and
+# filter/bucket on the score; KenLM replaced by a distributed bigram
+# table — no external LM library in this image)
+
+
+def bigram_lm_counts(
+    ref: DataFrame, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Word-bigram counts of a reference corpus — the 'train' pass of
+    the LM-fit filter. One hash groupBy (map-side partial agg);
+    ``min_count`` prunes the long tail so the table broadcasts."""
+    from pythongis_spark.operators.dedup import word_ngrams
+
+    return (
+        ref.select(F.explode(word_ngrams(F.col(text_col), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def lm_fit(
+    df: DataFrame,
+    counts: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: float = 1.0,
+    broadcast_counts: bool = True,
+) -> DataFrame:
+    """Per-document fit against a reference bigram table: integer
+    backbone — ``n_bigrams`` (positions), ``n_hits`` (positions whose
+    bigram is in the table), ``hit_cnt_sum`` (sum of table counts over
+    hits) — plus ``lm_nll``, the add-``k``-smoothed mean negative log2
+    probability (the CCNet perplexity analog; lower = better fit).
+
+    The integer columns are order-independent and SQL-replayable (the
+    oracle gate proves them); the float ``lm_nll`` is a deterministic
+    per-row transform of them plus two corpus scalars.
+
+    Scale shape: doc bigrams explode to (id, gram) only, the counts
+    table joins broadcast (min_count-pruned reference LMs are small;
+    pass ``broadcast_counts=False`` for a shuffle join on the gram),
+    and the per-doc aggregate is one partial+final hash agg. Documents
+    with fewer than two words keep n_bigrams = 0 and NULL lm_nll."""
+    from pythongis_spark.operators.dedup import word_ngrams
+
+    c = counts.select("gram", "cnt")
+    if broadcast_counts:
+        c = F.broadcast(c)
+    # corpus scalars as a broadcast single row (no driver round trip)
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("cnt").cast("double").alias("_tot"),
+            F.count("*").cast("double").alias("_v"),
+        )
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("gram")
+    )
+    per_doc = (
+        grams.join(c, "gram", "left")
+        .crossJoin(tot)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count("cnt").alias("n_hits"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("hit_cnt_sum"),
+            F.avg(
+                -F.log2(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(k))
+                    / (F.col("_tot") + F.lit(k) * F.col("_v"))
+                )
+            ).alias("lm_nll"),
+        )
+    )
+    out = df.join(per_doc, id_col, "left")
+    return (
+        out.withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)))
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)))
+        .withColumn("hit_cnt_sum", F.coalesce("hit_cnt_sum", F.lit(0)))
+    )
