@@ -554,3 +554,37 @@ def test_c4_clean_rules(spark):
     assert not out[6]["keep"] and out[6]["c4_n_sentences"] == 1
     # cleaned text drops exactly the bad lines
     assert out[2]["text_clean"].count("\n") == 0
+
+
+def test_lm_fit_brute_force_parity(spark):
+    from collections import Counter
+
+    from pythongis_spark.operators.text import bigram_lm_counts, lm_fit
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the hat"),
+        (3, "the dog sat on the mat"),
+        (4, "one"),                      # zero bigrams
+        (5, ""),                         # empty
+        (6, "the cat sat on the mat"),   # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    counts = bigram_lm_counts(df, min_count=2)
+    got = {r["doc_id"]: r for r in lm_fit(df, counts, "doc_id").collect()}
+
+    # brute force
+    def grams(t):
+        toks = [w for w in t.lower().split() if w]
+        return [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+
+    table = Counter(g for _, t in rows for g in grams(t))
+    table = {g: c for g, c in table.items() if c >= 2}
+    for doc_id, t in rows:
+        gs = grams(t)
+        assert got[doc_id]["n_bigrams"] == len(gs)
+        assert got[doc_id]["n_hits"] == sum(g in table for g in gs)
+        assert got[doc_id]["hit_cnt_sum"] == sum(table.get(g, 0) for g in gs)
+    assert got[4]["n_bigrams"] == 0 and got[4]["lm_nll"] is None
+    # better-fitting doc scores lower nll than the rarer variant
+    assert got[1]["lm_nll"] < got[2]["lm_nll"]

@@ -248,6 +248,29 @@ def main():
         must_not=[r"ArrowEvalPython", r"BatchEvalPython", r"CartesianProduct"],
     )
 
+    # 17. C4 cleaning: higher-order-function projection over the scan —
+    # no shuffle, no Python
+    c4 = E.queries()["c4_clean_docs"](spark, sf)
+    plan = fmt(c4)
+    failures += not check(
+        "c4_clean_projection",
+        plan,
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"ArrowEvalPython", r"BatchEvalPython"],
+    )
+
+    # 18. LM-fit: the bigram table joins BROADCAST (no shuffle on the
+    # exploded doc-gram side beyond the per-doc agg), no Python
+    lf = E.queries()["lm_fit_docs"](spark, sf)
+    plan = fmt(lf)
+    failures += not check(
+        "lm_fit_broadcast_join",
+        plan,
+        must=[r"BroadcastHashJoin", r"HashAggregate"],
+        must_not=[r"SortMergeJoin", r"ArrowEvalPython", r"BatchEvalPython",
+                  r"CartesianProduct"],
+    )
+
     sys.exit(1 if failures else 0)
 
 
