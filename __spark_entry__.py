@@ -1675,6 +1675,20 @@ def _q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental dedup: the 'seen' snapshot is every
+    doc_id % 3 == 0 document; surviving rows are the new-crawl documents
+    whose normalized text matches no seen document (exact dups of seen
+    texts planted by the corpus's natural duplicates)."""
+    from pythongis_spark.operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    return incremental_dedup(
+        docs, seen, "doc_id", hash_key=False
+    ).select("doc_id", "lang", "source")
+
+
 def _q_lm_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM-fit filter, self-trained on the corpus (min_count=3
     bigram table): the integer backbone (positions / table hits / hit
@@ -1741,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": _q_repetition_docs,
         "c4_clean_docs": _q_c4_clean_docs,
         "lm_fit_docs": _q_lm_fit_docs,
+        "incremental_dedup_docs": _q_incremental_dedup_docs,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1772,7 +1787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_join_centers": _q_distance_join,
         "agg_customer_nation": _q_agg_customer_nation,
         "join_orders_collapse": _q_join_orders_collapse,
-        "classify_quantile": _q_classify_quantile,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
         # long-stable and move just past the edge). The rows-only float
@@ -1781,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-exact codec-proving counterparts (*_features_exact)
         # took in-window slots.
         "spatial_join_within": _q_spatial_join_within,
+        "classify_quantile": _q_classify_quantile,
         "describe_customer": _q_describe,
         "classify_equal_breaks": _q_classify_equal_breaks,
         "audio_features": _q_audio_features,
@@ -2127,6 +2142,23 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(page), 'lorem ipsum')
                     AND len(regexp_extract_all(clean, '[.!?]')) >= 3) AS keep
             FROM built
+        """,
+        # incremental-dedup replay: same normalization, anti-join on the
+        # normalized string key (the hash_key scale path is Spark-only)
+        "incremental_dedup_docs": r"""
+            WITH normed AS (
+              SELECT doc_id, lang, source,
+                     trim(regexp_replace(regexp_replace(
+                         lower(text), '[^a-z0-9\s]', '', 'g'),
+                         '\s+', ' ', 'g')) AS k
+              FROM documents
+            ),
+            seen AS (
+              SELECT DISTINCT k FROM normed WHERE doc_id % 3 = 0
+            )
+            SELECT n.doc_id, n.lang, n.source
+            FROM normed n LEFT JOIN seen s ON n.k = s.k
+            WHERE s.k IS NULL
         """,
         # LM-fit replay: same bigram table (HAVING >= 3), same per-doc
         # integer aggregates; zero-bigram docs come back via LEFT JOIN

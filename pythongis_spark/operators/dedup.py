@@ -799,3 +799,42 @@ def decontaminate(
     bad = tg.join(eg, "_g", "left_semi").select(id_col).distinct()
     how = "left_anti" if keep else "left_semi"
     return train.join(bad, id_col, how)
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    hash_key: bool = True,
+    keep: bool = True,
+) -> DataFrame:
+    """Snapshot-incremental exact dedup: drop every row of ``new_df``
+    whose normalized text (lowercase, alnum+space, squeezed — the same
+    normalization as :func:`~pythongis_spark.operators.text.fingerprint`)
+    already occurs in ``seen_df`` — the standard "dedup this crawl
+    against the corpus so far" pass of an incremental ingest.
+
+    Scale shape: the seen side collapses to DISTINCT keys before the
+    join (one map-side-combined aggregate); the anti-join then shuffles
+    8-byte hashes instead of document text when ``hash_key=True``
+    (xxhash64 — a collision only over-removes, the right failure
+    direction for dedup; Spark's runtime bloom-filter join pruning
+    applies on top). The oracle gate runs ``hash_key=False`` (string
+    keys) for SQL expressibility. ``keep=False`` returns the dropped
+    rows for auditing."""
+    norm = lambda c: F.trim(  # noqa: E731
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    key = norm(F.col(text_col))
+    if hash_key:
+        key = F.xxhash64(key)
+    tagged = new_df.withColumn("_k", key)
+    seen_keys = seen_df.select(norm(F.col(text_col)).alias("_k"))
+    if hash_key:
+        seen_keys = seen_keys.select(F.xxhash64("_k").alias("_k"))
+    seen_keys = seen_keys.distinct()
+    how = "left_anti" if keep else "left_semi"
+    return tagged.join(seen_keys, "_k", how).drop("_k")
