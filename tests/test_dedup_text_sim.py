@@ -588,3 +588,25 @@ def test_lm_fit_brute_force_parity(spark):
     assert got[4]["n_bigrams"] == 0 and got[4]["lm_nll"] is None
     # better-fitting doc scores lower nll than the rarer variant
     assert got[1]["lm_nll"] < got[2]["lm_nll"]
+
+
+def test_incremental_dedup_hash_vs_string_key(spark):
+    """hash_key scale path and the string-key oracle path agree, and
+    normalization-equal (not byte-equal) texts count as seen."""
+    from pythongis_spark.operators.dedup import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(100, "The CAT sat."), (101, "a brand new page")],
+        "doc_id int, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "the cat sat"),        # normalization-equal to 100 -> dropped
+         (2, "a brand new page"),   # byte-equal to 101 -> dropped
+         (3, "something else")],    # unseen -> kept
+        "doc_id int, text string",
+    )
+    for hk in (False, True):
+        out = incremental_dedup(new, seen, "doc_id", hash_key=hk)
+        assert sorted(r["doc_id"] for r in out.collect()) == [3], hk
+        aud = incremental_dedup(new, seen, "doc_id", hash_key=hk, keep=False)
+        assert sorted(r["doc_id"] for r in aud.collect()) == [1, 2], hk
