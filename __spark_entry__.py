@@ -1675,6 +1675,22 @@ def _q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horn-method terrain gradients on the synthetic grid, cropped to a
+    window that includes raster borders and nodata holes (both emit NULL
+    per the full-3×3 rule). gx8/gy8 are decimal-accumulated exact sums
+    cast to double — oracle-exact; the trig columns are per-row
+    transforms of them (excluded: atan/atan2 ulp differs across
+    engines)."""
+    from pythongis_spark.fixtures import raster_cells
+    from pythongis_spark.raster.algebra import horn_terrain
+
+    cells = raster_cells(spark).filter(F.col("band") == 0)
+    return horn_terrain(cells).filter(
+        "x >= 0 AND x < 120 AND y >= 0 AND y < 60"
+    ).select("x", "y", "band", "gx8", "gy8")
+
+
 def _q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-incremental dedup: the 'seen' snapshot is every
     doc_id % 3 == 0 document; surviving rows are the new-crawl documents
@@ -1756,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean_docs": _q_c4_clean_docs,
         "lm_fit_docs": _q_lm_fit_docs,
         "incremental_dedup_docs": _q_incremental_dedup_docs,
+        "terrain_horn_raster": _q_terrain_horn,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1786,7 +1803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_zone_centers": _q_knn_zone_centers,
         "distance_join_centers": _q_distance_join,
         "agg_customer_nation": _q_agg_customer_nation,
-        "join_orders_collapse": _q_join_orders_collapse,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
         # long-stable and move just past the edge). The rows-only float
@@ -1795,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-exact codec-proving counterparts (*_features_exact)
         # took in-window slots.
         "spatial_join_within": _q_spatial_join_within,
+        "join_orders_collapse": _q_join_orders_collapse,
         "classify_quantile": _q_classify_quantile,
         "describe_customer": _q_describe,
         "classify_equal_breaks": _q_classify_equal_breaks,
@@ -2278,6 +2295,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "field_values_segment": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        # Horn terrain replay: same spread weights, same decimal
+        # accumulation, same full-3x3 validity rule
+        "terrain_horn_raster": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)},
+            spread AS (
+              SELECT r.x + dx.d AS x, r.y + dy.d AS y, r.band, r.val,
+                     (-dx.d) * (CASE WHEN dy.d = 0 THEN 2 ELSE 1 END) AS wx,
+                     (-dy.d) * (CASE WHEN dx.d = 0 THEN 2 ELSE 1 END) AS wy
+              FROM raster r,
+                   (SELECT range - 1 AS d FROM range(3)) dx,
+                   (SELECT range - 1 AS d FROM range(3)) dy
+              WHERE r.band = 0
+            ), g AS (
+              SELECT x, y, band,
+                     count(*) AS n, count(val) AS nv,
+                     sum(CAST(val * wx AS DECIMAL(38,18))) AS gx,
+                     sum(CAST(val * wy AS DECIMAL(38,18))) AS gy
+              FROM spread GROUP BY x, y, band
+            )
+            SELECT x, y, band,
+                   CASE WHEN n = 9 AND nv = 9 THEN CAST(gx AS DOUBLE) END AS gx8,
+                   CASE WHEN n = 9 AND nv = 9 THEN CAST(gy AS DOUBLE) END AS gy8
+            FROM g
+            WHERE x >= 0 AND x < 120 AND y >= 0 AND y < 60
         """,
         "seq_interpolate": f"""
             WITH {FX.raster_cells_cte_sql(360, 180, 2)}

@@ -210,3 +210,82 @@ def sequence_interpolate(r1: DataFrame, r2: DataFrame, t: float) -> DataFrame:
         "x", "y",
         (F.col("v1") + (F.col("v2") - F.col("v1")) * F.lit(float(t))).alias("val"),
     )
+
+
+def horn_terrain(
+    df: DataFrame,
+    cellsize: float = 1.0,
+    z_factor: float = 1.0,
+    altitude: float = 45.0,
+    azimuth: float = 315.0,
+) -> DataFrame:
+    """Slope / aspect / hillshade via Horn's 8-neighbor method (Horn
+    1981; the public ESRI surface-toolset formulas). The reference
+    STUBS its terrain tools (``pythongis/raster/analyzer.py``: slope /
+    viewshed raise NotImplementedError) — implemented here beyond
+    reference parity.
+
+    Same distribution shape as :func:`morphology`: neighbor-offset
+    explode + one groupBy — the shuffle IS the halo exchange, so the
+    stencil needs no per-partition edge plumbing at any raster size.
+    The two directional sums accumulate in ``decimal(38,18)``
+    (order-independent → oracle-exact ``gx8``/``gy8`` =
+    ``(c+2f+i)-(a+2d+g)`` resp. ``(g+2h+i)-(a+2b+c)``); the trig
+    transforms are per-row on top:
+
+    - ``slope_deg`` = atan(z·hypot(gx8, gy8)/(8·cellsize)) in degrees;
+    - ``aspect_deg`` = compass bearing of steepest descent,
+      ``pmod(90 − 57.29578·atan2(dzdy, −dzdx), 360)``;
+    - ``hillshade`` = 255·(cos zen·cos slope + sin zen·sin slope·
+      cos(azm − aspect)), clamped at 0 (ESRI formula, default
+      NW light at 45°).
+
+    Cells without a FULL valid 3×3 window (raster border, or any
+    neighbor/center nodata) emit NULL terrain — the standard nodata
+    halo rule."""
+    import math
+
+    offs = F.sequence(F.lit(-1), F.lit(1))
+    spread = (
+        df.withColumn("_dx", F.explode(offs))
+        .withColumn("_dy", F.explode(offs))
+        .select(
+            (F.col("x") + F.col("_dx")).alias("x"),
+            (F.col("y") + F.col("_dy")).alias("y"),
+            "band",
+            "val",
+            (-F.col("_dx") * F.when(F.col("_dy") == 0, 2).otherwise(1)).alias("_wx"),
+            (-F.col("_dy") * F.when(F.col("_dx") == 0, 2).otherwise(1)).alias("_wy"),
+        )
+    )
+    g = spread.groupBy("x", "y", "band").agg(
+        F.count("*").alias("_n"),
+        F.count("val").alias("_nv"),
+        F.sum((F.col("val") * F.col("_wx")).cast("decimal(38,18)")).alias("_gx"),
+        F.sum((F.col("val") * F.col("_wy")).cast("decimal(38,18)")).alias("_gy"),
+    )
+    full = (F.col("_n") == 9) & (F.col("_nv") == 9)
+    out = g.select(
+        "x", "y", "band",
+        F.when(full, F.col("_gx").cast("double")).alias("gx8"),
+        F.when(full, F.col("_gy").cast("double")).alias("gy8"),
+    )
+    dzdx = F.col("gx8") * z_factor / F.lit(8.0 * cellsize)
+    dzdy = F.col("gy8") * z_factor / F.lit(8.0 * cellsize)
+    rise = F.sqrt(dzdx * dzdx + dzdy * dzdy)
+    slope_rad = F.atan(rise)
+    aspect_deg = F.pmod(
+        F.lit(90.0) - F.degrees(F.atan2(dzdy, -dzdx)), F.lit(360.0)
+    )
+    zen = math.radians(90.0 - altitude)
+    azm = math.radians(360.0 - azimuth + 90.0)
+    hs = F.lit(255.0) * (
+        F.lit(math.cos(zen)) * F.cos(slope_rad)
+        + F.lit(math.sin(zen)) * F.sin(slope_rad)
+        * F.cos(F.lit(azm) - F.radians(F.lit(90.0) - aspect_deg))
+    )
+    return (
+        out.withColumn("slope_deg", F.degrees(slope_rad))
+        .withColumn("aspect_deg", aspect_deg)
+        .withColumn("hillshade", F.greatest(F.lit(0.0), hs))
+    )

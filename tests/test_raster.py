@@ -190,3 +190,51 @@ def test_idw_bounded_matches_unbounded_locally(spark):
     assert (3, 9) not in got.index
     # neighbours within radius exist and interpolate to the single value
     assert got[(1, 0)] == 10.0 and got[(6, 0)] == 20.0
+
+
+def test_horn_terrain_numpy_parity(spark):
+    """Horn gradients, slope, aspect, hillshade vs a straightforward
+    numpy stencil on a small grid with a nodata hole."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pythongis_spark.raster.algebra import horn_terrain
+
+    w, h = 12, 9
+    rng = np.random.default_rng(3)
+    z = rng.uniform(0, 100, size=(h, w))
+    hole = (4, 5)
+    rows = [
+        (x, y, 0, None if (y, x) == hole else float(z[y, x]))
+        for y in range(h) for x in range(w)
+    ]
+    df = spark.createDataFrame(rows, "x int, y int, band int, val double")
+    out = {(r["x"], r["y"]): r for r in horn_terrain(df, cellsize=2.0).collect()}
+
+    for y in range(h):
+        for x in range(w):
+            r = out[(x, y)]
+            nb = [(x + dx, y + dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+            full = all(0 <= nx < w and 0 <= ny < h and (ny, nx) != hole
+                       for nx, ny in nb)
+            if not full:
+                assert r["gx8"] is None and r["slope_deg"] is None, (x, y)
+                continue
+            a, b, c = z[y-1, x-1], z[y-1, x], z[y-1, x+1]
+            d, _, f = z[y, x-1], z[y, x], z[y, x+1]
+            g_, hh, i = z[y+1, x-1], z[y+1, x], z[y+1, x+1]
+            gx8 = (c + 2*f + i) - (a + 2*d + g_)
+            gy8 = (g_ + 2*hh + i) - (a + 2*b + c)
+            assert abs(r["gx8"] - gx8) < 1e-9 and abs(r["gy8"] - gy8) < 1e-9
+            dzdx, dzdy = gx8 / 16.0, gy8 / 16.0
+            slope = math.degrees(math.atan(math.hypot(dzdx, dzdy)))
+            assert abs(r["slope_deg"] - slope) < 1e-9
+            aspect = (90.0 - math.degrees(math.atan2(dzdy, -dzdx))) % 360.0
+            assert abs(r["aspect_deg"] - aspect) < 1e-9
+            zen, azm = math.radians(45.0), math.radians(360 - 315 + 90)
+            hs = 255.0 * (math.cos(zen) * math.cos(math.atan(math.hypot(dzdx, dzdy)))
+                          + math.sin(zen) * math.sin(math.atan(math.hypot(dzdx, dzdy)))
+                          * math.cos(azm - math.atan2(dzdy, -dzdx)))
+            assert abs(r["hillshade"] - max(0.0, hs)) < 1e-9
