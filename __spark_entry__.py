@@ -1675,6 +1675,33 @@ def _q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gcp_affine_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiepoint affine fit over 300 synthesized GCPs on a /16 noise
+    lattice (dyadic-exact residuals both ways): the decimal moment sums
+    are order-independent and the Cramer solve is a fixed-order double
+    expression, so the six fitted parameters replay bit-exactly in SQL."""
+    from pythongis_spark.raster.model import fit_affine_gcps
+
+    i = F.col("id")
+    gcps = spark.range(300).select(
+        (i % 20).cast("double").alias("px"),
+        ((i / 20).cast("long") % 15).cast("double").alias("py"),
+        (((i % 7) - 3) / F.lit(16.0)).alias("nx"),
+        (((i % 5) - 2) / F.lit(16.0)).alias("ny"),
+    ).select(
+        "px", "py",
+        (F.lit(2.0) * F.col("px") + F.lit(0.5) * F.col("py") + F.lit(10.0)
+         + F.col("nx")).alias("gx"),
+        (F.lit(-0.25) * F.col("px") + F.lit(1.5) * F.col("py") + F.lit(-20.0)
+         + F.col("ny")).alias("gy"),
+    )
+    a, b, c, d, e, f = fit_affine_gcps(gcps)
+    return spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d), float(e), float(f))],
+        "a double, b double, c double, d double, e double, f double",
+    )
+
+
 def _q_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Horn-method terrain gradients on the synthetic grid, cropped to a
     window that includes raster borders and nodata holes (both emit NULL
@@ -1773,6 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_fit_docs": _q_lm_fit_docs,
         "incremental_dedup_docs": _q_incremental_dedup_docs,
         "terrain_horn_raster": _q_terrain_horn,
+        "gcp_affine_fit": _q_gcp_affine_fit,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1802,7 +1830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_semi_join": _q_pip_semi,
         "knn_zone_centers": _q_knn_zone_centers,
         "distance_join_centers": _q_distance_join,
-        "agg_customer_nation": _q_agg_customer_nation,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
         # long-stable and move just past the edge). The rows-only float
@@ -1811,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-exact codec-proving counterparts (*_features_exact)
         # took in-window slots.
         "spatial_join_within": _q_spatial_join_within,
+        "agg_customer_nation": _q_agg_customer_nation,
         "join_orders_collapse": _q_join_orders_collapse,
         "classify_quantile": _q_classify_quantile,
         "describe_customer": _q_describe,
@@ -2295,6 +2323,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "field_values_segment": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        # GCP affine replay: same /16-lattice fixture, same decimal
+        # moment sums, same fixed-order Cramer expansion (double
+        # multiplication is IEEE-commutative; addition order mirrored)
+        "gcp_affine_fit": """
+            WITH g AS (
+              SELECT CAST(i % 20 AS DOUBLE) AS px,
+                     CAST((i // 20) % 15 AS DOUBLE) AS py,
+                     ((i % 7) - 3) / 16.0 AS nx,
+                     ((i % 5) - 2) / 16.0 AS ny
+              FROM (SELECT CAST(range AS BIGINT) AS i FROM range(300))
+            ), p AS (
+              SELECT px, py,
+                     2.0 * px + 0.5 * py + 10.0 + nx AS gx,
+                     -0.25 * px + 1.5 * py + (-20.0) + ny AS gy
+              FROM g
+            ), s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(CAST(px AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+                     CAST(sum(CAST(py AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(px*px AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(px*py AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+                     CAST(sum(CAST(py*py AS DECIMAL(38,12))) AS DOUBLE) AS syy,
+                     CAST(sum(CAST(gx AS DECIMAL(38,12))) AS DOUBLE) AS tx,
+                     CAST(sum(CAST(gx*px AS DECIMAL(38,12))) AS DOUBLE) AS txx,
+                     CAST(sum(CAST(gx*py AS DECIMAL(38,12))) AS DOUBLE) AS txy,
+                     CAST(sum(CAST(gy AS DECIMAL(38,12))) AS DOUBLE) AS ty,
+                     CAST(sum(CAST(gy*px AS DECIMAL(38,12))) AS DOUBLE) AS tyx,
+                     CAST(sum(CAST(gy*py AS DECIMAL(38,12))) AS DOUBLE) AS tyy
+              FROM p
+            ), d AS (
+              SELECT *,
+                (sxx*(syy*n - sy*sy) - sxy*(sxy*n - sy*sx)
+                 + sx*(sxy*sy - syy*sx)) AS det
+              FROM s
+            )
+            SELECT
+              (txx*(syy*n - sy*sy) - sxy*(txy*n - sy*tx)
+               + sx*(txy*sy - syy*tx)) / det AS a,
+              (sxx*(txy*n - sy*tx) - txx*(sxy*n - sy*sx)
+               + sx*(sxy*tx - txy*sx)) / det AS b,
+              (sxx*(syy*tx - txy*sy) - sxy*(sxy*tx - txy*sx)
+               + txx*(sxy*sy - syy*sx)) / det AS c,
+              (tyx*(syy*n - sy*sy) - sxy*(tyy*n - sy*ty)
+               + sx*(tyy*sy - syy*ty)) / det AS d,
+              (sxx*(tyy*n - sy*ty) - tyx*(sxy*n - sy*sx)
+               + sx*(sxy*ty - tyy*sx)) / det AS e,
+              (sxx*(syy*ty - tyy*sy) - sxy*(sxy*ty - tyy*sx)
+               + tyx*(sxy*sy - syy*sx)) / det AS f
+            FROM d
         """,
         # Horn terrain replay: same spread weights, same decimal
         # accumulation, same full-3x3 validity rule

@@ -367,3 +367,83 @@ def align(
         nodata=src.nodata,
     )
     return resample(cells, src, snapped, method=method), snapped
+
+
+# ------------------------------------------------------------------
+# tiepoint (GCP) warp — the reference's GCP path is a NotImplemented
+# stub; standard public least-squares/normal-equations method
+# ------------------------------------------------------------------
+
+def fit_affine_gcps(gcps: DataFrame, src_cols=("px", "py"),
+                    dst_cols=("gx", "gy")) -> tuple:
+    """Least-squares affine from ground-control points:
+    ``gx = a·px + b·py + c``, ``gy = d·px + e·py + f``.
+
+    Moment sums accumulate distributed in ``decimal(38,12)``
+    (order-independent — re-running on a different partitioning returns
+    bit-identical parameters); exactly 12 scalars cross to the driver,
+    where Cramer's rule solves the two 3×3 normal systems (bounded
+    driver math, same contract as classify break computation).
+    Raises on degenerate (collinear) control points."""
+    px, py = (F.col(c).cast("double") for c in src_cols)
+    gx, gy = (F.col(c).cast("double") for c in dst_cols)
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,12)")).cast("double")
+
+    m = gcps.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(px).alias("sx"), dsum(py).alias("sy"),
+        dsum(px * px).alias("sxx"), dsum(px * py).alias("sxy"),
+        dsum(py * py).alias("syy"),
+        dsum(gx).alias("tx"), dsum(gx * px).alias("txx"),
+        dsum(gx * py).alias("txy"),
+        dsum(gy).alias("ty"), dsum(gy * px).alias("tyx"),
+        dsum(gy * py).alias("tyy"),
+    ).first()
+
+    def det3(m00, m01, m02, m10, m11, m12, m20, m21, m22):
+        return (m00 * (m11 * m22 - m12 * m21)
+                - m01 * (m10 * m22 - m12 * m20)
+                + m02 * (m10 * m21 - m11 * m20))
+
+    A = (m["sxx"], m["sxy"], m["sx"],
+         m["sxy"], m["syy"], m["sy"],
+         m["sx"], m["sy"], m["n"])
+    D = det3(*A)
+    if D == 0:
+        raise ValueError("degenerate GCPs (collinear or fewer than 3)")
+
+    def solve(r0, r1, r2):
+        da = det3(r0, A[1], A[2], r1, A[4], A[5], r2, A[7], A[8])
+        db = det3(A[0], r0, A[2], A[3], r1, A[5], A[6], r2, A[8])
+        dc = det3(A[0], A[1], r0, A[3], A[4], r1, A[6], A[7], r2)
+        return da / D, db / D, dc / D
+
+    a, b, c = solve(m["txx"], m["txy"], m["tx"])
+    d, e, f = solve(m["tyx"], m["tyy"], m["ty"])
+    return (a, b, c, d, e, f)
+
+
+def warp_gcps(cells: DataFrame, src: RasterDef, dst: RasterDef,
+              gcps: DataFrame, method: str = "nearest", spark=None,
+              src_cols=("px", "py"), dst_cols=("gx", "gy")) -> DataFrame:
+    """Tiepoint warp: fit the pixel→world affine from GCPs (fractional
+    pixel coords, cell center at x+0.5, matching :func:`resample`'s
+    convention), then remap every dst cell through its inverse — the
+    same target-driven machinery as :func:`warp`, so every resampling
+    method applies. The source raster's own geotransform is ignored
+    (the tiepoints define it)."""
+    a, b, c, d, e, f = fit_affine_gcps(gcps, src_cols, dst_cols)
+    det = a * e - b * d
+    if det == 0:
+        raise ValueError("degenerate fitted affine")
+
+    def inv(gx, gy):
+        ux = gx - F.lit(c)
+        uy = gy - F.lit(f)
+        return ((ux * e - uy * b) / F.lit(det),
+                (uy * a - ux * d) / F.lit(det))
+
+    px_def = RasterDef(src.width, src.height, (1.0, 0.0, 0.0, 0.0, 1.0, 0.0))
+    return resample(cells, px_def, dst, method, spark=spark, inv_transform=inv)

@@ -212,3 +212,61 @@ def test_skewed_nearest_identity_and_vs_numpy(spark):
             if 0 <= sx < 7 and 0 <= sy < 5:
                 want[(x, y)] = float(sx * 100 + sy)
     assert got == want
+
+
+def test_fit_affine_gcps_exact_and_lstsq(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pythongis_spark.raster.model import fit_affine_gcps
+
+    true = (2.0, 0.5, 10.0, -0.25, 1.5, -20.0)
+    rows = []
+    for i in range(300):
+        px, py = float(i % 20), float((i // 20) % 15)
+        nx, ny = ((i % 7) - 3) / 16.0, ((i % 5) - 2) / 16.0
+        rows.append((px, py,
+                     true[0] * px + true[1] * py + true[2] + nx,
+                     true[3] * px + true[4] * py + true[5] + ny))
+    df = spark.createDataFrame(rows, "px double, py double, gx double, gy double")
+    got = fit_affine_gcps(df)
+    # numpy least squares oracle
+    A = np.array([[r[0], r[1], 1.0] for r in rows])
+    wx, *_ = np.linalg.lstsq(A, np.array([r[2] for r in rows]), rcond=None)
+    wy, *_ = np.linalg.lstsq(A, np.array([r[3] for r in rows]), rcond=None)
+    assert np.allclose(got, [*wx, *wy], atol=1e-9)
+
+    # exact GCPs (no noise) recover the affine to fp precision
+    ex = spark.createDataFrame(
+        [(px, py, true[0]*px + true[1]*py + true[2],
+          true[3]*px + true[4]*py + true[5])
+         for px, py in [(0., 0.), (10., 0.), (0., 10.), (7., 3.)]],
+        "px double, py double, gx double, gy double")
+    assert np.allclose(fit_affine_gcps(ex), true, atol=1e-12)
+
+
+def test_warp_gcps_identity_translation(spark):
+    """GCPs encoding 'pixel (x+0.5, y+0.5) sits at world (x+3, y-2)'
+    (unit scale, pure translation): nearest warp_gcps onto the matching
+    world grid returns the original values shifted."""
+    from pythongis_spark.raster.model import RasterDef, warp_gcps
+
+    w, h = 8, 6
+    cells = spark.createDataFrame(
+        [(x, y, 0, float(x + 10 * y)) for y in range(h) for x in range(w)],
+        "x int, y int, band int, val double")
+    gcps = spark.createDataFrame(
+        [(x + 0.5, y + 0.5, x + 3.0, y - 2.0)
+         for x, y in [(0, 0), (7, 0), (0, 5), (4, 3)]],
+        "px double, py double, gx double, gy double")
+    # dst grid chosen so dst cell centers land exactly on the mapped
+    # pixel centers: center of dst cell x is (x+0.5)+2.5 = x+3, the
+    # world position of pixel center x+0.5
+    dst = RasterDef(w, h, (1.0, 0.0, 2.5, 0.0, 1.0, -2.5))
+    src = RasterDef(w, h, (1.0, 0.0, 0.0, 0.0, 1.0, 0.0))
+    out = {(r["x"], r["y"]): r["val"]
+           for r in warp_gcps(cells, src, dst, gcps).collect()}
+    assert len(out) == w * h
+    for y in range(h):
+        for x in range(w):
+            assert out[(x, y)] == float(x + 10 * y)
