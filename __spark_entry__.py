@@ -1675,6 +1675,26 @@ def _q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_viewshed_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDA viewshed from (180, 90) over the synthetic DEM, radius 40 —
+    nodata holes exercise both the transparent-sample and NULL-target
+    rules; every float is a fixed-order expression and the only
+    aggregate is an order-independent max, so visibility replays
+    bit-exactly in SQL."""
+    from pythongis_spark.fixtures import raster_cells
+    from pythongis_spark.raster.algebra import viewshed
+
+    dem = raster_cells(spark).filter(F.col("band") == 0)
+    out = viewshed(dem, 180, 90, observer_height=1.0, radius=40)
+    # NULL-able booleans normalize differently across pandas bridges —
+    # gate-project visibility as an int code (1 / 0 / -1 = nodata)
+    return out.select(
+        "x", "y", "dist",
+        F.when(F.col("visible").isNull(), -1)
+        .when(F.col("visible"), 1).otherwise(0).cast("int").alias("vis"),
+    )
+
+
 def _q_gcp_affine_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiepoint affine fit over 300 synthesized GCPs on a /16 noise
     lattice (dyadic-exact residuals both ways): the decimal moment sums
@@ -1801,6 +1821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": _q_incremental_dedup_docs,
         "terrain_horn_raster": _q_terrain_horn,
         "gcp_affine_fit": _q_gcp_affine_fit,
+        "viewshed_raster": _q_viewshed_raster,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1829,7 +1850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign_quadkey": _q_tile_assign,
         "pip_semi_join": _q_pip_semi,
         "knn_zone_centers": _q_knn_zone_centers,
-        "distance_join_centers": _q_distance_join,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
         # long-stable and move just past the edge). The rows-only float
@@ -1838,6 +1858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-exact codec-proving counterparts (*_features_exact)
         # took in-window slots.
         "spatial_join_within": _q_spatial_join_within,
+        "distance_join_centers": _q_distance_join,
         "agg_customer_nation": _q_agg_customer_nation,
         "join_orders_collapse": _q_join_orders_collapse,
         "classify_quantile": _q_classify_quantile,
@@ -2323,6 +2344,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "field_values_segment": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        # viewshed replay: same DDA sampling (fixed-order doubles), same
+        # transparent-nodata / self-cell-exclusion rules, max is
+        # order-independent
+        "viewshed_raster": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)},
+            dem AS (SELECT x, y, val FROM raster WHERE band = 0),
+            obs AS (SELECT val + 1.0 AS oz FROM dem
+                    WHERE x = 180 AND y = 90),
+            tgt AS (
+              SELECT d.x, d.y, d.val, o.oz,
+                     sqrt(CAST((d.x-180)*(d.x-180) + (d.y-90)*(d.y-90)
+                          AS DOUBLE)) AS dist,
+                     greatest(abs(d.x-180), abs(d.y-90)) AS L
+              FROM dem d, obs o
+              WHERE (d.x-180)*(d.x-180) + (d.y-90)*(d.y-90) <= 1600
+            ),
+            samp AS (
+              SELECT x, y, dist, oz, L,
+                     unnest(generate_series(1, L - 1)) AS k
+              FROM tgt WHERE L >= 2
+            ),
+            spos AS (
+              SELECT x, y, dist, oz,
+                     k / L AS f,
+                     CAST(floor(180.5 + ((x - 180) * k) / L) AS INTEGER) AS sx,
+                     CAST(floor(90.5 + ((y - 90) * k) / L) AS INTEGER) AS sy
+              FROM samp
+            ),
+            blocked AS (
+              SELECT s.x, s.y,
+                     max((z.val - s.oz) / (s.f * s.dist)) AS mt
+              FROM spos s
+              JOIN dem z ON z.x = s.sx AND z.y = s.sy
+              WHERE NOT (s.sx = s.x AND s.sy = s.y) AND z.val IS NOT NULL
+              GROUP BY s.x, s.y
+            )
+            SELECT t.x, t.y, t.dist,
+                   CASE WHEN t.val IS NULL THEN -1
+                        WHEN b.mt IS NULL THEN 1
+                        WHEN (t.val - t.oz) / t.dist >= b.mt THEN 1
+                        ELSE 0
+                   END AS vis
+            FROM tgt t LEFT JOIN blocked b ON b.x = t.x AND b.y = t.y
         """,
         # GCP affine replay: same /16-lattice fixture, same decimal
         # moment sums, same fixed-order Cramer expansion (double

@@ -289,3 +289,92 @@ def horn_terrain(
         .withColumn("aspect_deg", aspect_deg)
         .withColumn("hillshade", F.greatest(F.lit(0.0), hs))
     )
+
+
+def viewshed(
+    df: DataFrame,
+    ox: int,
+    oy: int,
+    observer_height: float = 1.0,
+    radius: int = 40,
+) -> DataFrame:
+    """Observer-to-cell visibility over a DEM cell table — the
+    reference STUBS viewshed (``pythongis/raster/analyzer.py`` raises);
+    implemented beyond parity with the standard DDA line-of-sight
+    method (public: Travis et al. R2 viewshed family).
+
+    For a target at Chebyshev cell distance L from the observer, the
+    sight line between cell centers is sampled at fractions k/L
+    (k = 1..L−1); each sample reads the nearest cell's elevation, and
+    the target is visible iff its own elevation angle is ≥ the maximum
+    sample angle (tangents compared — no trig). Shape: one bounded
+    explode (Σ L = O(radius³) rows — radius is the documented scale
+    knob), one equi-join against the DEM for sample elevations, one
+    groupBy max per target. Deterministic: max() is order-independent
+    and every tangent is a fixed-order double expression.
+
+    Rules: the observer cell is visible; NULL target elevation → NULL
+    visibility; NULL sample elevations don't block (transparent
+    nodata, documented choice). Returns (x, y, dist, visible)."""
+    dem = df.select("x", "y", "val")
+    obs = F.broadcast(
+        dem.filter((F.col("x") == ox) & (F.col("y") == oy)).select(
+            (F.col("val") + F.lit(float(observer_height))).alias("_oz")
+        )
+    )
+    dx = F.col("x") - F.lit(ox)
+    dy = F.col("y") - F.lit(oy)
+    L = F.greatest(F.abs(dx), F.abs(dy))
+    tgt = (
+        dem.crossJoin(obs)
+        .filter(dx * dx + dy * dy <= F.lit(radius * radius))
+        .select(
+            "x", "y", "val", "_oz",
+            F.sqrt((dx * dx + dy * dy).cast("double")).alias("dist"),
+            L.alias("_L"),
+        )
+    )
+    # sample points k/L along the center-to-center sight line
+    samp = (
+        tgt.filter(F.col("_L") >= 2)
+        .withColumn("_k", F.explode(F.sequence(F.lit(1), F.col("_L") - 1)))
+        .select(
+            "x", "y",
+            (F.col("_k") / F.col("_L")).alias("_f"),
+            (F.lit(ox + 0.5) + (F.col("x") - F.lit(ox)) * F.col("_k") / F.col("_L")).alias("_px"),
+            (F.lit(oy + 0.5) + (F.col("y") - F.lit(oy)) * F.col("_k") / F.col("_L")).alias("_py"),
+            "dist", "_oz",
+        )
+        .select(
+            "x", "y", "_f", "dist", "_oz",
+            F.floor(F.col("_px")).cast("int").alias("sx"),
+            F.floor(F.col("_py")).cast("int").alias("sy"),
+        )
+    )
+    sz = dem.select(
+        F.col("x").alias("sx"), F.col("y").alias("sy"), F.col("val").alias("_sz")
+    )
+    blocked = (
+        samp
+        # a sample landing inside the target's own cell must not block
+        # it (the k=(L-1)/L point floors into the target on diagonals)
+        .filter(~((F.col("sx") == F.col("x")) & (F.col("sy") == F.col("y"))))
+        .join(sz, ["sx", "sy"], "left")
+        .filter(F.col("_sz").isNotNull())
+        .groupBy("x", "y")
+        .agg(
+            F.max(
+                (F.col("_sz") - F.col("_oz")) / (F.col("_f") * F.col("dist"))
+            ).alias("_max_tan")
+        )
+    )
+    out = tgt.join(blocked, ["x", "y"], "left").select(
+        "x", "y", "dist",
+        F.when(F.col("val").isNull(), F.lit(None).cast("boolean"))
+        .when(F.col("_max_tan").isNull(), F.lit(True))
+        .otherwise(
+            (F.col("val") - F.col("_oz")) / F.col("dist") >= F.col("_max_tan")
+        )
+        .alias("visible"),
+    )
+    return out

@@ -238,3 +238,49 @@ def test_horn_terrain_numpy_parity(spark):
                           + math.sin(zen) * math.sin(math.atan(math.hypot(dzdx, dzdy)))
                           * math.cos(azm - math.atan2(dzdy, -dzdx)))
             assert abs(r["hillshade"] - max(0.0, hs)) < 1e-9
+
+
+def test_viewshed_wall_and_brute_force(spark):
+    import math
+
+    import numpy as np
+
+    from pythongis_spark.raster.algebra import viewshed
+
+    # 1-row DEM with a wall: cells behind it are hidden, the wall shows
+    rows = [(x, 0, 0, [0.0, 0.0, 5.0, 0.0, 0.0][x]) for x in range(5)]
+    df = spark.createDataFrame(rows, "x int, y int, band int, val double")
+    vis = {(r["x"], r["y"]): r["visible"]
+           for r in viewshed(df, 0, 0, observer_height=1.0, radius=10).collect()}
+    assert vis[(0, 0)] and vis[(1, 0)] and vis[(2, 0)]
+    assert not vis[(3, 0)] and not vis[(4, 0)]
+
+    # 2D grid vs an independent numpy replay of the DDA spec
+    w, h, R = 11, 9, 6
+    rng = np.random.default_rng(9)
+    z = np.round(rng.uniform(0, 8, size=(h, w)), 3)
+    z[3, 4] = np.nan  # nodata hole (transparent, NULL target)
+    cells = [(x, y, 0, None if math.isnan(z[y, x]) else float(z[y, x]))
+             for y in range(h) for x in range(w)]
+    df = spark.createDataFrame(cells, "x int, y int, band int, val double")
+    ox, oy = 5, 4
+    got = {(r["x"], r["y"]): r["visible"]
+           for r in viewshed(df, ox, oy, 1.5, R).collect()}
+    oz = z[oy, ox] + 1.5
+    for (x, y), v in got.items():
+        if math.isnan(z[y, x]):
+            assert v is None
+            continue
+        L = max(abs(x - ox), abs(y - oy))
+        d = math.hypot(x - ox, y - oy)
+        mt = None
+        for k in range(1, L):
+            f = k / L
+            sx = math.floor(ox + 0.5 + (x - ox) * f)
+            sy = math.floor(oy + 0.5 + (y - oy) * f)
+            if (sx, sy) == (x, y) or math.isnan(z[sy, sx]):
+                continue
+            t = (z[sy, sx] - oz) / (f * d)
+            mt = t if mt is None else max(mt, t)
+        expect = True if mt is None else (z[y, x] - oz) / d >= mt
+        assert v == expect, (x, y)
