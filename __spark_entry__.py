@@ -1190,6 +1190,48 @@ def _q_image_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_bil_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESRI BIL raw-binary raster round trip (sources/bil; public EHdr
+    spec): write a 2-band float grid with a nodata hole as BIP layout,
+    read it back — values byte-exact, affine through the .hdr
+    center-convention ULX/ULYMAP."""
+    import os
+    import shutil
+    import tempfile
+
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.bil import read_bil, write_bil
+
+    w, h = 48, 30
+    cells = (
+        spark.range(w * h * 2)
+        .select(
+            (F.col("id") % w).cast("int").alias("x"),
+            ((F.col("id") / w) % h).cast("int").alias("y"),
+            (F.col("id") / (w * h)).cast("int").alias("band"),
+        )
+        .select(
+            "x", "y", "band",
+            F.when((F.col("x") * 3 + F.col("y") * 5 + F.col("band")) % 17 == 0,
+                   F.lit(None))
+            .otherwise(((F.col("x") * 7 + F.col("y") * 13 + F.col("band") * 29)
+                        % 512) / F.lit(4.0)).alias("val"),
+        )
+    )
+    rd = RasterDef(w, h, (0.5, 0.0, -16.0, 0.0, -0.5, 10.0))
+    d = tempfile.mkdtemp(prefix="bilraster_")
+    try:
+        p = os.path.join(d, "grid.bil")
+        write_bil(cells, rd, p, bands=2, layout="BIP", nbits=64)
+        df, rd2 = read_bil(spark, p)
+        assert rd2.affine == rd.affine, rd2.affine
+        return df.select("x", "y", "band", "val").toPandas().pipe(
+            spark.createDataFrame, "x int, y int, band int, val double"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_verify_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.images.ops import verify_images
 
@@ -1793,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_topk": _q_pairwise_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "image_raster_roundtrip": _q_image_raster_roundtrip,
+        "bil_roundtrip": _q_bil_roundtrip,
         "xls_roundtrip": _q_xls_roundtrip,
         # late-r4: the previously rows-only multimodal feature paths,
         # now oracle-proven end-to-end through the REAL WAV/PNG codecs
@@ -1848,7 +1891,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_join_rows": _q_pip_rows,
         "pip_zone_stats": _q_pip_zone_stats,
         "tile_assign_quadkey": _q_tile_assign,
-        "pip_semi_join": _q_pip_semi,
         "knn_zone_centers": _q_knn_zone_centers,
         # r4 rect fast paths: keep these two inside the 50-slot gate
         # window (the displaced webmercator/dedup_exact rows are r2/r3
@@ -1858,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-exact codec-proving counterparts (*_features_exact)
         # took in-window slots.
         "spatial_join_within": _q_spatial_join_within,
+        "pip_semi_join": _q_pip_semi,
         "distance_join_centers": _q_distance_join,
         "agg_customer_nation": _q_agg_customer_nation,
         "join_orders_collapse": _q_join_orders_collapse,
@@ -2728,6 +2771,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT x, y, band,
                    CAST((x * 7 + y * 13 + band * 29) % 256 AS DOUBLE) AS val
             FROM gx, gy, gb
+        """,
+        "bil_roundtrip": """
+            WITH gx AS (SELECT CAST(range AS INTEGER) AS x FROM range(48)),
+                 gy AS (SELECT CAST(range AS INTEGER) AS y FROM range(30)),
+                 gb AS (SELECT CAST(range AS INTEGER) AS band FROM range(2))
+            SELECT x, y, band,
+                   CAST((x * 7 + y * 13 + band * 29) % 512 AS DOUBLE) / 4.0 AS val
+            FROM gx, gy, gb
+            WHERE (x * 3 + y * 5 + band) % 17 <> 0
         """,
         "zonal_stats_raster": f"""
             WITH {raster1}

@@ -284,3 +284,51 @@ def test_viewshed_wall_and_brute_force(spark):
             mt = t if mt is None else max(mt, t)
         expect = True if mt is None else (z[y, x] - oz) / d >= mt
         assert v == expect, (x, y)
+
+
+def test_bil_round_trip_all_layouts(spark, tmp_path):
+    import numpy as np
+
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.bil import read_bil, write_bil
+
+    w, h, bands = 7, 5, 2
+    rng = np.random.default_rng(4)
+    vals = np.round(rng.uniform(-50, 50, size=(bands, h, w)), 3)
+    vals[0, 2, 3] = np.nan  # nodata hole
+    cells = [(x, y, b, None if np.isnan(vals[b, y, x]) else float(vals[b, y, x]))
+             for b in range(bands) for y in range(h) for x in range(w)]
+    df = spark.createDataFrame(cells, "x int, y int, band int, val double")
+    rd = RasterDef(w, h, (0.5, 0.0, 10.0, 0.0, -0.5, 20.0), nodata=-9999.0)
+
+    for layout in ("BIL", "BIP", "BSQ"):
+        p = str(tmp_path / f"r_{layout}.bil")
+        write_bil(df, rd, p, bands=bands, layout=layout, nbits=64)
+        out, rd2 = read_bil(spark, p)
+        assert (rd2.width, rd2.height) == (w, h)
+        assert rd2.affine == rd.affine
+        got = {(r["x"], r["y"], r["band"]): r["val"] for r in out.collect()}
+        assert (3, 2, 0) not in got  # nodata omitted
+        for b in range(bands):
+            for y in range(h):
+                for x in range(w):
+                    if np.isnan(vals[b, y, x]):
+                        continue
+                    assert got[(x, y, b)] == vals[b, y, x], (layout, x, y, b)
+
+
+def test_bil_int16_big_endian(spark, tmp_path):
+    """Hand-written big-endian INT16 BIL decodes per spec."""
+    import struct
+
+    from pythongis_spark.sources.bil import read_bil
+
+    # 2 cols x 2 rows x 1 band, values 1, -2 / 300, 4, MSB first
+    (tmp_path / "g.bil").write_bytes(struct.pack(">4h", 1, -2, 300, 4))
+    (tmp_path / "g.hdr").write_text(
+        "NROWS 2\nNCOLS 2\nNBANDS 1\nNBITS 16\nBYTEORDER M\nLAYOUT BIL\n"
+        "PIXELTYPE SIGNEDINT\nULXMAP 0.5\nULYMAP 1.5\nXDIM 1\nYDIM 1\n")
+    df, rd = read_bil(spark, str(tmp_path / "g.bil"))
+    got = {(r["x"], r["y"]): r["val"] for r in df.collect()}
+    assert got == {(0, 0): 1.0, (1, 0): -2.0, (0, 1): 300.0, (1, 1): 4.0}
+    assert rd.affine == (1.0, 0.0, 0.0, 0.0, -1.0, 2.0)
