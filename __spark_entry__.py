@@ -1232,6 +1232,48 @@ def _q_bil_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NetCDF-3 classic round trip (sources/netcdf3; public Unidata CDF
+    spec, pure stdlib): 2-band float64 variable + CF coordinate
+    variables, nodata holes via _FillValue — cells and affine byte-exact
+    back."""
+    import os
+    import shutil
+    import tempfile
+
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.netcdf3 import read_netcdf, write_netcdf
+
+    w, h = 48, 30
+    cells = (
+        spark.range(w * h * 2)
+        .select(
+            (F.col("id") % w).cast("int").alias("x"),
+            ((F.col("id") / w) % h).cast("int").alias("y"),
+            (F.col("id") / (w * h)).cast("int").alias("band"),
+        )
+        .select(
+            "x", "y", "band",
+            F.when((F.col("x") * 3 + F.col("y") * 5 + F.col("band")) % 17 == 0,
+                   F.lit(None))
+            .otherwise(((F.col("x") * 7 + F.col("y") * 13 + F.col("band") * 29)
+                        % 512) / F.lit(4.0)).alias("val"),
+        )
+    )
+    rd = RasterDef(w, h, (0.5, 0.0, -16.0, 0.0, -0.5, 10.0))
+    d = tempfile.mkdtemp(prefix="ncraster_")
+    try:
+        p = os.path.join(d, "grid.nc")
+        write_netcdf(cells, rd, p, var="z", bands=2)
+        df, rd2 = read_netcdf(spark, p, var="z")
+        assert rd2.affine == rd.affine, rd2.affine
+        return df.select("x", "y", "band", "val").toPandas().pipe(
+            spark.createDataFrame, "x int, y int, band int, val double"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_verify_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.images.ops import verify_images
 
@@ -1836,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "image_raster_roundtrip": _q_image_raster_roundtrip,
         "bil_roundtrip": _q_bil_roundtrip,
+        "netcdf_roundtrip": _q_netcdf_roundtrip,
         "xls_roundtrip": _q_xls_roundtrip,
         # late-r4: the previously rows-only multimodal feature paths,
         # now oracle-proven end-to-end through the REAL WAV/PNG codecs
@@ -1846,7 +1889,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r4 late additions: deterministic sampling family (new code →
         # in-window; displaces five more r2/r3 long-stable rows)
         "sample_hash_docs": _q_sample_hash_docs,
-        "train_test_counts": _q_train_test_counts,
         "stratified_sample_counts": _q_stratified_sample_counts,
         "mixture_epochs": _q_mixture_epochs,
         "sample_n_docs": _q_sample_n_docs,
@@ -1900,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-exact codec-proving counterparts (*_features_exact)
         # took in-window slots.
         "spatial_join_within": _q_spatial_join_within,
+        "train_test_counts": _q_train_test_counts,
         "pip_semi_join": _q_pip_semi,
         "distance_join_centers": _q_distance_join,
         "agg_customer_nation": _q_agg_customer_nation,
@@ -2771,6 +2814,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT x, y, band,
                    CAST((x * 7 + y * 13 + band * 29) % 256 AS DOUBLE) AS val
             FROM gx, gy, gb
+        """,
+        "netcdf_roundtrip": """
+            WITH gx AS (SELECT CAST(range AS INTEGER) AS x FROM range(48)),
+                 gy AS (SELECT CAST(range AS INTEGER) AS y FROM range(30)),
+                 gb AS (SELECT CAST(range AS INTEGER) AS band FROM range(2))
+            SELECT x, y, band,
+                   CAST((x * 7 + y * 13 + band * 29) % 512 AS DOUBLE) / 4.0 AS val
+            FROM gx, gy, gb
+            WHERE (x * 3 + y * 5 + band) % 17 <> 0
         """,
         "bil_roundtrip": """
             WITH gx AS (SELECT CAST(range AS INTEGER) AS x FROM range(48)),

@@ -332,3 +332,68 @@ def test_bil_int16_big_endian(spark, tmp_path):
     got = {(r["x"], r["y"]): r["val"] for r in df.collect()}
     assert got == {(0, 0): 1.0, (1, 0): -2.0, (0, 1): 300.0, (1, 1): 4.0}
     assert rd.affine == (1.0, 0.0, 0.0, 0.0, -1.0, 2.0)
+
+
+def test_netcdf3_hand_fixture_and_roundtrip(spark, tmp_path):
+    """Reader against a spec-assembled CDF-1 fixture (independent of
+    the writer), then a full write->read round trip with fill holes."""
+    import struct
+
+    import numpy as np
+
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.netcdf3 import read_netcdf, write_netcdf
+
+    def name(s):
+        b = s.encode()
+        return struct.pack(">i", len(b)) + b + b"\x00" * ((-len(b)) % 4)
+
+    h, w = 2, 3
+    data = np.array([[1.5, -2.0, 3.25], [4.0, -9999.0, 6.5]], dtype=">f8")
+    ybytes = np.array([10.0, 20.0], dtype=">f8").tobytes()
+    xbytes = np.array([100.0, 101.0, 102.0], dtype=">f8").tobytes()
+    hdr = b"CDF\x01" + struct.pack(">i", 0)
+    hdr += (struct.pack(">ii", 0x0A, 2) + name("y") + struct.pack(">i", h)
+            + name("x") + struct.pack(">i", w))
+    hdr += b"\x00" * 8 + struct.pack(">ii", 0x0B, 3)
+    fill = (struct.pack(">ii", 0x0C, 1) + name("_FillValue")
+            + struct.pack(">ii", 6, 1) + struct.pack(">d", -9999.0))
+    entries = [
+        name("y") + struct.pack(">ii", 1, 0) + b"\x00" * 8
+        + struct.pack(">ii", 6, len(ybytes)),
+        name("x") + struct.pack(">ii", 1, 1) + b"\x00" * 8
+        + struct.pack(">ii", 6, len(xbytes)),
+        name("temp") + struct.pack(">i", 2) + struct.pack(">ii", 0, 1)
+        + fill + struct.pack(">ii", 6, data.nbytes),
+    ]
+    off = len(hdr) + sum(len(e) + 4 for e in entries)
+    blob, begins = hdr, []
+    for payload in (ybytes, xbytes, data.tobytes()):
+        begins.append(off)
+        off += len(payload)
+    for e, b0 in zip(entries, begins):
+        blob += e + struct.pack(">i", b0)
+    blob += ybytes + xbytes + data.tobytes()
+    p = tmp_path / "fix.nc"
+    p.write_bytes(blob)
+
+    df, rd = read_netcdf(spark, str(p))
+    got = {(r["x"], r["y"]): r["val"] for r in df.collect()}
+    assert got == {(0, 0): 1.5, (1, 0): -2.0, (2, 0): 3.25,
+                   (0, 1): 4.0, (2, 1): 6.5}  # fill omitted
+    assert rd.affine == (1.0, 0.0, 99.5, 0.0, 10.0, 5.0)
+
+    # round trip through our writer (2 bands, nodata hole)
+    cells = [(x, y, b, None if (x, y, b) == (1, 1, 0)
+              else float(x * 7 + y * 13 + b * 29))
+             for b in range(2) for y in range(4) for x in range(5)]
+    src = spark.createDataFrame(cells, "x int, y int, band int, val double")
+    rd0 = RasterDef(5, 4, (0.25, 0.0, -1.0, 0.0, -0.5, 3.0))
+    out = tmp_path / "rt.nc"
+    write_netcdf(src, rd0, str(out), var="z", bands=2)
+    df2, rd2 = read_netcdf(spark, str(out), var="z")
+    assert rd2.affine == rd0.affine
+    got2 = {(r["x"], r["y"], r["band"]): r["val"] for r in df2.collect()}
+    assert (1, 1, 0) not in got2 and len(got2) == 39
+    for (x, y, b), v in got2.items():
+        assert v == float(x * 7 + y * 13 + b * 29)
