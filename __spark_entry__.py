@@ -1759,6 +1759,18 @@ def _q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_downscale_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-preserving k=2 disaggregation of a cropped band — val/4 is
+    exact in binary, so the spread replays bit-exactly."""
+    from pythongis_spark.fixtures import raster_cells
+    from pythongis_spark.raster.algebra import downscale
+
+    cells = raster_cells(spark).filter(
+        (F.col("band") == 0) & (F.col("x") < 90) & (F.col("y") < 45)
+    )
+    return downscale(cells, 2, "spread")
+
+
 def _q_viewshed_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDA viewshed from (180, 90) over the synthetic DEM, radius 40 —
     nodata holes exercise both the transparent-sample and NULL-target
@@ -1907,6 +1919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_horn_raster": _q_terrain_horn,
         "gcp_affine_fit": _q_gcp_affine_fit,
         "viewshed_raster": _q_viewshed_raster,
+        "downscale_raster": _q_downscale_raster,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1927,7 +1940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_docs": _q_exact_substring,
         "zonal_stats_raster": _q_zonal_stats,
         "rasterize_zones": _q_rasterize,
-        "upscale_raster": _q_upscale,
         "tiled_vector_assign": _q_tiled_vector,
         "raster_histogram": _q_raster_histogram,
         "pip_join_rows": _q_pip_rows,
@@ -1942,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer-exact codec-proving counterparts (*_features_exact)
         # took in-window slots.
         "spatial_join_within": _q_spatial_join_within,
+        "upscale_raster": _q_upscale,
         "train_test_counts": _q_train_test_counts,
         "pip_semi_join": _q_pip_semi,
         "distance_join_centers": _q_distance_join,
@@ -2430,6 +2443,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "field_values_segment": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        "downscale_raster": f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)}
+            SELECT r.x * 2 + dx.d AS x, r.y * 2 + dy.d AS y, r.band,
+                   r.val / 4.0 AS val
+            FROM raster r,
+                 (SELECT CAST(range AS INTEGER) AS d FROM range(2)) dx,
+                 (SELECT CAST(range AS INTEGER) AS d FROM range(2)) dy
+            WHERE r.band = 0 AND r.x < 90 AND r.y < 45
         """,
         # viewshed replay: same DDA sampling (fixed-order doubles), same
         # transparent-nodata / self-cell-exclusion rules, max is

@@ -378,3 +378,29 @@ def viewshed(
         .alias("visible"),
     )
     return out
+
+
+def downscale(df: DataFrame, k: int, stat: str = "spread") -> DataFrame:
+    """Inverse of :func:`upscale`: spread each cell across its k×k
+    finer cells — the reference DECLARES this operator and raises
+    NotImplementedError (``raster/manager.py:778``, stat='spread'
+    default). ``spread`` divides the value by k² (mass-preserving:
+    ``upscale(downscale(r, k), k, 'sum')`` reproduces ``r`` exactly
+    when k² is a power of two); ``copy`` replicates it. Pure-Catalyst
+    explode, no shuffle."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if stat not in ("spread", "copy"):
+        raise ValueError(f"unknown downscale stat {stat!r}")
+    offs = F.sequence(F.lit(0), F.lit(k - 1))
+    val = F.col("val") / F.lit(float(k * k)) if stat == "spread" else F.col("val")
+    return (
+        df.withColumn("_dx", F.explode(offs))
+        .withColumn("_dy", F.explode(offs))
+        .select(
+            (F.col("x") * k + F.col("_dx")).cast("int").alias("x"),
+            (F.col("y") * k + F.col("_dy")).cast("int").alias("y"),
+            "band",
+            val.alias("val"),
+        )
+    )

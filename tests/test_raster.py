@@ -397,3 +397,22 @@ def test_netcdf3_hand_fixture_and_roundtrip(spark, tmp_path):
     assert (1, 1, 0) not in got2 and len(got2) == 39
     for (x, y, b), v in got2.items():
         assert v == float(x * 7 + y * 13 + b * 29)
+
+
+def test_downscale_inverts_upscale(spark):
+    from pyspark.sql import functions as F
+
+    from pythongis_spark.raster.algebra import downscale, upscale
+
+    cells = [(x, y, 0, float(x * 7 + y * 13)) for y in range(4) for x in range(6)]
+    df = spark.createDataFrame(cells, "x int, y int, band int, val double")
+    down = downscale(df, 2, "spread")
+    assert down.count() == 4 * len(cells)
+    # mass-preserving: upscale(sum) of the spread grid reproduces the input
+    back = {(r["x"], r["y"]): r["val"] for r in upscale(down, 2, "sum").collect()}
+    for x, y, _, v in cells:
+        assert back[(x, y)] == v
+    # copy replicates
+    rep = {(r["x"], r["y"]): r["val"]
+           for r in downscale(df, 2, "copy").collect()}
+    assert rep[(5, 3)] == rep[(4, 2)] == float(2 * 7 + 1 * 13)
