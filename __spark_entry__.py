@@ -1759,6 +1759,55 @@ def _q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-distance from (0,0) over an 8×8 crop (nodata holes act as
+    barriers), run for a FIXED 12 Bellman rounds: the oracle unrolls the
+    same 12 rounds, so the two sides agree bit-exactly regardless of
+    whether the fixpoint is reached (every candidate cost is a
+    fixed-order float fold and min() is order-independent); fixpoint
+    SEMANTICS are proven separately by the Dijkstra-parity pytest."""
+    from pythongis_spark.fixtures import raster_cells
+    from pythongis_spark.raster.algebra import cost_distance
+
+    cells = raster_cells(spark).filter(
+        (F.col("band") == 0) & (F.col("x") < 8) & (F.col("y") < 8)
+    )
+    # fixed rounds, no per-round checksum jobs - gate wall stays bounded
+    return cost_distance(cells, [(0, 0)], fixed_rounds=12).select(
+        "x", "y", "dist"
+    )
+
+
+def _cost_distance_sql(rounds: int = 30) -> str:
+    s2 = "1.4142135623730951"
+    sql = [f"""
+            WITH {FX.raster_cells_cte_sql(360, 180, 1)},
+            grid AS (
+              SELECT x, y, val AS c FROM raster
+              WHERE band = 0 AND x < 8 AND y < 8 AND val IS NOT NULL
+            ),
+            offs(dx, dy, w) AS (VALUES
+              (-1,-1,{s2}),(0,-1,1.0),(1,-1,{s2}),(-1,0,1.0),
+              (1,0,1.0),(-1,1,{s2}),(0,1,1.0),(1,1,{s2})),
+            d0 AS (SELECT x, y, 0.0 AS d, c FROM grid
+                   WHERE x = 0 AND y = 0)"""]
+    for k in range(1, rounds + 1):
+        sql.append(f""",
+            d{k} AS (
+              SELECT x, y, min(d) AS d, c FROM (
+                SELECT x, y, d, c FROM d{k-1}
+                UNION ALL
+                SELECT g.x, g.y,
+                       p.d + ((p.c + g.c) / 2.0) * o.w AS d, g.c
+                FROM d{k-1} p, offs o, grid g
+                WHERE g.x = p.x + o.dx AND g.y = p.y + o.dy
+              ) GROUP BY x, y, c
+            )""")
+    sql.append(f"""
+            SELECT x, y, d AS dist FROM d{rounds}""")
+    return "".join(sql)
+
+
 def _q_downscale_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mass-preserving k=2 disaggregation of a cropped band — val/4 is
     exact in binary, so the spread replays bit-exactly."""
@@ -2019,6 +2068,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": _q_token_counts,
         "quality_docs": _q_quality_docs,
         "langid_docs": _q_langid_docs,
+        # past-the-window by design: 12 sequential Bellman rounds =
+        # many tiny jobs whose wall scales with scheduler latency, not
+        # data - kept out of the driver's 50-slot budget; oracle-checkable
+        # via tools/check_oracle.py in a quiet window
+        "cost_distance_raster": _q_cost_distance,
     }
 
 
@@ -2444,6 +2498,10 @@ def oracle_sql() -> dict[str, str]:
         "field_values_segment": """
             SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
         """,
+        # cost-distance replay: Bellman rounds unrolled to the same
+        # fixed 12 rounds the Spark side runs (round-count parity, not
+        # fixpoint, is the contract - see the query docstring)
+        "cost_distance_raster": _cost_distance_sql(12),
         "downscale_raster": f"""
             WITH {FX.raster_cells_cte_sql(360, 180, 1)}
             SELECT r.x * 2 + dx.d AS x, r.y * 2 + dy.d AS y, r.band,

@@ -404,3 +404,129 @@ def downscale(df: DataFrame, k: int, stat: str = "spread") -> DataFrame:
             val.alias("val"),
         )
     )
+
+
+_SQRT2 = 1.4142135623730951
+
+
+def cost_distance(
+    cost: DataFrame,
+    sources: list,
+    max_rounds: int = 64,
+    diagonal: bool = True,
+    fixed_rounds: int | None = None,
+) -> DataFrame:
+    """Cumulative-cost raster from a set of source cells — the engine
+    half of the reference's NotImplemented least-cost stack
+    (``pythongis/raster/analyzer.py``). Standard cost-distance
+    semantics (public ESRI/GRASS definition): moving between adjacent
+    cells costs the mean of their per-cell costs, ×√2 diagonally;
+    ``dist(cell)`` = minimum total cost over all paths from any source.
+    NULL cost = impassable barrier.
+
+    Distribution shape: Bellman relaxation — each round explodes the
+    frontier by the 8 neighbor offsets, joins the cost raster once, and
+    min-aggregates; ``localCheckpoint`` truncates the plan per round
+    (same contract as connected_components) and a (count, bit_xor)
+    checksum detects the fixpoint. Rounds needed = cells on the longest
+    optimal path (the documented scale bound — quadratic-total-work in
+    path length, each round one bounded shuffle); raises if not
+    converged within ``max_rounds``. The result is deterministic: every
+    path cost is a fixed-order fold along its path and min() is
+    order-independent.
+
+    ``fixed_rounds``: run exactly that many relaxation rounds with NO
+    convergence checksums (halves the job count; the fixpoint is
+    idempotent, so any value ≥ the longest optimal path's cell count is
+    correct — the caller owns that bound, e.g. from the grid diameter).
+
+    Returns (x, y, dist)."""
+    grid = cost.select("x", "y", F.col("val").alias("c")).filter(
+        F.col("c").isNotNull()
+    )
+    src = grid.sparkSession.createDataFrame(
+        [(int(x), int(y)) for x, y in sources], "x int, y int"
+    )
+    dist = (
+        grid.join(src, ["x", "y"], "left_semi")
+        .select("x", "y", F.lit(0.0).alias("d"), "c")
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(x, y, d))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (diagonal or dx * dy == 0)]
+    off_rows = grid.sparkSession.createDataFrame(
+        [(dx, dy, _SQRT2 if dx * dy != 0 else 1.0) for dx, dy in offs],
+        "dx int, dy int, w double",
+    )
+    prev = None if fixed_rounds is not None else checksum(dist)
+    for _ in range(fixed_rounds if fixed_rounds is not None else max_rounds):
+        cand = (
+            dist.crossJoin(F.broadcast(off_rows))
+            .select(
+                (F.col("x") + F.col("dx")).alias("x"),
+                (F.col("y") + F.col("dy")).alias("y"),
+                F.col("d").alias("_d0"),
+                F.col("c").alias("_c0"),
+                "w",
+            )
+            .join(grid, ["x", "y"])
+            .select(
+                "x", "y",
+                (F.col("_d0")
+                 + ((F.col("_c0") + F.col("c")) / F.lit(2.0)) * F.col("w")
+                 ).alias("d"),
+                "c",
+            )
+        )
+        nxt = (
+            dist.unionByName(cand)
+            .groupBy("x", "y", "c")
+            .agg(F.min("d").alias("d"))
+            .select("x", "y", "d", "c")
+            .localCheckpoint(eager=True)
+        )
+        dist = nxt
+        if fixed_rounds is None:
+            cur = checksum(nxt)
+            if cur == prev:
+                return dist.select("x", "y", "d").withColumnRenamed("d", "dist")
+            prev = cur
+    if fixed_rounds is not None:
+        return dist.select("x", "y", "d").withColumnRenamed("d", "dist")
+    raise RuntimeError(f"cost_distance did not converge in {max_rounds} rounds")
+
+
+def least_cost_path(
+    cost: DataFrame, source: tuple, target: tuple,
+    max_rounds: int = 64, diagonal: bool = True,
+) -> list:
+    """Steepest-descent backtrack over :func:`cost_distance` — returns
+    the cell path target→source as a list of (x, y). The dist raster is
+    computed distributed; the backtrack collects it (bounded: callers
+    crop to the corridor of interest first, the same contract as the
+    ASCII/BIL single-file writers)."""
+    dist = cost_distance(cost, [source], max_rounds, diagonal).toPandas()
+    dmap = {(int(r.x), int(r.y)): float(r.dist) for r in dist.itertuples()}
+    if tuple(target) not in dmap:
+        raise ValueError("target unreachable from source")
+    path = [tuple(target)]
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0) and (diagonal or dx * dy == 0)]
+    cur = tuple(target)
+    while cur != tuple(source):
+        nbrs = [(dmap[(cur[0] + dx, cur[1] + dy)], (cur[0] + dx, cur[1] + dy))
+                for dx, dy in offs if (cur[0] + dx, cur[1] + dy) in dmap]
+        best = min(nbrs)
+        if best[0] >= dmap[cur]:
+            raise RuntimeError("stuck backtracking (non-decreasing dist)")
+        cur = best[1]
+        path.append(cur)
+    return path

@@ -416,3 +416,54 @@ def test_downscale_inverts_upscale(spark):
     rep = {(r["x"], r["y"]): r["val"]
            for r in downscale(df, 2, "copy").collect()}
     assert rep[(5, 3)] == rep[(4, 2)] == float(2 * 7 + 1 * 13)
+
+
+def test_cost_distance_dijkstra_parity_and_path(spark):
+    """cost_distance vs a driver-side Dijkstra over the same step costs
+    (wall + barrier forces a detour), plus the backtracked path."""
+    import heapq
+    import math
+
+    import numpy as np
+
+    from pythongis_spark.raster.algebra import cost_distance, least_cost_path
+
+    w, h = 8, 6
+    rng = np.random.default_rng(6)
+    c = np.round(rng.uniform(1, 5, size=(h, w)), 2)
+    c[1:5, 3] = np.nan  # vertical barrier with a gap at the top/bottom
+    cells = [(x, y, 0, None if math.isnan(c[y, x]) else float(c[y, x]))
+             for y in range(h) for x in range(w)]
+    df = spark.createDataFrame(cells, "x int, y int, band int, val double")
+
+    got = {(r["x"], r["y"]): r["dist"]
+           for r in cost_distance(df, [(0, 0)], max_rounds=40).collect()}
+
+    # reference Dijkstra with identical float steps
+    offs = [(dx, dy, math.sqrt(2) if dx * dy else 1.0)
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    dist = {(0, 0): 0.0}
+    pq = [(0.0, (0, 0))]
+    while pq:
+        d0, (x, y) = heapq.heappop(pq)
+        if d0 > dist.get((x, y), math.inf):
+            continue
+        for dx, dy, wgt in offs:
+            nx, ny = x + dx, y + dy
+            if not (0 <= nx < w and 0 <= ny < h) or math.isnan(c[ny, nx]):
+                continue
+            nd = d0 + ((c[y, x] + c[ny, nx]) / 2.0) * wgt
+            if nd < dist.get((nx, ny), math.inf):
+                dist[(nx, ny)] = nd
+                heapq.heappush(pq, (nd, (nx, ny)))
+    assert set(got) == set(dist)
+    for k in dist:
+        assert abs(got[k] - dist[k]) < 1e-12, k
+
+    path = least_cost_path(df, (0, 0), (7, 5), max_rounds=40)
+    assert path[0] == (7, 5) and path[-1] == (0, 0)
+    # path is connected, monotone in dist, and avoids the barrier
+    for (x1, y1), (x2, y2) in zip(path, path[1:]):
+        assert max(abs(x1 - x2), abs(y1 - y2)) == 1
+        assert got[(x2, y2)] < got[(x1, y1)]
+        assert not math.isnan(c[y1, x1])
