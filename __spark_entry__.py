@@ -1760,7 +1760,7 @@ def _q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cost-distance from (0,0) over an 8×8 crop (nodata holes act as
+    """Cost-distance from (1,0) over an 8×8 crop (nodata holes act as
     barriers), run for a FIXED 12 Bellman rounds: the oracle unrolls the
     same 12 rounds, so the two sides agree bit-exactly regardless of
     whether the fixpoint is reached (every candidate cost is a
@@ -1773,7 +1773,8 @@ def _q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("band") == 0) & (F.col("x") < 8) & (F.col("y") < 8)
     )
     # fixed rounds, no per-round checksum jobs - gate wall stays bounded
-    return cost_distance(cells, [(0, 0)], fixed_rounds=12).select(
+    # (0,0) is a nodata hole in the synthetic grid; (1,0) is valid
+    return cost_distance(cells, [(1, 0)], fixed_rounds=12).select(
         "x", "y", "dist"
     )
 
@@ -1790,10 +1791,10 @@ def _cost_distance_sql(rounds: int = 30) -> str:
               (-1,-1,{s2}),(0,-1,1.0),(1,-1,{s2}),(-1,0,1.0),
               (1,0,1.0),(-1,1,{s2}),(0,1,1.0),(1,1,{s2})),
             d0 AS (SELECT x, y, 0.0 AS d, c FROM grid
-                   WHERE x = 0 AND y = 0)"""]
+                   WHERE x = 1 AND y = 0)"""]
     for k in range(1, rounds + 1):
         sql.append(f""",
-            d{k} AS (
+            d{k} AS MATERIALIZED (
               SELECT x, y, min(d) AS d, c FROM (
                 SELECT x, y, d, c FROM d{k-1}
                 UNION ALL
