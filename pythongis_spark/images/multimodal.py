@@ -378,7 +378,10 @@ def decode_avi_mjpeg(blob: bytes) -> tuple[np.ndarray, float]:
     strf_info = None        # (w, h, bit_count, compression)
 
     def decode_dib(payload: bytes) -> np.ndarray:
-        w, h, bits, _comp = strf_info
+        # biHeight sign is row order: positive = bottom-up (flip),
+        # negative = top-down (rows already in raster order)
+        w, h_signed, bits, _comp = strf_info
+        h = abs(h_signed)
         if bits != 24:
             raise NotImplementedError(f"raw AVI bit depth {bits}")
         stride = (w * 3 + 3) & ~3
@@ -386,7 +389,7 @@ def decode_avi_mjpeg(blob: bytes) -> tuple[np.ndarray, float]:
             raise ValueError("raw DIB frame shorter than stride*height")
         rows = np.frombuffer(payload[: stride * h], dtype=np.uint8)
         bgr = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
-        return bgr[::-1, :, ::-1]
+        return bgr[:, :, ::-1] if h_signed < 0 else bgr[::-1, :, ::-1]
 
     def walk(buf: bytes, pos: int, end: int):
         nonlocal fps, vids_seen, strf_info
@@ -406,7 +409,7 @@ def decode_avi_mjpeg(blob: bytes) -> tuple[np.ndarray, float]:
                 _sz, w, h = struct.unpack_from("<Iii", buf, body_start)
                 bits, = struct.unpack_from("<H", buf, body_start + 14)
                 comp, = struct.unpack_from("<I", buf, body_start + 16)
-                strf_info = (w, abs(h), bits, comp)
+                strf_info = (w, h, bits, comp)  # h keeps the biHeight sign
                 vids_seen = False
             elif cid in (b"00dc", b"00db") and size:
                 payload = buf[body_start : body_start + size]

@@ -828,11 +828,17 @@ def incremental_dedup(
             F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
         )
     )
+    # NULL text must behave identically on both key paths: xxhash64(NULL)
+    # collapses to the seed constant (every NULL would match every NULL),
+    # while string keys never join on NULL — so NULL-text rows get a NULL
+    # key unconditionally (kept by left_anti, never reported by left_semi)
     key = norm(F.col(text_col))
     if hash_key:
         key = F.xxhash64(key)
+    key = F.when(F.col(text_col).isNotNull(), key)
     tagged = new_df.withColumn("_k", key)
-    seen_keys = seen_df.select(norm(F.col(text_col)).alias("_k"))
+    seen_keys = seen_df.where(F.col(text_col).isNotNull()).select(
+        norm(F.col(text_col)).alias("_k"))
     if hash_key:
         seen_keys = seen_keys.select(F.xxhash64("_k").alias("_k"))
     seen_keys = seen_keys.distinct()

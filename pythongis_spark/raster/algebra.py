@@ -315,21 +315,26 @@ def viewshed(
 
     Rules: the observer cell is visible; NULL target elevation → NULL
     visibility; NULL sample elevations don't block (transparent
-    nodata, documented choice). Returns (x, y, dist, visible)."""
+    nodata, documented choice). The observer cell itself must exist
+    with a non-NULL elevation (one bounded 1-row collect) — a missing
+    or nodata observer raises instead of silently reporting every
+    in-radius cell visible (a NULL ``_oz`` nulls every sample tangent,
+    so the no-blocker rule would fire everywhere).
+    Returns (x, y, dist, visible)."""
     dem = df.select("x", "y", "val")
-    obs = F.broadcast(
-        dem.filter((F.col("x") == ox) & (F.col("y") == oy)).select(
-            (F.col("val") + F.lit(float(observer_height))).alias("_oz")
-        )
-    )
+    orow = dem.filter((F.col("x") == ox) & (F.col("y") == oy)).head(1)
+    if not orow or orow[0]["val"] is None:
+        raise ValueError(
+            f"viewshed observer cell ({ox}, {oy}) is missing or nodata")
+    oz = float(orow[0]["val"]) + float(observer_height)
     dx = F.col("x") - F.lit(ox)
     dy = F.col("y") - F.lit(oy)
     L = F.greatest(F.abs(dx), F.abs(dy))
     tgt = (
-        dem.crossJoin(obs)
+        dem
         .filter(dx * dx + dy * dy <= F.lit(radius * radius))
         .select(
-            "x", "y", "val", "_oz",
+            "x", "y", "val", F.lit(oz).alias("_oz"),
             F.sqrt((dx * dx + dy * dy).cast("double")).alias("dist"),
             L.alias("_L"),
         )
@@ -452,6 +457,15 @@ def cost_distance(
         .select("x", "y", F.lit(0.0).alias("d"), "c")
         .localCheckpoint(eager=True)
     )
+    # a source on a missing/nodata cell would silently yield an empty
+    # raster — validate up front (bounded: |sources| rows, and the
+    # checkpoint above already materialized them)
+    found = {(r["x"], r["y"]) for r in dist.select("x", "y").collect()}
+    missing = [(int(x), int(y)) for x, y in sources
+               if (int(x), int(y)) not in found]
+    if missing:
+        raise ValueError(
+            f"cost_distance source cells missing or nodata: {missing}")
 
     def checksum(df):
         row = df.agg(

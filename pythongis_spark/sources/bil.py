@@ -74,6 +74,19 @@ def read_bil(spark: SparkSession, path: str) -> tuple[DataFrame, RasterDef]:
     dt = np.dtype(_DTYPES[key]).newbyteorder(
         "<" if hdr["byteorder"] in ("I", "LSBFIRST") else ">"
     )
+    # EHdr allows row padding via BANDROWBYTES/TOTALROWBYTES; the dense
+    # np.fromfile below assumes packed rows, so a padded file would be
+    # silently misdecoded — raise loudly instead (matching the explicit
+    # NotImplementedError style of the other unsupported layouts).
+    samp = hdr["nbits"] // 8
+    packed_brb = cols * samp
+    packed_trb = (cols * bands * samp if hdr["layout"] == "BIP"
+                  else bands * packed_brb)
+    if hdr.get("bandrowbytes", packed_brb) != packed_brb or \
+            hdr.get("totalrowbytes", packed_trb) != packed_trb:
+        raise NotImplementedError(
+            "BIL row padding (BANDROWBYTES/TOTALROWBYTES exceed the packed "
+            f"row size {packed_brb}/{packed_trb}) is not supported")
     raw = np.fromfile(path, dtype=dt, count=rows * cols * bands,
                       offset=hdr.get("skipbytes", 0))
     if raw.size != rows * cols * bands:

@@ -108,6 +108,11 @@ def parse_netcdf(buf: bytes) -> dict:
         begin = r.i8() if v2 else r.i4()
         headers.append((nm, dimids, attrs, t, begin))
     rec_vars = [h for h in headers if h[1] and dims[h[1][0]][1] == 0]
+    # Unidata classic-format note on padding: with MORE than one record
+    # variable each per-record slab is padded to a 4-byte boundary and
+    # records interleave; with exactly ONE record variable of type
+    # byte/char/short the padding is dropped — records are packed at the
+    # variable's natural (possibly odd) stride.
     recsize = sum(
         _rounded_size(h, dims) for h in rec_vars
     ) if len(rec_vars) > 1 else None
@@ -117,8 +122,7 @@ def parse_netcdf(buf: bytes) -> dict:
         is_rec = bool(dimids) and dims[dimids[0]][1] == 0
         if is_rec:
             per_rec = int(np.prod(shape[1:], dtype=np.int64)) if shape[1:] else 1
-            step = recsize if recsize is not None else _rounded_size(
-                (nm, dimids, attrs, t, begin), dims)
+            step = recsize if recsize is not None else per_rec * sz
             chunks = [
                 np.frombuffer(buf, dtype=dt, count=per_rec,
                               offset=begin + rec * step)

@@ -610,3 +610,21 @@ def test_incremental_dedup_hash_vs_string_key(spark):
         assert sorted(r["doc_id"] for r in out.collect()) == [3], hk
         aud = incremental_dedup(new, seen, "doc_id", hash_key=hk, keep=False)
         assert sorted(r["doc_id"] for r in aud.collect()) == [1, 2], hk
+
+
+def test_incremental_dedup_null_text_parity(spark):
+    """NULL-text rows are kept on BOTH key paths: xxhash64(NULL) would
+    otherwise collapse to the seed constant and match any NULL-text
+    seen row, while string keys never join on NULL."""
+    from pythongis_spark.operators.dedup import incremental_dedup
+
+    seen = spark.createDataFrame(
+        [(100, None), (101, "known text")], "doc_id int, text string")
+    new = spark.createDataFrame(
+        [(1, None), (2, "known text"), (3, "fresh")],
+        "doc_id int, text string")
+    for hk in (False, True):
+        out = incremental_dedup(new, seen, "doc_id", hash_key=hk)
+        assert sorted(r["doc_id"] for r in out.collect()) == [1, 3], hk
+        aud = incremental_dedup(new, seen, "doc_id", hash_key=hk, keep=False)
+        assert sorted(r["doc_id"] for r in aud.collect()) == [2], hk

@@ -373,6 +373,29 @@ def test_avi_raw_round_trip_exact():
         assert fps == 8.0
 
 
+def test_avi_raw_top_down_dib():
+    """Negative biHeight marks a top-down DIB: rows are already in
+    raster order and the decoder must NOT apply the bottom-up flip."""
+    import struct
+
+    import numpy as np
+
+    from pythongis_spark.images.multimodal import decode_avi_mjpeg, encode_avi_raw
+
+    rng = np.random.default_rng(12)
+    h, w = 17, 33  # odd width forces row padding too
+    frames = rng.integers(0, 256, size=(2, h, w, 3), dtype=np.uint8)
+    # encoding the vertically-flipped frames bottom-up yields payload
+    # rows in raster order of `frames` — i.e. a top-down DIB payload
+    blob = encode_avi_raw(frames[:, ::-1], 8.0)
+    i = blob.find(b"strf")
+    h_off = i + 8 + 8  # strf body + biSize(4) + biWidth(4)
+    assert struct.unpack_from("<i", blob, h_off)[0] == h
+    blob = blob[:h_off] + struct.pack("<i", -h) + blob[h_off + 4:]
+    out, _fps = decode_avi_mjpeg(blob)
+    assert np.array_equal(out, frames)
+
+
 def test_lcg_video_matches_closed_form():
     import numpy as np
 

@@ -286,6 +286,25 @@ def test_viewshed_wall_and_brute_force(spark):
         assert v == expect, (x, y)
 
 
+def test_viewshed_and_cost_distance_invalid_start_raise(spark):
+    """A missing or nodata observer/source cell raises up front instead
+    of silently producing an all-visible viewshed / empty cost raster."""
+    import pytest
+
+    from pythongis_spark.raster.algebra import cost_distance, viewshed
+
+    rows = [(x, 0, 0, None if x == 1 else 1.0) for x in range(3)]
+    df = spark.createDataFrame(rows, "x int, y int, band int, val double")
+    with pytest.raises(ValueError, match="missing or nodata"):
+        viewshed(df, 9, 9, radius=5)          # absent cell
+    with pytest.raises(ValueError, match="missing or nodata"):
+        viewshed(df, 1, 0, radius=5)          # nodata cell
+    with pytest.raises(ValueError, match="missing or nodata"):
+        cost_distance(df, [(9, 9)], max_rounds=4)
+    with pytest.raises(ValueError, match="missing or nodata"):
+        cost_distance(df, [(1, 0)], max_rounds=4)
+
+
 def test_bil_round_trip_all_layouts(spark, tmp_path):
     import numpy as np
 
@@ -332,6 +351,29 @@ def test_bil_int16_big_endian(spark, tmp_path):
     got = {(r["x"], r["y"]): r["val"] for r in df.collect()}
     assert got == {(0, 0): 1.0, (1, 0): -2.0, (0, 1): 300.0, (1, 1): 4.0}
     assert rd.affine == (1.0, 0.0, 0.0, 0.0, -1.0, 2.0)
+
+
+def test_bil_row_padding_raises(spark, tmp_path):
+    """TOTALROWBYTES larger than the packed row size means padded rows —
+    the dense reader must refuse rather than misdecode silently. A
+    header that states the exact packed sizes still reads fine."""
+    import struct
+
+    import pytest
+
+    from pythongis_spark.sources.bil import read_bil
+
+    (tmp_path / "p.bil").write_bytes(struct.pack(">4h", 1, -2, 300, 4))
+    hdr = ("NROWS 2\nNCOLS 2\nNBANDS 1\nNBITS 16\nBYTEORDER M\nLAYOUT BIL\n"
+           "PIXELTYPE SIGNEDINT\nULXMAP 0.5\nULYMAP 1.5\nXDIM 1\nYDIM 1\n")
+    (tmp_path / "p.hdr").write_text(hdr + "BANDROWBYTES 4\nTOTALROWBYTES 8\n")
+    with pytest.raises(NotImplementedError, match="row padding"):
+        read_bil(spark, str(tmp_path / "p.bil"))
+
+    (tmp_path / "p.hdr").write_text(hdr + "BANDROWBYTES 4\nTOTALROWBYTES 4\n")
+    df, _ = read_bil(spark, str(tmp_path / "p.bil"))
+    got = {(r["x"], r["y"]): r["val"] for r in df.collect()}
+    assert got == {(0, 0): 1.0, (1, 0): -2.0, (0, 1): 300.0, (1, 1): 4.0}
 
 
 def test_netcdf3_hand_fixture_and_roundtrip(spark, tmp_path):
@@ -397,6 +439,43 @@ def test_netcdf3_hand_fixture_and_roundtrip(spark, tmp_path):
     assert (1, 1, 0) not in got2 and len(got2) == 39
     for (x, y, b), v in got2.items():
         assert v == float(x * 7 + y * 13 + b * 29)
+
+
+def test_netcdf3_single_short_record_var_unpadded(spark, tmp_path):
+    """Unidata classic-format padding note: exactly ONE record variable
+    of type byte/char/short is packed with NO per-record padding — the
+    stride is the natural (here 6-byte) record size. A padded-stride
+    reader returns garbage for every record after the first."""
+    import struct
+
+    import numpy as np
+
+    from pythongis_spark.sources.netcdf3 import parse_netcdf, read_netcdf
+
+    def name(s):
+        b = s.encode()
+        return struct.pack(">i", len(b)) + b + b"\x00" * ((-len(b)) % 4)
+
+    recs = np.array([[1, -2, 300], [4, 5, -6]], dtype=">i2")
+    hdr = b"CDF\x01" + struct.pack(">i", 2)  # numrecs = 2
+    hdr += (struct.pack(">ii", 0x0A, 2) + name("time") + struct.pack(">i", 0)
+            + name("x") + struct.pack(">i", 3))
+    hdr += b"\x00" * 8 + struct.pack(">ii", 0x0B, 1)
+    entry = (name("temp") + struct.pack(">i", 2) + struct.pack(">ii", 0, 1)
+             + b"\x00" * 8 + struct.pack(">ii", 3, 8))  # short, vsize=8
+    begin = len(hdr) + len(entry) + 4
+    blob = hdr + entry + struct.pack(">i", begin)
+    blob += recs[0].tobytes() + recs[1].tobytes()  # 6-byte packed records
+    p = tmp_path / "shortrec.nc"
+    p.write_bytes(blob)
+
+    nc = parse_netcdf(blob)
+    assert nc["vars"]["temp"]["data"].tolist() == [[1, -2, 300], [4, 5, -6]]
+
+    df, _rd = read_netcdf(spark, str(p))
+    got = {(r["x"], r["y"]): r["val"] for r in df.collect()}
+    assert got == {(0, 0): 1.0, (1, 0): -2.0, (2, 0): 300.0,
+                   (0, 1): 4.0, (1, 1): 5.0, (2, 1): -6.0}
 
 
 def test_downscale_inverts_upscale(spark):
