@@ -498,6 +498,66 @@ def _q_buffer_zone_areas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _holed_zones(spark: SparkSession):
+    """Zone rectangles with a concentric rectangular hole (inset 9° × 7.5°,
+    all bounds dyadic) — the geodetic-area fixture: exterior minus hole
+    exercises the reference's hole-subtraction rule (geography.py:88-94)."""
+    from pythongis_spark.geometry import wkb as W
+
+    rows = []
+    for z in range(60):
+        x0 = -180.0 + (z % 10) * 36.0
+        y0 = -90.0 + (z // 10) * 30.0
+        x1, y1 = x0 + 36.0, y0 + 30.0
+        ext = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+        hx0, hy0, hx1, hy1 = x0 + 9.0, y0 + 7.5, x1 - 9.0, y1 - 7.5
+        hole = [[hx0, hy0], [hx1, hy0], [hx1, hy1], [hx0, hy1], [hx0, hy0]]
+        rows.append(dict(zone_id=z, geom=W.wkb_polygon(ext, [hole])))
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def _q_geodetic_area_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_geodetic_area over holed zone rectangles — the reference's
+    geodetic polygon area (geography.py:68-102: |exterior| − Σ|holes|,
+    km²), engine kernel = Chamberlain–Duquette line integral on the
+    WGS84 authalic sphere (geodesy.cd_ring_area_m2). For lon/lat
+    rectangles the integral collapses to two nonzero terms, replayed
+    closed-form in SQL; sin/radians are bit-identical between numpy and
+    DuckDB on this host (measured), so no rounding is needed."""
+    from pythongis_spark.geometry.udfs import st_geodetic_area
+
+    zones = _holed_zones(spark)
+    return zones.select(
+        "zone_id", st_geodetic_area(F.col("geom")).alias("area_km2")
+    )
+
+
+def _q_geodetic_length_meridians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_geodetic_length over 4-point meridian polylines derived from
+    event points (lat/2, +0.125° steps — all dyadic). Along a meridian
+    Vincenty's λ-iteration is stationary at 0, so the 20-iteration
+    kernel equals the closed-form Bessel arc the DuckDB oracle computes
+    in one pass (same op order). atan/atan2/tan differ from numpy by
+    ≤1 ulp (measured) → totals rounded to 1e-5 m with measured margin;
+    the general (iterating) path is reference-parity-tested in
+    tests/test_geometry.py against the reference's own
+    ``_vincenty_distance``."""
+    from pythongis_spark.geometry.udfs import st_geodetic_length, st_make_line
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon, lat = FX.derived_lonlat_cols("event_id")
+    pts = ev.filter(F.col("event_id") % 5 == 0).select("event_id", lon, lat)
+    base = F.col("lat") / 2.0
+    line = st_make_line(
+        F.array(F.col("lon"), F.col("lon"), F.col("lon"), F.col("lon")),
+        F.array(base, base + 0.125, base + 0.25, base + 0.375),
+    )
+    return pts.select(
+        "event_id",
+        F.round(st_geodetic_length(line), 5).alias("len_m"),
+    )
+
+
 def _l_zones(spark: SparkSession):
     """Concave L-shaped zone fixture: each 36×30 zone rectangle replaced
     by the L covering its bottom strip (full width × 15) plus left strip
@@ -1934,6 +1994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operator family; long-stable rows verified in r2+r3 sit
         # past the window (still registered, judge-checkable via
         # tools/check_oracle.py).
+        # ---- r5 additions first (new code leads the window)
+        "geodetic_area_zones": _q_geodetic_area_zones,
+        "geodetic_length_meridians": _q_geodetic_length_meridians,
         "spatial_join_clip_union": _q_spatial_join_clip_union,
         "spatial_join_clip_difference": _q_spatial_join_clip_difference,
         "pairwise_topk": _q_pairwise_topk,
@@ -2104,6 +2167,82 @@ def _tile_sql(lon: str, lat: str, z: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _geodetic_area_sql() -> str:
+    """Closed-form C–D line integral for the holed zone rectangles,
+    replicating the numpy kernel's exact op order (two nonzero terms per
+    ring; ((|s|·R)·R)/2 left-assoc; ext − hole; /1e6). sin/radians are
+    bit-identical numpy↔DuckDB on this host (measured), so the values
+    hash exactly without rounding."""
+    from pythongis_spark.geometry.geodesy import WGS84_AUTHALIC_R
+
+    R = repr(WGS84_AUTHALIC_R)
+
+    def ring(x0, x1, y0, y1):
+        s = (f"((RADIANS({x1}) - RADIANS({x0}))"
+             f" * (2.0 + SIN(RADIANS({y0})) + SIN(RADIANS({y0})))"
+             f" + (RADIANS({x0}) - RADIANS({x1}))"
+             f" * (2.0 + SIN(RADIANS({y1})) + SIN(RADIANS({y1}))))")
+        return f"(((ABS({s}) * {R}) * {R}) / 2.0)"
+
+    ext = ring("xmin", "xmax", "ymin", "ymax")
+    hole = ring("xmin + 9.0", "xmax - 9.0", "ymin + 7.5", "ymax - 7.5")
+    return f"""
+        WITH {FX.ZONES_CTE_SQL.strip()}
+        SELECT zone_id, ({ext} - {hole}) / 1000000.0 AS area_km2
+        FROM zones
+    """
+
+
+def _geodetic_length_sql() -> str:
+    """Meridian Vincenty closed form: along a meridian the λ-iteration
+    is stationary at 0 (sinα = 0 exactly), so the kernel's fixed-20-
+    iteration result equals a single Bessel-arc evaluation. Constants
+    (u², A, B, B/4, B/6, b·A) are computed HERE with the same python op
+    order as the kernel and embedded as literals; the remaining per-row
+    trig differs from numpy by ≤1 ulp, absorbed by ROUND(·,5) with
+    measured margin (tools-checked at registration)."""
+    from pythongis_spark.geometry.geodesy import WGS84_A, WGS84_B, WGS84_F
+
+    usq = (WGS84_A**2 - WGS84_B**2) / WGS84_B**2
+    A_ = 1 + usq / 16384 * (4096 + usq * (-768 + usq * (320 - 175 * usq)))
+    B_ = usq / 1024 * (256 + usq * (-128 + usq * (74 - 47 * usq)))
+    b4, b6, bA = repr(B_ / 4), repr(B_ / 6), repr(WGS84_B * A_)
+    B_ = repr(B_)
+    omf = repr(1 - WGS84_F)
+
+    def seg(i, j):
+        dd = f"(cu{i}*su{j} - su{i}*cu{j})"
+        ss = f"SQRT({dd}*{dd})"
+        cs = f"(su{i}*su{j} + cu{i}*cu{j})"
+        c2m = f"({cs} - 2*su{i}*su{j})"
+        term = (f"({c2m} + {b4}*({cs}*(-1.0 + 2.0*({c2m}*{c2m}))"
+                f" - {b6}*{c2m}*(-3.0 + 4.0*({ss}*{ss}))"
+                f"*(-3.0 + 4.0*({c2m}*{c2m}))))")
+        return f"({bA} * (ATAN2({ss}, {cs}) - ({B_}*{ss})*{term}))"
+
+    lon, lat = FX.derived_lonlat_sql("event_id")
+    su_cu = ", ".join(
+        f"SIN(ATAN({omf}*TAN(RADIANS(lat{k})))) AS su{k}, "
+        f"COS(ATAN({omf}*TAN(RADIANS(lat{k})))) AS cu{k}"
+        for k in range(4)
+    )
+    return f"""
+        WITH pts AS (
+          SELECT event_id, ({lat})/2.0 AS lat0
+          FROM events WHERE event_id % 5 = 0
+        ),
+        lats AS (
+          SELECT event_id, lat0, lat0 + 0.125 AS lat1,
+                 lat0 + 0.25 AS lat2, lat0 + 0.375 AS lat3
+          FROM pts
+        ),
+        u AS (SELECT event_id, {su_cu} FROM lats)
+        SELECT event_id,
+               ROUND({seg(0, 1)} + {seg(1, 2)} + {seg(2, 3)}, 5) AS len_m
+        FROM u
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     zid = FX.zone_id_sql("p.lon", "p.lat")
     knn_dist = "sqrt((p.lon - z.cx) * (p.lon - z.cx) + (p.lat - z.cy) * (p.lat - z.cy))"
@@ -2127,6 +2266,8 @@ def oracle_sql() -> dict[str, str]:
         )
 
     return {
+        "geodetic_area_zones": _geodetic_area_sql(),
+        "geodetic_length_meridians": _geodetic_length_sql(),
         "sample_hash_docs": f"""
             SELECT doc_id, lang, n_chars FROM documents
             WHERE {h01(7)} < 0.1

@@ -177,6 +177,88 @@ def geodetic_buffer_points(lon, lat, radius_m, resolution: int = 32) -> list:
     return rings
 
 
+# WGS84 authalic radius: the sphere with the ellipsoid's surface area
+WGS84_AUTHALIC_R = 6371007.1809184747
+
+
+def cd_ring_area_m2(ring: np.ndarray) -> float:
+    """Unsigned spherical ring area (m²) on the WGS84 authalic sphere
+    via the Chamberlain–Duquette line integral (JPL Publication 07-03,
+    "Some Algorithms for Polygons on a Sphere", eq. 14 — the formula
+    used by turf.js/Google Maps):
+
+        A = R²/2 · |Σᵢ (λᵢ₊₁ − λᵢ)(2 + sin φᵢ + sin φᵢ₊₁)|
+
+    Exact for constant-latitude/meridian edges (a lon/lat "rectangle"
+    integrates to the exact spherical zone slice 2πR²(sinφ₂−sinφ₁)·Δλ/2π)
+    and sub-0.01% for typical short polygon edges. Documented divergence
+    vs the reference: geographiclib computes ellipsoidal (Karney) area;
+    the authalic-sphere value differs by up to ~0.3% depending on
+    latitude (geographiclib is unavailable in this image, same boundary
+    as the pyproj reproject divergence)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    lon = np.radians(ring[:, 0])
+    lat = np.radians(ring[:, 1])
+    terms = (lon[1:] - lon[:-1]) * (2.0 + np.sin(lat[:-1]) + np.sin(lat[1:]))
+    return abs(float(np.sum(terms))) * WGS84_AUTHALIC_R * WGS84_AUTHALIC_R / 2.0
+
+
+def geodetic_area_km2(geom) -> float | None:
+    """Geodetic polygon area in km², reference semantics
+    (``pythongis/vector/geography.py:68-102``): per polygon part,
+    |exterior ring| − Σ|holes| (holes subtracted even when degenerate),
+    MultiPolygon parts summed, m² → km². Non-polygon geometries → None
+    (the reference raises; a column UDF degrades to NULL, documented)."""
+    t, payload = geom
+    if t == "Polygon":
+        polys = [payload]
+    elif t == "MultiPolygon":
+        polys = payload
+    else:
+        return None
+    total = 0.0
+    for rings in polys:
+        part = cd_ring_area_m2(rings[0])
+        for hole in rings[1:]:
+            part -= cd_ring_area_m2(hole)
+        total += part
+    return total / 1_000_000.0
+
+
+def geodetic_length_m(geom) -> float | None:
+    """Geodetic line length in meters, reference semantics
+    (``pythongis/vector/_helpers.py:180-208``): per-segment Vincenty
+    inverse distance summed; Point/MultiPoint → 0.0; polygon inputs →
+    None (the reference raises). The per-segment distances come from the
+    vectorized :func:`vincenty_inverse_m` over all segments at once.
+
+    Documented divergences: the reference returns km with each segment
+    rounded to 1e-6 km (we return unrounded meters), and its
+    ``geodetic_length`` passes GeoJSON (lon, lat) pairs into a
+    ``_vincenty_distance`` that expects (lat, lon) — we implement the
+    documented intent (length of the lon/lat line), the same policy as
+    the ``align`` divergence note."""
+    t, payload = geom
+    if t in ("Point", "MultiPoint"):
+        return 0.0
+    if t == "LineString":
+        lines = [payload]
+    elif t == "MultiLineString":
+        lines = payload
+    else:
+        return None
+    total = 0.0
+    for coords in lines:
+        coords = np.asarray(coords, dtype=np.float64)
+        if len(coords) < 2:
+            continue
+        seg = vincenty_inverse_m(
+            coords[:-1, 0], coords[:-1, 1], coords[1:, 0], coords[1:, 1]
+        )
+        total += float(np.sum(seg))
+    return total
+
+
 def great_circle_path(lon1, lat1, lon2, lat2, segments: int = 100) -> np.ndarray:
     """Segmentized great-circle LineString between two points (slerp on the
     unit sphere) — reference ``pythongis/vector/_helpers.py:236-294``."""

@@ -148,6 +148,47 @@ def st_haversine(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Ser
     return pd.Series(d, index=lon1.index)
 
 
+@F.pandas_udf(T.BinaryType())
+def st_make_line(lons: pd.Series, lats: pd.Series) -> pd.Series:
+    """LineString WKB from parallel lon/lat array columns (the
+    from-coordinates constructor of the reference's geojson loader,
+    ``pythongis/vector/loader.py``)."""
+    out = []
+    for xs, ys in zip(lons.to_numpy(object), lats.to_numpy(object)):
+        if xs is None or ys is None:
+            out.append(None)
+            continue
+        coords = np.stack([np.asarray(xs, dtype=np.float64),
+                           np.asarray(ys, dtype=np.float64)], axis=1)
+        out.append(W.wkb_linestring(coords))
+    return pd.Series(out, index=lons.index)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_geodetic_area(geom: pd.Series) -> pd.Series:
+    """Geodetic polygon area in km² on the WGS84 authalic sphere
+    (Chamberlain–Duquette line integral; reference geographiclib version
+    at ``pythongis/vector/geography.py:68-102`` — holes subtracted,
+    MultiPolygon parts summed, m²→km²; ellipsoidal-vs-authalic divergence
+    documented in :func:`geodesy.cd_ring_area_m2`). Non-polygons → NULL
+    (the reference raises)."""
+    return geom.map(
+        lambda b: geodesy.geodetic_area_km2(W.decode_wkb(bytes(b)))
+        if b is not None else None
+    )
+
+
+@F.pandas_udf(T.DoubleType())
+def st_geodetic_length(geom: pd.Series) -> pd.Series:
+    """Geodetic line length in meters: per-segment Vincenty inverse sum
+    (reference per-row version ``pythongis/vector/_helpers.py:180-208``).
+    Points → 0.0, polygons → NULL (the reference raises)."""
+    return geom.map(
+        lambda b: geodesy.geodetic_length_m(W.decode_wkb(bytes(b)))
+        if b is not None else None
+    )
+
+
 @F.pandas_udf(T.StringType())
 def st_geomtype(geom: pd.Series) -> pd.Series:
     return geom.map(lambda b: W.decode_wkb(b)[0] if b is not None else None)
@@ -201,6 +242,8 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("st_length", st_length)
     spark.udf.register("st_geomtype", st_geomtype)
     spark.udf.register("st_geodetic_distance", st_geodetic_distance)
+    spark.udf.register("st_geodetic_area", st_geodetic_area)
+    spark.udf.register("st_geodetic_length", st_geodetic_length)
     spark.udf.register("st_haversine", st_haversine)
     spark.udf.register("st_intersection", st_intersection)
     spark.udf.register("st_union", st_union)

@@ -138,6 +138,91 @@ def test_vincenty_direct_roundtrip():
     assert abs(d - 100000.0) < 1.0
 
 
+def test_geodetic_area_zone_band_closed_form():
+    """A lon/lat rectangle integrates to the EXACT spherical zone slice
+    R²·Δλ·(sinφ₂−sinφ₁) under the Chamberlain–Duquette line integral."""
+    import math
+
+    R = geodesy.WGS84_AUTHALIC_R
+    for lam1, lam2, phi1, phi2 in [(-180.0, 180.0, 30.0, 60.0),
+                                   (10.0, 20.0, -45.0, -40.0),
+                                   (0.0, 90.0, 0.0, 10.0)]:
+        ring = np.array([[lam1, phi1], [lam2, phi1], [lam2, phi2],
+                         [lam1, phi2], [lam1, phi1]])
+        expect = (R * R * math.radians(lam2 - lam1)
+                  * (math.sin(math.radians(phi2)) - math.sin(math.radians(phi1))))
+        got = geodesy.cd_ring_area_m2(ring)
+        assert abs(got - expect) / expect < 1e-12, (lam1, phi1)
+    # the full 30°-60° band is the published spherical zone 2πR²Δsinφ
+    band = geodesy.cd_ring_area_m2(np.array(
+        [[-180.0, 30.0], [180.0, 30.0], [180.0, 60.0], [-180.0, 60.0],
+         [-180.0, 30.0]]))
+    assert abs(band - 2 * math.pi * R * R * (math.sin(math.radians(60))
+                                             - math.sin(math.radians(30)))
+               ) / band < 1e-12
+
+
+def test_geodetic_area_holes_multipolygon_and_types():
+    """Reference semantics (geography.py:68-102): |exterior| − Σ|holes|
+    per part, parts summed, km² output; non-polygons → None."""
+    ext = np.array([[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], dtype=float)
+    hole = np.array([[0.25, 0.25], [0.75, 0.25], [0.75, 0.75],
+                     [0.25, 0.75], [0.25, 0.25]], dtype=float)
+    a_ext = geodesy.cd_ring_area_m2(ext) / 1e6
+    a_hole = geodesy.cd_ring_area_m2(hole) / 1e6
+    # ring orientation must not matter (reference takes abs per ring)
+    assert geodesy.geodetic_area_km2(("Polygon", [ext[::-1]])) == a_ext
+    got = geodesy.geodetic_area_km2(("Polygon", [ext, hole]))
+    assert abs(got - (a_ext - a_hole)) < 1e-9
+    # 1°×1° at the equator ≈ 111.19 km × 111.19 km ≈ 12364 km²
+    assert 12000 < a_ext < 12700
+    got_mp = geodesy.geodetic_area_km2(
+        ("MultiPolygon", [[ext, hole], [ext + 5.0]]))
+    a_ext5 = geodesy.cd_ring_area_m2(ext + 5.0) / 1e6
+    assert abs(got_mp - (a_ext - a_hole + a_ext5)) < 1e-9
+    assert geodesy.geodetic_area_km2(("LineString", ext)) is None
+    assert geodesy.geodetic_area_km2(("Point", ext[:1])) is None
+
+
+def test_geodetic_length_segments_and_types():
+    line = np.array([[2.35, 48.85], [0.0, 45.0], [-5.0, 40.0]])
+    got = geodesy.geodetic_length_m(("LineString", line))
+    segs = geodesy.vincenty_inverse_m(
+        line[:-1, 0], line[:-1, 1], line[1:, 0], line[1:, 1])
+    assert abs(got - float(np.sum(segs))) < 1e-9
+    got_ml = geodesy.geodetic_length_m(("MultiLineString", [line, line + 1.0]))
+    assert got_ml > got
+    assert geodesy.geodetic_length_m(("Point", line[:1])) == 0.0
+    assert geodesy.geodetic_length_m(("Polygon", [SQUARE])) is None
+
+
+def test_geodetic_length_reference_parity():
+    """Per-segment Vincenty matches the reference's own pure-python
+    `_vincenty_distance` (imported from the read-only tree as a
+    behavioral oracle). The reference returns km rounded to 1e-6 km
+    (1 mm) per segment, so parity holds to n_segments × 0.5 mm."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ref_helpers", "/root/reference/pythongis/vector/_helpers.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    line = np.array([[2.35, 48.85], [-74.0, 40.71], [-74.1, 40.8],
+                     [139.69, 35.68]])
+    ours_km = geodesy.geodetic_length_m(("LineString", line)) / 1000.0
+    # _vincenty_distance expects (lat, lon) pairs (its doctest uses
+    # boston=(42.35, -71.07)); the reference's geodetic_length feeds it
+    # raw GeoJSON (lon, lat) pairs unswapped — we implement the
+    # documented intent (Vincenty length of the lon/lat line), same
+    # policy as the `align` divergence note
+    theirs_km = sum(
+        ref._vincenty_distance((line[i, 1], line[i, 0]),
+                               (line[i + 1, 1], line[i + 1, 0]))
+        for i in range(len(line) - 1))
+    assert abs(ours_km - theirs_km) < 3 * 0.5e-6 + 1e-9
+
+
 def test_great_circle_path():
     path = geodesy.great_circle_path(0.0, 0.0, 90.0, 0.0, segments=10)
     assert path.shape == (11, 2)
