@@ -1839,13 +1839,13 @@ def _q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cost_distance_sql(rounds: int = 30) -> str:
+def _cost_distance_sql(rounds: int = 30, w: int = 8, h: int = 8) -> str:
     s2 = "1.4142135623730951"
     sql = [f"""
             WITH {FX.raster_cells_cte_sql(360, 180, 1)},
             grid AS (
               SELECT x, y, val AS c FROM raster
-              WHERE band = 0 AND x < 8 AND y < 8 AND val IS NOT NULL
+              WHERE band = 0 AND x < {w} AND y < {h} AND val IS NOT NULL
             ),
             offs(dx, dy, w) AS (VALUES
               (-1,-1,{s2}),(0,-1,1.0),(1,-1,{s2}),(-1,0,1.0),
@@ -1867,6 +1867,24 @@ def _cost_distance_sql(rounds: int = 30) -> str:
     sql.append(f"""
             SELECT x, y, d AS dist FROM d{rounds}""")
     return "".join(sql)
+
+
+def _q_cost_distance_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile-blocked Dijkstra cost distance over a 16×8 crop with
+    tile_size=4 (8 tiles, multi-round halo exchange). The oracle unrolls
+    Bellman to a guaranteed fixpoint (127 rounds ≥ any optimal path's
+    cell count on 128 cells): both methods compute the unique fixpoint
+    of the same fixed-order relaxation equations, so the values hash
+    bit-exactly."""
+    from pythongis_spark.fixtures import raster_cells
+    from pythongis_spark.raster.algebra import cost_distance
+
+    cells = raster_cells(spark).filter(
+        (F.col("band") == 0) & (F.col("x") < 16) & (F.col("y") < 8)
+    )
+    return cost_distance(cells, [(1, 0)], max_rounds=12, tile_size=4).select(
+        "x", "y", "dist"
+    )
 
 
 def _q_downscale_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1997,6 +2015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- r5 additions first (new code leads the window)
         "geodetic_area_zones": _q_geodetic_area_zones,
         "geodetic_length_meridians": _q_geodetic_length_meridians,
+        "cost_distance_tiled": _q_cost_distance_tiled,
         "spatial_join_clip_union": _q_spatial_join_clip_union,
         "spatial_join_clip_difference": _q_spatial_join_clip_difference,
         "pairwise_topk": _q_pairwise_topk,
@@ -2644,6 +2663,7 @@ def oracle_sql() -> dict[str, str]:
         # fixed 12 rounds the Spark side runs (round-count parity, not
         # fixpoint, is the contract - see the query docstring)
         "cost_distance_raster": _cost_distance_sql(12),
+        "cost_distance_tiled": _cost_distance_sql(127, w=16, h=8),
         "downscale_raster": f"""
             WITH {FX.raster_cells_cte_sql(360, 180, 1)}
             SELECT r.x * 2 + dx.d AS x, r.y * 2 + dy.d AS y, r.band,

@@ -11,6 +11,8 @@ the tiled-fallback behavior natively.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -413,6 +415,10 @@ def downscale(df: DataFrame, k: int, stat: str = "spread") -> DataFrame:
 
 _SQRT2 = 1.4142135623730951
 
+# tile rounds the last convergence-mode cost_distance took (diagnostic:
+# the scale bound is optimal-path length in tiles + 2)
+LAST_TILE_ROUNDS = 0
+
 
 def cost_distance(
     cost: DataFrame,
@@ -420,6 +426,7 @@ def cost_distance(
     max_rounds: int = 64,
     diagonal: bool = True,
     fixed_rounds: int | None = None,
+    tile_size: int = 128,
 ) -> DataFrame:
     """Cumulative-cost raster from a set of source cells — the engine
     half of the reference's NotImplemented least-cost stack
@@ -429,21 +436,27 @@ def cost_distance(
     ``dist(cell)`` = minimum total cost over all paths from any source.
     NULL cost = impassable barrier.
 
-    Distribution shape: Bellman relaxation — each round explodes the
-    frontier by the 8 neighbor offsets, joins the cost raster once, and
-    min-aggregates; ``localCheckpoint`` truncates the plan per round
-    (same contract as connected_components) and a (count, bit_xor)
-    checksum detects the fixpoint. Rounds needed = cells on the longest
-    optimal path (the documented scale bound — quadratic-total-work in
-    path length, each round one bounded shuffle); raises if not
-    converged within ``max_rounds``. The result is deterministic: every
-    path cost is a fixed-order fold along its path and min() is
-    order-independent.
+    Distribution shape (default): TILE-BLOCKED Dijkstra — each round
+    assembles the dirty tiles (tiles touched by last round's improved
+    cells) together with a 1-cell halo, runs an exact in-memory
+    Dijkstra per tile inside ``applyInPandas``, and min-merges the
+    improved cells back into the global dist state. Information crosses
+    a whole tile per round, so rounds scale with the optimal path's
+    length in TILES (≈ path_cells / tile_size), not cells — the
+    scale-safe shape for continental grids. Converges when no cell
+    improves; raises past ``max_rounds`` (tile rounds).
 
-    ``fixed_rounds``: run exactly that many relaxation rounds with NO
-    convergence checksums (halves the job count; the fixpoint is
-    idempotent, so any value ≥ the longest optimal path's cell count is
-    correct — the caller owns that bound, e.g. from the grid diameter).
+    The result is bit-identical to Bellman relaxation run to its
+    fixpoint: both compute the unique fixpoint of
+    ``d(v) = min_u(d(u) + step(u,v))`` where every step is the same
+    fixed-order float expression, and min() is order-independent —
+    proven by the Dijkstra-parity pytest and the unchanged
+    ``cost_distance_raster`` oracle.
+
+    ``fixed_rounds``: run exactly that many CELL-LEVEL Bellman rounds
+    with no convergence checks (the SQL-replayable parity mode the
+    driver gate uses: the oracle unrolls the same rounds, so both sides
+    agree bit-exactly whether or not the fixpoint was reached).
 
     Returns (x, y, dist)."""
     grid = cost.select("x", "y", F.col("val").alias("c")).filter(
@@ -467,66 +480,174 @@ def cost_distance(
         raise ValueError(
             f"cost_distance source cells missing or nodata: {missing}")
 
-    def checksum(df):
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(x, y, d))").alias("h"),
-        ).first()
-        return (row["n"], row["h"])
-
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
             if (dx, dy) != (0, 0) and (diagonal or dx * dy == 0)]
-    off_rows = grid.sparkSession.createDataFrame(
-        [(dx, dy, _SQRT2 if dx * dy != 0 else 1.0) for dx, dy in offs],
-        "dx int, dy int, w double",
-    )
-    prev = None if fixed_rounds is not None else checksum(dist)
-    for _ in range(fixed_rounds if fixed_rounds is not None else max_rounds):
-        cand = (
-            dist.crossJoin(F.broadcast(off_rows))
-            .select(
-                (F.col("x") + F.col("dx")).alias("x"),
-                (F.col("y") + F.col("dy")).alias("y"),
-                F.col("d").alias("_d0"),
-                F.col("c").alias("_c0"),
-                "w",
-            )
-            .join(grid, ["x", "y"])
-            .select(
-                "x", "y",
-                (F.col("_d0")
-                 + ((F.col("_c0") + F.col("c")) / F.lit(2.0)) * F.col("w")
-                 ).alias("d"),
-                "c",
-            )
+    if fixed_rounds is not None:
+        off_rows = grid.sparkSession.createDataFrame(
+            [(dx, dy, _SQRT2 if dx * dy != 0 else 1.0) for dx, dy in offs],
+            "dx int, dy int, w double",
         )
-        nxt = (
-            dist.unionByName(cand)
-            .groupBy("x", "y", "c")
-            .agg(F.min("d").alias("d"))
-            .select("x", "y", "d", "c")
+        for _ in range(fixed_rounds):
+            cand = (
+                dist.crossJoin(F.broadcast(off_rows))
+                .select(
+                    (F.col("x") + F.col("dx")).alias("x"),
+                    (F.col("y") + F.col("dy")).alias("y"),
+                    F.col("d").alias("_d0"),
+                    F.col("c").alias("_c0"),
+                    "w",
+                )
+                .join(grid, ["x", "y"])
+                .select(
+                    "x", "y",
+                    (F.col("_d0")
+                     + ((F.col("_c0") + F.col("c")) / F.lit(2.0)) * F.col("w")
+                     ).alias("d"),
+                    "c",
+                )
+            )
+            dist = (
+                dist.unionByName(cand)
+                .groupBy("x", "y", "c")
+                .agg(F.min("d").alias("d"))
+                .select("x", "y", "d", "c")
+                .localCheckpoint(eager=True)
+            )
+        return dist.select("x", "y", "d").withColumnRenamed("d", "dist")
+
+    # ---- tile-blocked Dijkstra (convergence mode) ----
+    T = int(tile_size)
+
+    def influence(df):
+        """Explode each cell to every tile whose 1-cell-halo region
+        contains it (≤ 2×2 tiles, pure projection — no distinct
+        shuffle): the tiles this cell must be visible to as a seed/halo."""
+        return (
+            df.withColumn("_txs", F.array_distinct(F.array(
+                F.floor((F.col("x") - 1) / T), F.floor(F.col("x") / T),
+                F.floor((F.col("x") + 1) / T))))
+            .withColumn("_tys", F.array_distinct(F.array(
+                F.floor((F.col("y") - 1) / T), F.floor(F.col("y") / T),
+                F.floor((F.col("y") + 1) / T))))
+            .withColumn("tx", F.explode("_txs"))
+            .withColumn("ty", F.explode("_tys"))
+            .drop("_txs", "_tys")
+        )
+
+    # static: cost cells replicated to their ≤4 influenced tiles (halo
+    # copies included), computed once and reused every round
+    grid_inf = influence(grid.select("x", "y", "c")).localCheckpoint(eager=True)
+    run_tile = _tile_dijkstra_fn(T, offs)
+
+    global LAST_TILE_ROUNDS
+    state = dist.select("x", "y", "d").localCheckpoint(eager=True)
+    changed = state
+    for rnd in range(max_rounds):
+        LAST_TILE_ROUNDS = rnd + 1
+        # dirty tile-id set is bounded by cells/T² — broadcast it so the
+        # static grid replica is filtered in place, never shuffled
+        dirty = F.broadcast(
+            influence(changed.select("x", "y")).select("tx", "ty").distinct()
+        )
+        region = grid_inf.join(dirty, ["tx", "ty"])
+        seeds = (
+            influence(state).join(dirty, ["tx", "ty"])
+            .select("tx", "ty", "x", "y", F.col("d").alias("d0"))
+        )
+        out = (
+            region.join(seeds, ["tx", "ty", "x", "y"], "left")
+            .groupBy("tx", "ty")
+            .applyInPandas(run_tile, "x int, y int, d double")
+        )
+        changed = (
+            out.join(state.withColumnRenamed("d", "_old"), ["x", "y"], "left")
+            .filter(F.col("_old").isNull() | (F.col("d") < F.col("_old")))
+            .select("x", "y", "d")
             .localCheckpoint(eager=True)
         )
-        dist = nxt
-        if fixed_rounds is None:
-            cur = checksum(nxt)
-            if cur == prev:
-                return dist.select("x", "y", "d").withColumnRenamed("d", "dist")
-            prev = cur
-    if fixed_rounds is not None:
-        return dist.select("x", "y", "d").withColumnRenamed("d", "dist")
-    raise RuntimeError(f"cost_distance did not converge in {max_rounds} rounds")
+        if changed.isEmpty():
+            return state.withColumnRenamed("d", "dist")
+        state = (
+            state.unionByName(changed)
+            .groupBy("x", "y")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"cost_distance did not converge in {max_rounds} "
+                       f"tile rounds (tile_size={T})")
+
+
+def _tile_dijkstra_fn(T: int, offs: list):
+    """applyInPandas body: exact Dijkstra over one tile + 1-cell halo.
+    Emits the tile's OWN cells whose dist improved on (or was absent
+    from) the incoming seed estimates; halo cells are only read (their
+    improvements surface when their own tile runs next round).
+    Deterministic: the dense local grid is keyed by (x, y) so input row
+    order is irrelevant, every relaxation uses the same fixed-order
+    float expression as the Bellman mode, and the emitted value is the
+    subproblem's unique fixpoint."""
+    import heapq
+
+    def run(pdf):
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        x0, y0 = xs.min(), ys.min()
+        w = int(xs.max() - x0 + 1)
+        h = int(ys.max() - y0 + 1)
+        c = np.full((h, w), np.nan)
+        c[ys - y0, xs - x0] = pdf["c"].to_numpy(np.float64)
+        d = np.full((h, w), np.inf)
+        seed = pdf["d0"].to_numpy(np.float64)
+        sm = ~np.isnan(seed)
+        d[ys[sm] - y0, xs[sm] - x0] = seed[sm]
+        heap = [(float(dv), int(yy), int(xx)) for dv, yy, xx
+                in zip(seed[sm], ys[sm] - y0, xs[sm] - x0)]
+        heapq.heapify(heap)
+        while heap:
+            d0, yy, xx = heapq.heappop(heap)
+            if d0 > d[yy, xx]:
+                continue
+            c0 = c[yy, xx]
+            for dx, dy in offs:
+                nx, ny = xx + dx, yy + dy
+                if 0 <= nx < w and 0 <= ny < h and not np.isnan(c[ny, nx]):
+                    wgt = _SQRT2 if dx * dy != 0 else 1.0
+                    nd = d0 + ((c0 + c[ny, nx]) / 2.0) * wgt
+                    if nd < d[ny, nx]:
+                        d[ny, nx] = nd
+                        heapq.heappush(heap, (nd, ny, nx))
+        in_tile = (xs // T == tx) & (ys // T == ty)
+        fin = d[ys - y0, xs - x0]
+        improved = in_tile & np.isfinite(fin) & (np.isnan(seed) | (fin < seed))
+        return pd.DataFrame({
+            "x": xs[improved].astype(np.int32),
+            "y": ys[improved].astype(np.int32),
+            "d": fin[improved],
+        })
+
+    return run
 
 
 def least_cost_path(
     cost: DataFrame, source: tuple, target: tuple,
     max_rounds: int = 64, diagonal: bool = True,
+    max_cells: int = 4_000_000,
 ) -> list:
     """Steepest-descent backtrack over :func:`cost_distance` — returns
     the cell path target→source as a list of (x, y). The dist raster is
-    computed distributed; the backtrack collects it (bounded: callers
-    crop to the corridor of interest first, the same contract as the
-    ASCII/BIL single-file writers)."""
+    computed distributed; the backtrack collects it, so callers must
+    crop to the corridor of interest first (the same single-file
+    contract as the ASCII/BIL writers). That contract is ENFORCED: a
+    grid larger than ``max_cells`` raises with the crop hint instead of
+    collecting an unbounded raster to the driver."""
+    n_cells = cost.filter(F.col("val").isNotNull()).count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"least_cost_path collects the dist raster to the driver; "
+            f"{n_cells} passable cells exceed max_cells={max_cells}. "
+            f"Crop the cost raster to the source-target corridor first "
+            f"(raster.model.crop), or raise max_cells explicitly.")
     dist = cost_distance(cost, [source], max_rounds, diagonal).toPandas()
     dmap = {(int(r.x), int(r.y)): float(r.dist) for r in dist.itertuples()}
     if tuple(target) not in dmap:

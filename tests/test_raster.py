@@ -546,3 +546,31 @@ def test_cost_distance_dijkstra_parity_and_path(spark):
         assert max(abs(x1 - x2), abs(y1 - y2)) == 1
         assert got[(x2, y2)] < got[(x1, y1)]
         assert not math.isnan(c[y1, x1])
+
+    # the driver-collect crop contract is enforced, not advisory
+    import pytest
+
+    with pytest.raises(ValueError, match="max_cells"):
+        least_cost_path(df, (0, 0), (7, 5), max_rounds=40, max_cells=10)
+
+
+def test_cost_distance_tile_rounds_scale_with_path_tiles(spark):
+    """Tile-blocked Dijkstra converges in O(path length in TILES)
+    rounds, not cells: a 41-cell corridor with tile_size=8 (6 tiles)
+    must finish within path_tiles + 2 rounds — the cell-level Bellman
+    bound would be 40+ rounds. Values must equal the single-tile run
+    bit-exactly (both are the same relaxation fixpoint)."""
+    from pythongis_spark.raster import algebra as RA
+
+    w = 41
+    rows = [(x, y, 0, 1.0 + (x % 3) * 0.25) for x in range(w) for y in range(2)]
+    df = spark.createDataFrame(rows, "x int, y int, band int, val double")
+    got = {(r["x"], r["y"]): r["dist"]
+           for r in RA.cost_distance(df, [(0, 0)], max_rounds=10,
+                                     tile_size=8).collect()}
+    assert len(got) == w * 2
+    assert RA.LAST_TILE_ROUNDS <= (w - 1) // 8 + 1 + 2, RA.LAST_TILE_ROUNDS
+    one_tile = {(r["x"], r["y"]): r["dist"]
+                for r in RA.cost_distance(df, [(0, 0)], max_rounds=4,
+                                          tile_size=64).collect()}
+    assert got == one_tile
