@@ -1919,6 +1919,23 @@ def _q_viewshed_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_viewshed_sectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sector-decomposed viewshed (the O(cells)-shuffle scale path) on
+    the same DEM/observer/radius as viewshed_raster — bit-identical to
+    the DDA explode, so it shares that query's SQL oracle verbatim."""
+    from pythongis_spark.fixtures import raster_cells
+    from pythongis_spark.raster.algebra import viewshed_sectors
+
+    dem = raster_cells(spark).filter(F.col("band") == 0)
+    out = viewshed_sectors(dem, 180, 90, observer_height=1.0, radius=40,
+                           n_sectors=16)
+    return out.select(
+        "x", "y", "dist",
+        F.when(F.col("visible").isNull(), -1)
+        .when(F.col("visible"), 1).otherwise(0).cast("int").alias("vis"),
+    )
+
+
 def _q_gcp_affine_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiepoint affine fit over 300 synthesized GCPs on a /16 noise
     lattice (dyadic-exact residuals both ways): the decimal moment sums
@@ -2016,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodetic_area_zones": _q_geodetic_area_zones,
         "geodetic_length_meridians": _q_geodetic_length_meridians,
         "cost_distance_tiled": _q_cost_distance_tiled,
+        "viewshed_sectors_raster": _q_viewshed_sectors,
         "spatial_join_clip_union": _q_spatial_join_clip_union,
         "spatial_join_clip_difference": _q_spatial_join_clip_difference,
         "pairwise_topk": _q_pairwise_topk,
@@ -2284,7 +2302,7 @@ def oracle_sql() -> dict[str, str]:
             " / 4294967296.0"
         )
 
-    return {
+    out = {
         "geodetic_area_zones": _geodetic_area_sql(),
         "geodetic_length_meridians": _geodetic_length_sql(),
         "sample_hash_docs": f"""
@@ -3884,3 +3902,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
     }
+    # the sector-decomposed viewshed is bit-identical to the DDA explode
+    # (equivalence pytest) — it shares that query's oracle verbatim
+    out["viewshed_sectors_raster"] = out["viewshed_raster"]
+    return out

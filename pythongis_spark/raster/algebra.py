@@ -387,6 +387,145 @@ def viewshed(
     return out
 
 
+def viewshed_sectors(
+    df: DataFrame,
+    ox: int,
+    oy: int,
+    observer_height: float = 1.0,
+    radius: int = 40,
+    n_sectors: int = 64,
+) -> DataFrame:
+    """Exact DDA viewshed, sector-decomposed for large radii — the
+    scale path of :func:`viewshed`. Sight lines are radial, so the
+    360° field splits into ``n_sectors`` independent angular wedges;
+    each wedge's cells (plus a distance-scaled angular margin so every
+    sample cell of every in-wedge ray is present) ship to ONE
+    applyInPandas task that evaluates the same per-sample tangents as
+    the Catalyst DDA — vectorized over all targets at each step k.
+
+    Shuffle rows: O(cells) (each cell lands in 1–2 sectors; cells
+    within radius 32 of the observer go to all sectors), vs the DDA
+    explode's O(radius³) rows — the r4-verdict scale fix. The per-task
+    arithmetic is still Σ L = O(radius³/n_sectors) multiply-adds, but
+    in-memory numpy, not shuffled rows.
+
+    Bit-identical to :func:`viewshed` (same fixed-order float
+    expressions, max() order-independent, same nodata rules) — proven
+    by the equivalence pytest on nodata-holed random DEMs."""
+    import math
+
+    dem = df.select("x", "y", "val")
+    orow = dem.filter((F.col("x") == ox) & (F.col("y") == oy)).head(1)
+    if not orow or orow[0]["val"] is None:
+        raise ValueError(
+            f"viewshed observer cell ({ox}, {oy}) is missing or nodata")
+    oz = float(orow[0]["val"]) + float(observer_height)
+
+    two_pi = 2.0 * math.pi
+    width = two_pi / n_sectors
+    dx = F.col("x") - F.lit(ox)
+    dy = F.col("y") - F.lit(oy)
+    # ship a 2-cell ring beyond the radius too: a sample point inside
+    # the disk can floor into a cell just outside it, and the DDA
+    # reference joins samples against the UNfiltered DEM — those ring
+    # cells block sight lines but are never targets (_is_tgt false)
+    inr = dem.filter(
+        dx * dx + dy * dy <= F.lit((radius + 2) * (radius + 2))
+    ).select(
+        "x", "y", "val",
+        F.atan2(dy.cast("double"), dx.cast("double")).alias("_th"),
+        F.sqrt((dx * dx + dy * dy).cast("double")).alias("_r"),
+        (dx * dx + dy * dy <= F.lit(radius * radius)).alias("_is_tgt"),
+    )
+
+    def sec_of(angle):
+        return F.floor(F.pmod(angle, F.lit(two_pi)) / F.lit(width)).cast("int")
+
+    margin = F.lit(3.0) / F.col("_r")
+    sectors = F.when(
+        F.col("_r") < 32.0,
+        F.sequence(F.lit(0), F.lit(n_sectors - 1)),
+    ).otherwise(
+        F.array_distinct(F.array(
+            sec_of(F.col("_th") - margin),
+            sec_of(F.col("_th")),
+            sec_of(F.col("_th") + margin),
+        ))
+    )
+    tagged = inr.select(
+        "x", "y", "val",
+        F.when(F.col("_is_tgt"), sec_of(F.col("_th")))
+        .otherwise(F.lit(-1)).alias("_primary"),
+        F.explode(sectors).alias("_sector"),
+    )
+
+    run = _viewshed_sector_fn(ox, oy, oz)
+    return (
+        tagged.groupBy("_sector")
+        .applyInPandas(run, "x int, y int, dist double, visible boolean")
+    )
+
+
+def _viewshed_sector_fn(ox: int, oy: int, oz: float):
+    """Per-sector DDA: replay of the Catalyst viewshed's exact float
+    expressions, vectorized over the wedge's targets per sample step."""
+    def run(pdf):
+        sector = int(pdf["_sector"].iloc[0])
+        xs = pdf["x"].to_numpy(np.int64)
+        ys = pdf["y"].to_numpy(np.int64)
+        zs = pdf["val"].to_numpy(np.float64)
+        # dense local wedge grid (bbox ≤ (2·radius+1)²) for vectorized
+        # sample lookups; NaN = nodata or outside the wedge
+        x0, y0 = int(xs.min()), int(ys.min())
+        Wd = int(xs.max()) - x0 + 1
+        Hd = int(ys.max()) - y0 + 1
+        zg = np.full((Hd, Wd), np.nan)
+        zg[ys - y0, xs - x0] = zs
+        tm = pdf["_primary"].to_numpy() == sector
+        tx, ty, tz = xs[tm], ys[tm], zs[tm]
+        ddx, ddy = tx - ox, ty - oy
+        L = np.maximum(np.abs(ddx), np.abs(ddy))
+        dist = np.sqrt((ddx * ddx + ddy * ddy).astype(np.float64))
+        max_tan = np.full(len(tx), -np.inf)
+        has_blocker = np.zeros(len(tx), dtype=bool)
+        for k in range(1, int(L.max()) if len(L) else 0):
+            act = np.nonzero(L >= k + 1)[0]
+            if not len(act):
+                break
+            La = L[act]
+            f = k / La
+            px = (ox + 0.5) + (ddx[act] * k) / La
+            py = (oy + 0.5) + (ddy[act] * k) / La
+            sx = np.floor(px).astype(np.int64)
+            sy = np.floor(py).astype(np.int64)
+            gx, gy = sx - x0, sy - y0
+            inb = (gx >= 0) & (gx < Wd) & (gy >= 0) & (gy < Hd)
+            zsamp = np.where(
+                inb, zg[np.clip(gy, 0, Hd - 1), np.clip(gx, 0, Wd - 1)],
+                np.nan)
+            ok = (inb & ((sx != tx[act]) | (sy != ty[act]))
+                  & ~np.isnan(zsamp))
+            with np.errstate(invalid="ignore"):
+                t = (zsamp - oz) / (f * dist[act])
+                upd = ok & (t > max_tan[act])
+            has_blocker[act] |= ok
+            max_tan[act] = np.where(upd, t, max_tan[act])
+        vis = np.empty(len(tx), dtype=object)
+        for i in range(len(tx)):
+            if np.isnan(tz[i]):
+                vis[i] = None
+            elif not has_blocker[i]:
+                vis[i] = True
+            else:
+                vis[i] = bool((tz[i] - oz) / dist[i] >= max_tan[i])
+        return pd.DataFrame({
+            "x": tx.astype(np.int32), "y": ty.astype(np.int32),
+            "dist": dist, "visible": vis,
+        })
+
+    return run
+
+
 def downscale(df: DataFrame, k: int, stat: str = "spread") -> DataFrame:
     """Inverse of :func:`upscale`: spread each cell across its k×k
     finer cells — the reference DECLARES this operator and raises

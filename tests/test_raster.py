@@ -286,6 +286,60 @@ def test_viewshed_wall_and_brute_force(spark):
         assert v == expect, (x, y)
 
 
+def test_viewshed_sectors_matches_dda(spark):
+    """The sector-decomposed scale path is bit-identical to the DDA
+    explode on a nodata-holed random DEM (off-center observer so wedges
+    clip the grid asymmetrically), including the boundary ring where
+    sample cells floor just outside the radius."""
+    import math
+
+    import numpy as np
+
+    from pythongis_spark.raster.algebra import viewshed, viewshed_sectors
+
+    w, h, R = 21, 17, 9
+    rng = np.random.default_rng(13)
+    z = np.round(rng.uniform(0, 10, size=(h, w)), 3)
+    z[5, 7] = np.nan
+    z[12, 15] = np.nan
+    cells = [(x, y, 0, None if math.isnan(z[y, x]) else float(z[y, x]))
+             for y in range(h) for x in range(w)]
+    df = spark.createDataFrame(cells, "x int, y int, band int, val double")
+    for ox, oy, ns in [(10, 8, 8), (3, 2, 16)]:
+        dda = {(r["x"], r["y"]): (r["dist"], r["visible"])
+               for r in viewshed(df, ox, oy, 1.5, R).collect()}
+        sec = {(r["x"], r["y"]): (r["dist"], r["visible"])
+               for r in viewshed_sectors(df, ox, oy, 1.5, R,
+                                         n_sectors=ns).collect()}
+        assert dda == sec, (ox, oy, ns)
+
+
+def test_viewshed_sectors_large_radius_rowcount(spark):
+    """Radius 120 on a 256² DEM: the sector path shuffles O(cells) rows
+    (the explode would be ~radius³ ≈ 1.7M sample rows) and completes;
+    output rows = the in-radius disk exactly."""
+    from pyspark.sql import functions as F
+
+    from pythongis_spark.raster.algebra import viewshed_sectors
+
+    n, R = 256, 120
+    base = spark.range(n * n).select(
+        (F.col("id") % n).cast("int").alias("x"),
+        (F.col("id") / n).cast("int").alias("y"),
+        F.lit(0).alias("band"),
+        (F.pmod(F.col("id") * 2654435761, F.lit(97)) / 10.0).alias("val"),
+    )
+    out = viewshed_sectors(base, 128, 128, 2.0, R, n_sectors=64)
+    got = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("visible").cast("int")).alias("nvis"),
+    ).first()
+    expect = sum(1 for x in range(n) for y in range(n)
+                 if (x - 128) ** 2 + (y - 128) ** 2 <= R * R)
+    assert got["n"] == expect
+    assert 0 < got["nvis"] < got["n"]
+
+
 def test_viewshed_and_cost_distance_invalid_start_raise(spark):
     """A missing or nodata observer/source cell raises up front instead
     of silently producing an all-visible viewshed / empty cost raster."""
