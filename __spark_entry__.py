@@ -896,6 +896,77 @@ def _q_warp_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("band") == 0).select("x", "y", "val")
 
 
+def _q_warp_raster_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS warp through a PARSED proj4 string (geometry.proj_parse →
+    Karney UTM inverse in a pandas UDF — no hardcoded CRS pair): the 1°
+    WGS84 grid onto a UTM-33N target grid, nearest lookup. The oracle
+    unrolls the same Karney inverse series in SQL (sinh/cosh via exp);
+    floor-snap margins measured ≥ 3.8e-5 vs ≤ 2.4e-14 trig/exp noise,
+    so the integer source lookup is identical on both sides."""
+    from pythongis_spark.raster.model import RasterDef, warp
+
+    cells = FX.raster_cells(spark, 360, 180, 1)
+    src = RasterDef(360, 180, (1.0, 0.0, -180.0, 0.0, -1.0, 90.0))
+    dst = RasterDef(80, 80, (7507.0, 0.0, 200003.0, 0.0, -90007.0, 8200003.0))
+    out = warp(cells, src, dst, "EPSG:4326",
+               "+proj=utm +zone=33 +datum=WGS84", "nearest", spark=spark)
+    return out.filter(F.col("band") == 0).select("x", "y", "val")
+
+
+def _warp_utm_sql() -> str:
+    """Karney TM inverse unrolled in SQL: 4 BETA/DELTA series terms with
+    constants embedded from geometry.crs, sinh/cosh as exp forms."""
+    from pythongis_spark.geometry.crs import A_RECT, BETA, DELTA
+
+    k = repr(0.9996 * A_RECT)
+    xi_terms = " - ".join(
+        f"{repr(b)}*SIN({2 * j}*xi)*((EXP({2 * j}*eta)+EXP(-({2 * j})*eta))/2)"
+        for j, b in enumerate(BETA, start=1))
+    eta_terms = " - ".join(
+        f"{repr(b)}*COS({2 * j}*xi)*((EXP({2 * j}*eta)-EXP(-({2 * j})*eta))/2)"
+        for j, b in enumerate(BETA, start=1))
+    phi_terms = " + ".join(
+        f"{repr(d)}*SIN({2 * j}*chi)" for j, d in enumerate(DELTA, start=1))
+    return f"""
+        WITH {FX.raster_cells_cte_sql(360, 180, 1)},
+        tgt AS (
+          SELECT CAST(i % 80 AS INTEGER) AS x,
+                 CAST(FLOOR(i / 80) AS INTEGER) AS y
+          FROM (SELECT CAST(range AS BIGINT) AS i FROM range({80 * 80}))
+        ),
+        en AS (
+          SELECT x, y,
+                 ((CAST(x AS DOUBLE) + 0.5) * 7507.0 + 200003.0 - 500000.0)
+                   / {k} AS eta,
+                 ((CAST(y AS DOUBLE) + 0.5) * -90007.0 + 8200003.0)
+                   / {k} AS xi
+          FROM tgt
+        ),
+        p AS (
+          SELECT x, y, xi - ({xi_terms}) AS xip, eta - ({eta_terms}) AS etap
+          FROM en
+        ),
+        q AS (
+          SELECT x, y,
+                 ATAN2((EXP(etap)-EXP(-etap))/2, COS(xip)) AS lam,
+                 ATAN(SIN(xip) / SQRT(((EXP(etap)-EXP(-etap))/2)
+                      * ((EXP(etap)-EXP(-etap))/2) + COS(xip)*COS(xip)))
+                   AS chi
+          FROM p
+        ),
+        m AS (
+          SELECT x, y,
+                 CAST(FLOOR(((DEGREES(lam) + 15.0) + 180.0) / 1.0)
+                      AS INTEGER) AS sx,
+                 CAST(FLOOR((DEGREES(chi + ({phi_terms})) - 90.0) / -1.0)
+                      AS INTEGER) AS sy
+          FROM q
+        )
+        SELECT m.x, m.y, r.val
+        FROM m JOIN raster r ON r.x = m.sx AND r.y = m.sy AND r.band = 0
+    """
+
+
 def _q_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     """align (manager.py:678-722): off-grid offsets snapped onto the
     global grid's ticks + NN resample (here an integer cell shift)."""
@@ -2034,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geodetic_length_meridians": _q_geodetic_length_meridians,
         "cost_distance_tiled": _q_cost_distance_tiled,
         "viewshed_sectors_raster": _q_viewshed_sectors,
+        "warp_raster_utm_parsed": _q_warp_raster_utm,
         "spatial_join_clip_union": _q_spatial_join_clip_union,
         "spatial_join_clip_difference": _q_spatial_join_clip_difference,
         "pairwise_topk": _q_pairwise_topk,
@@ -3905,4 +3977,5 @@ def oracle_sql() -> dict[str, str]:
     # the sector-decomposed viewshed is bit-identical to the DDA explode
     # (equivalence pytest) — it shares that query's oracle verbatim
     out["viewshed_sectors_raster"] = out["viewshed_raster"]
+    out["warp_raster_utm_parsed"] = _warp_utm_sql()
     return out

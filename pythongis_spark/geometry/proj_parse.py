@@ -1,0 +1,276 @@
+"""PROJ.4-string / WKT1 / EPSG-code CRS resolution onto the engine's
+projection families — the practical closure of the reference's
+pyproj-backed "reproject to any CRS" (``pythongis/vector/manager.py:
+822-846``; pyproj is not installed in this image).
+
+The overwhelming majority of real-world projected EPSG codes are
+instances of exactly the families implemented in :mod:`.crs`:
+UTM / transverse Mercator (Karney series), Lambert conformal conic,
+Albers equal-area, plus spherical (web) Mercator and equirectangular.
+This module parses ``+proj=...`` parameter strings, OGC WKT1 ``PROJCS``
+blocks, and ``EPSG:n`` codes (small built-in table + the full UTM
+ranges) into those families, giving numpy forward/inverse transforms
+and a Catalyst column inverse for raster warps.
+
+Documented divergences: only WGS84/GRS80-equivalent ellipsoids are
+accepted (GRS80's flattening differs from WGS84 by ~1e-11 — sub-0.1 mm
+everywhere; non-GRS80/WGS84 datums like Airy/OSGB raise loudly), and
+datum SHIFTS (+towgs84, NAD27) are not applied.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+
+from pythongis_spark.geometry import crs as C
+from pythongis_spark.geometry import projections as PJ
+
+# EPSG codes → proj4 parameter strings (public definitions, e.g. the
+# epsg.io registry); UTM 326xx/327xx are generated, not listed.
+EPSG_PROJ4 = {
+    4326: "+proj=longlat +datum=WGS84",
+    4087: "+proj=eqc +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84",
+    3857: "+proj=merc +a=6378137 +b=6378137 +lon_0=0 +x_0=0 +y_0=0 +k=1",
+    # RGF93 / Lambert-93 (France)
+    2154: ("+proj=lcc +lat_0=46.5 +lon_0=3 +lat_1=49 +lat_2=44 "
+           "+x_0=700000 +y_0=6600000 +ellps=GRS80"),
+    # NAD83 / Conus Albers
+    5070: ("+proj=aea +lat_0=23 +lon_0=-96 +lat_1=29.5 +lat_2=45.5 "
+           "+x_0=0 +y_0=0 +ellps=GRS80"),
+    # NAD83 / California Albers
+    3310: ("+proj=aea +lat_0=0 +lon_0=-120 +lat_1=34 +lat_2=40.5 "
+           "+x_0=0 +y_0=-4000000 +ellps=GRS80"),
+    # ETRS89 / UTM zone 32N via the generated range; nothing to list.
+}
+
+_OK_ELLPS = {"WGS84", "GRS80"}
+
+_WKT_PROJ_NAMES = {
+    "transverse_mercator": "tmerc",
+    "gauss_kruger": "tmerc",
+    "lambert_conformal_conic": "lcc",
+    "lambert_conformal_conic_2sp": "lcc",
+    "lambert_conformal_conic_1sp": "lcc",
+    "albers_conic_equal_area": "aea",
+    "albers": "aea",
+    "mercator_1sp": "merc",
+    "mercator": "merc",
+    "equirectangular": "eqc",
+    "equidistant_cylindrical": "eqc",
+    "popular_visualisation_pseudo_mercator": "merc",
+}
+
+_WKT_PARAM_NAMES = {
+    "central_meridian": "lon_0",
+    "longitude_of_center": "lon_0",
+    "latitude_of_origin": "lat_0",
+    "latitude_of_center": "lat_0",
+    "standard_parallel_1": "lat_1",
+    "standard_parallel_2": "lat_2",
+    "scale_factor": "k",
+    "false_easting": "x_0",
+    "false_northing": "y_0",
+}
+
+
+def parse_proj4(s: str) -> dict:
+    """``+key=value`` pairs → dict (bare ``+flag`` → True)."""
+    out: dict = {}
+    for tok in s.split():
+        if not tok.startswith("+"):
+            continue
+        if "=" in tok:
+            k, v = tok[1:].split("=", 1)
+            try:
+                out[k] = float(v)
+            except ValueError:
+                out[k] = v
+        else:
+            out[tok[1:]] = True
+    return out
+
+
+def parse_wkt(s: str) -> dict:
+    """OGC WKT1 PROJCS/GEOGCS → the same normalized proj4-style dict."""
+    name = re.search(r'PROJECTION\s*\[\s*"([^"]+)"', s)
+    if name is None:
+        if re.match(r"\s*GEOGCS", s):
+            return {"proj": "longlat"}
+        raise ValueError("WKT without PROJECTION or GEOGCS")
+    key = name.group(1).strip().lower().replace(" ", "_")
+    proj = _WKT_PROJ_NAMES.get(key)
+    if proj is None:
+        raise NotImplementedError(f"WKT projection {name.group(1)!r} is not "
+                                  f"an implemented family {tuple(set(_WKT_PROJ_NAMES.values()))}")
+    out: dict = {"proj": proj}
+    for m in re.finditer(
+        r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', s
+    ):
+        pk = _WKT_PARAM_NAMES.get(m.group(1).strip().lower())
+        if pk:
+            out[pk] = float(m.group(2))
+    sph = re.search(r'SPHEROID\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)', s)
+    if sph and abs(float(sph.group(1)) - 6378137.0) > 0.5:
+        raise NotImplementedError(
+            f"spheroid a={sph.group(1)} is not WGS84/GRS80-equivalent")
+    if proj == "merc":
+        out.setdefault("a", 6378137.0)
+        out.setdefault("b", 6378137.0)
+    return out
+
+
+def normalize(spec) -> dict:
+    """Any accepted CRS spec → normalized parameter dict with ``proj``."""
+    if isinstance(spec, dict):
+        p = dict(spec)
+    elif isinstance(spec, str):
+        s = spec.strip()
+        up = s.upper().replace("CRS:", "EPSG:")
+        if up.startswith("EPSG:"):
+            code = int(up.split(":")[1])
+            if 32601 <= code <= 32660:
+                return {"proj": "utm", "zone": code - 32600}
+            if 32701 <= code <= 32760:
+                return {"proj": "utm", "zone": code - 32700, "south": True}
+            if code not in EPSG_PROJ4:
+                raise NotImplementedError(
+                    f"EPSG:{code} is not in the built-in table "
+                    f"({sorted(EPSG_PROJ4)} + UTM 326xx/327xx); pass its "
+                    f"proj4 string or WKT instead")
+            p = parse_proj4(EPSG_PROJ4[code])
+        elif s.startswith("+"):
+            p = parse_proj4(s)
+        elif re.match(r"\s*(PROJCS|GEOGCS)", s):
+            p = parse_wkt(s)
+        elif up in ("WEBMERCATOR",):
+            return {"proj": "merc", "a": 6378137.0, "b": 6378137.0}
+        elif up in ("EQUIRECT",):
+            return {"proj": "eqc"}
+        elif up in ("WGS84", "LONGLAT"):
+            return {"proj": "longlat"}
+        else:
+            raise ValueError(f"unrecognized CRS spec {spec!r}")
+    else:
+        raise ValueError(f"unrecognized CRS spec {spec!r}")
+    ell = p.get("ellps", p.get("datum", "WGS84"))
+    if isinstance(ell, str) and ell.upper() not in _OK_ELLPS:
+        raise NotImplementedError(
+            f"ellipsoid/datum {ell!r}: only WGS84/GRS80 supported")
+    if "proj" not in p:
+        raise ValueError(f"CRS spec has no +proj: {spec!r}")
+    return p
+
+
+def _tmerc_args(p: dict) -> dict:
+    k = float(p.get("k", p.get("k_0", 1.0)))
+    lon0 = float(p.get("lon_0", 0.0))
+    lat0 = float(p.get("lat_0", 0.0))
+    y0 = float(p.get("y_0", 0.0))
+    if lat0 != 0.0:
+        # PROJ measures northing from lat_0: shift the false northing by
+        # the meridian arc (the Karney xi at lam=0, scaled)
+        _, m0 = C.tmerc_forward(np.array([lon0]), np.array([lat0]),
+                                lon0, k, 0.0, 0.0)
+        y0 = y0 - float(m0[0])
+    return dict(lon0=lon0, k0=k, x0=float(p.get("x_0", 0.0)), y0=y0)
+
+
+def _family(p: dict):
+    """Normalized dict → (forward, inverse) numpy callables."""
+    proj = p["proj"]
+    if proj == "longlat":
+        ident = lambda a, b: (np.asarray(a, float), np.asarray(b, float))  # noqa: E731
+        return ident, ident
+    if proj == "merc" or proj == "webmerc":
+        if float(p.get("a", 6378137.0)) != float(p.get("b", 6378137.0)):
+            raise NotImplementedError(
+                "ellipsoidal Mercator (a != b, e.g. EPSG:3395) is not "
+                "implemented; spherical web Mercator requires +a=+b")
+
+        def fwd(lon, lat):
+            c = PJ._np_fwd("EPSG:3857")(
+                np.stack([np.asarray(lon, float), np.asarray(lat, float)], 1))
+            return c[:, 0], c[:, 1]
+
+        def inv(x, y):
+            c = PJ._np_fwd("EPSG:4326")(
+                np.stack([np.asarray(x, float), np.asarray(y, float)], 1))
+            return c[:, 0], c[:, 1]
+
+        return fwd, inv
+    if proj == "eqc":
+        km = math.pi / 180.0 * PJ.R_MAJOR
+
+        def fwd(lon, lat):
+            return np.asarray(lon, float) * km, np.asarray(lat, float) * km
+
+        def inv(x, y):
+            return np.asarray(x, float) / km, np.asarray(y, float) / km
+
+        return fwd, inv
+    if proj == "utm":
+        zone = int(p["zone"])
+        north = not p.get("south", False)
+        return (lambda lo, la: C.utm_forward(lo, la, zone, north),
+                lambda x, y: C.utm_inverse(x, y, zone, north))
+    if proj == "tmerc":
+        a = _tmerc_args(p)
+        return (lambda lo, la: C.tmerc_forward(lo, la, **a),
+                lambda x, y: C.tmerc_inverse(x, y, **a))
+    if proj in ("lcc", "aea"):
+        lat1 = float(p.get("lat_1", p.get("lat_0", 0.0)))
+        args = dict(
+            lat1=lat1,
+            lat2=float(p.get("lat_2", lat1)),
+            lat0=float(p.get("lat_0", 0.0)),
+            lon0=float(p.get("lon_0", 0.0)),
+            x0=float(p.get("x_0", 0.0)),
+            y0=float(p.get("y_0", 0.0)),
+        )
+        inst = (C.LambertConformal if proj == "lcc"
+                else C.AlbersEqualArea)(**args)
+        return inst.forward, inst.inverse
+    raise NotImplementedError(
+        f"+proj={proj} is not an implemented family "
+        f"(longlat/merc/eqc/utm/tmerc/lcc/aea)")
+
+
+def forward(spec):
+    """CRS spec → fn(lon_deg, lat_deg) -> (x, y) (numpy arrays)."""
+    return _family(normalize(spec))[0]
+
+
+def inverse(spec):
+    """CRS spec → fn(x, y) -> (lon_deg, lat_deg) (numpy arrays)."""
+    return _family(normalize(spec))[1]
+
+
+def column_inverse(src_spec, dst_spec):
+    """(gx, gy Columns in dst CRS) → (Columns in src CRS) for raster
+    warps (``raster.model.warp``): dst-inverse to lon/lat, then
+    src-forward — one vectorized pandas UDF (Catalyst dedups the two
+    field accesses into a single ArrowEvalPython)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    d_inv = inverse(dst_spec)
+    s_fwd = forward(src_spec)
+    schema = T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+    )
+
+    @F.pandas_udf(schema)
+    def tr(gx: pd.Series, gy: pd.Series) -> pd.DataFrame:
+        lon, lat = d_inv(gx.to_numpy(np.float64), gy.to_numpy(np.float64))
+        x, y = s_fwd(lon, lat)
+        return pd.DataFrame({"x": x, "y": y}, index=gx.index)
+
+    def inv(gx, gy):
+        st = tr(gx, gy)
+        return st.getField("x"), st.getField("y")
+
+    return inv

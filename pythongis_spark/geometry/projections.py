@@ -74,7 +74,10 @@ def _param_forward(to):
     """Forward transform fn(lon_arr, lat_arr) -> (x, y) for the
     ellipsoidal projections in :mod:`.crs`: 'EPSG:326xx'/'EPSG:327xx'
     (UTM), ('utm', zone, north), ('lcc', {lat1,lat2,lat0,lon0,...}),
-    ('aea', {...})."""
+    ('aea', {...}), ('tmerc', {...}) — plus any PROJ.4 ``+proj=...``
+    string, OGC WKT1 ``PROJCS`` block, or table-known EPSG code via
+    :mod:`.proj_parse` (the reference's pyproj-style arbitrary-CRS
+    surface, closed parser-first)."""
     from pythongis_spark.geometry import crs
 
     if isinstance(to, str) and to.upper().startswith("EPSG:32"):
@@ -95,6 +98,20 @@ def _param_forward(to):
         if kind == "aea":
             p = crs.AlbersEqualArea(**to[1])
             return p.forward
+        if kind == "tmerc":
+            from pythongis_spark.geometry import proj_parse
+
+            return proj_parse.forward(dict(to[1], proj="tmerc"))
+    if isinstance(to, str) and (
+        to.startswith("+") or to.lstrip().startswith(("PROJCS", "GEOGCS"))
+        or to.upper().startswith("EPSG:")
+    ):
+        from pythongis_spark.geometry import proj_parse
+
+        try:
+            return proj_parse.forward(to)
+        except (NotImplementedError, ValueError):
+            return None
     return None
 
 

@@ -318,7 +318,12 @@ def warp(
     from pythongis_spark.geometry import projections as PJ
 
     def norm(c):
-        return c.upper().replace("CRS:", "EPSG:") if isinstance(c, str) else c
+        # only short authority codes normalize to upper case — proj4
+        # parameter strings and WKT blocks are case-sensitive specs
+        if isinstance(c, str) and not c.startswith("+") \
+                and not c.lstrip().startswith(("PROJCS", "GEOGCS")):
+            return c.upper().replace("CRS:", "EPSG:")
+        return c
 
     s, d = norm(src_crs), norm(dst_crs)
     if callable(d):
@@ -332,9 +337,17 @@ def warp(
         def inv(gx, gy):
             return PJ.webmercator_x(gx), PJ.webmercator_y(gy)
     else:
-        raise NotImplementedError(
-            f"warp {s}->{d}: pass a dst->src inverse callable as dst_crs"
-        )
+        # any parseable CRS pair (proj4 string / WKT1 / table EPSG code)
+        # through the parameter parser: dst-inverse → src-forward in one
+        # vectorized pandas UDF (geometry.proj_parse)
+        from pythongis_spark.geometry import proj_parse
+
+        try:
+            inv = proj_parse.column_inverse(s, d)
+        except (NotImplementedError, ValueError) as ex:
+            raise NotImplementedError(
+                f"warp {s}->{d}: {ex}; pass a dst->src inverse callable "
+                f"as dst_crs") from ex
     return resample(cells, src, dst, method, spark=spark, inv_transform=inv)
 
 

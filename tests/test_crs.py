@@ -135,3 +135,97 @@ def test_reproject_geom_utm_spark(spark):
     ex, ey = crs.utm_forward(ring[:, 0], ring[:, 1], 18, True)
     assert coords[:, 0] == pytest.approx(ex)
     assert coords[:, 1] == pytest.approx(ey)
+
+
+# ------------------------------------------------- CRS spec parsing
+
+
+def test_proj_parse_utm_epsg_and_proj4_agree():
+    from pythongis_spark.geometry import proj_parse as PP
+
+    lon = np.array([14.2, 15.9, 12.1])
+    lat = np.array([48.0, 55.5, 37.25])
+    ref = crs.utm_forward(lon, lat, 33, True)
+    for spec in ("EPSG:32633", "+proj=utm +zone=33 +datum=WGS84",
+                 "+proj=utm +zone=33 +ellps=GRS80"):
+        x, y = PP.forward(spec)(lon, lat)
+        assert np.array_equal(x, ref[0]) and np.array_equal(y, ref[1]), spec
+    xs, ys = PP.forward("+proj=utm +zone=33 +south")(lon, -lat)
+    assert np.array_equal(ys, crs.utm_forward(lon, -lat, 33, False)[1])
+
+
+def test_proj_parse_tmerc_lat0_origin_and_roundtrip():
+    """PROJ semantics: the projected origin (lon_0, lat_0) maps to
+    exactly (x_0, y_0); forward∘inverse is sub-mm."""
+    from pythongis_spark.geometry import proj_parse as PP
+
+    spec = "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 +ellps=GRS80"
+    x, y = PP.forward(spec)(np.array([-2.0]), np.array([49.0]))
+    assert x[0] == pytest.approx(400000.0, abs=1e-6)
+    assert y[0] == pytest.approx(-100000.0, abs=1e-6)
+    lon = np.array([-3.5, -1.0, 0.4])
+    lat = np.array([50.1, 53.0, 57.7])
+    fx, fy = PP.forward(spec)(lon, lat)
+    lon2, lat2 = PP.inverse(spec)(fx, fy)
+    assert np.abs(lon2 - lon).max() * 111_000 < 1e-3
+    assert np.abs(lat2 - lat).max() * 111_000 < 1e-3
+
+
+def test_proj_parse_lambert93_epsg_wkt_proj4_agree():
+    from pythongis_spark.geometry import proj_parse as PP
+
+    wkt = (
+        'PROJCS["RGF93 / Lambert-93",GEOGCS["RGF93",DATUM["Reseau_Geodesique_Francais_1993",'
+        'SPHEROID["GRS 1980",6378137,298.257222101]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],PROJECTION["Lambert_Conformal_Conic_2SP"],'
+        'PARAMETER["standard_parallel_1",49],PARAMETER["standard_parallel_2",44],'
+        'PARAMETER["latitude_of_origin",46.5],PARAMETER["central_meridian",3],'
+        'PARAMETER["false_easting",700000],PARAMETER["false_northing",6600000],'
+        'UNIT["metre",1]]'
+    )
+    lon = np.array([3.0, 2.35, 5.4, -1.55])
+    lat = np.array([46.5, 48.85, 43.3, 47.22])
+    xe, ye = PP.forward("EPSG:2154")(lon, lat)
+    for spec in (wkt, EPSG_2154_P4 := PP.EPSG_PROJ4[2154]):
+        x, y = PP.forward(spec)(lon, lat)
+        assert np.array_equal(x, xe) and np.array_equal(y, ye)
+    # grid origin is the published (700000, 6600000)
+    assert xe[0] == pytest.approx(700000.0, abs=1e-6)
+    assert ye[0] == pytest.approx(6600000.0, abs=1e-6)
+    lon2, lat2 = PP.inverse("EPSG:2154")(xe, ye)
+    assert np.abs(lon2 - lon).max() * 111_000 < 1e-3
+
+
+def test_proj_parse_conus_albers_and_errors():
+    from pythongis_spark.geometry import proj_parse as PP
+
+    x, y = PP.forward("EPSG:5070")(np.array([-96.0]), np.array([23.0]))
+    assert x[0] == pytest.approx(0.0, abs=1e-6)
+    assert y[0] == pytest.approx(0.0, abs=1e-6)
+    with pytest.raises(NotImplementedError, match="ellipsoidal Mercator"):
+        PP.forward("+proj=merc +a=6378137 +b=6356752.314245")
+    with pytest.raises(NotImplementedError, match="WGS84/GRS80"):
+        PP.forward("+proj=tmerc +lon_0=-2 +ellps=airy")
+    with pytest.raises(NotImplementedError, match="not in the built-in"):
+        PP.forward("EPSG:27700")
+    with pytest.raises(NotImplementedError, match="spheroid"):
+        PP.parse_wkt('PROJCS["x",GEOGCS["y",DATUM["z",SPHEROID["Airy",'
+                     '6377563.396,299.3249646]]],PROJECTION["Transverse_Mercator"]]')
+
+
+def test_reproject_points_parsed_crs_spark(spark):
+    """reproject_points accepts a raw proj4 string and matches the
+    direct family transform bit-for-bit."""
+    import pandas as pd
+
+    from pythongis_spark.geometry import proj_parse as PP
+    from pythongis_spark.geometry.projections import reproject_points
+
+    pdf = pd.DataFrame({"id": [1, 2, 3],
+                        "lon": [2.35, 3.0, 5.4], "lat": [48.85, 46.5, 43.3]})
+    out = reproject_points(
+        spark.createDataFrame(pdf), to=PP.EPSG_PROJ4[2154]
+    ).orderBy("id").toPandas()
+    ex, ey = PP.forward("EPSG:2154")(pdf.lon.to_numpy(), pdf.lat.to_numpy())
+    assert np.array_equal(out.x_m.to_numpy(), ex)
+    assert np.array_equal(out.y_m.to_numpy(), ey)
