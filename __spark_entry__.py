@@ -558,6 +558,32 @@ def _q_geodetic_length_meridians(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clean_bowties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """st_clean over crossed bowtie rings built from the zone corners
+    (the reference's buffer-0 validity fix, manager.py:576-610): the
+    repair keeps exactly the counterclockwise lobe — the left triangle
+    (xmin,ymin)-(xmin,ymax)-(center), area w·h/4 with bbox xmax at the
+    zone center — all exact dyadic arithmetic, replayed closed-form."""
+    from pythongis_spark.geometry import wkb as W
+    from pythongis_spark.geometry.udfs import st_area, st_bbox, st_clean
+
+    rows = []
+    for z in range(60):
+        x0 = -180.0 + (z % 10) * 36.0
+        y0 = -90.0 + (z // 10) * 30.0
+        x1, y1 = x0 + 36.0, y0 + 30.0
+        ring = [[x0, y0], [x1, y1], [x1, y0], [x0, y1], [x0, y0]]
+        rows.append(dict(zone_id=z, geom=W.wkb_polygon(ring)))
+    zones = spark.createDataFrame(pd.DataFrame(rows))
+    cleaned = zones.select(
+        "zone_id", st_clean(0.0)(F.col("geom")).alias("g"))
+    return cleaned.select(
+        "zone_id",
+        st_area(F.col("g")).alias("area"),
+        st_bbox(F.col("g")).getField("xmax").alias("bxmax"),
+    )
+
+
 def _l_zones(spark: SparkSession):
     """Concave L-shaped zone fixture: each 36×30 zone rectangle replaced
     by the L covering its bottom strip (full width × 15) plus left strip
@@ -2106,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance_tiled": _q_cost_distance_tiled,
         "viewshed_sectors_raster": _q_viewshed_sectors,
         "warp_raster_utm_parsed": _q_warp_raster_utm,
+        "clean_bowties": _q_clean_bowties,
         "spatial_join_clip_union": _q_spatial_join_clip_union,
         "spatial_join_clip_difference": _q_spatial_join_clip_difference,
         "pairwise_topk": _q_pairwise_topk,
@@ -3978,4 +4005,11 @@ def oracle_sql() -> dict[str, str]:
     # (equivalence pytest) — it shares that query's oracle verbatim
     out["viewshed_sectors_raster"] = out["viewshed_raster"]
     out["warp_raster_utm_parsed"] = _warp_utm_sql()
+    out["clean_bowties"] = f"""
+        WITH {FX.ZONES_CTE_SQL.strip()}
+        SELECT zone_id,
+               (xmax - xmin) * (ymax - ymin) / 4.0 AS area,
+               (xmin + xmax) / 2.0 AS bxmax
+        FROM zones
+    """
     return out

@@ -506,3 +506,109 @@ def clip_pair(ga, gb, op: str):
             )
         return _as_points(pts[~drop])
     raise ValueError(f"unknown clip op {op!r}")
+
+
+# ---------------------------------------------------------------- repair
+
+def _winding(px: float, py: float, rings: list) -> int:
+    """Winding number of (px, py) w.r.t. the directed ring set —
+    standard signed upward/downward crossing count, vectorized."""
+    w = 0
+    for r in rings:
+        x1, y1 = r[:-1, 0], r[:-1, 1]
+        x2, y2 = r[1:, 0], r[1:, 1]
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        up = (y1 <= py) & (y2 > py) & (cross > 0)
+        dn = (y2 <= py) & (y1 > py) & (cross < 0)
+        w += int(np.count_nonzero(up)) - int(np.count_nonzero(dn))
+    return w
+
+
+def polygon_is_valid(geom) -> bool:
+    """Light OGC validity check for Polygon/MultiPolygon tuples: no
+    edge of any ring may properly cross, or collinearly overlap, any
+    other edge (self-touches at shared vertices pass — shapely also
+    accepts ring self-contact at isolated points for MultiPolygon
+    assembly, and the repair path handles them via winding)."""
+    rings = [np.asarray(r, dtype=np.float64) for r in W.iter_rings(geom)]
+    edges = _directed_edges(rings)
+    n = len(edges)
+    for i in range(n):
+        p, q = edges[i]
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        L2 = dx * dx + dy * dy
+        for j in range(i + 1, n):
+            r, s = edges[j]
+            ex, ey = s[0] - r[0], s[1] - r[1]
+            eps = _eps_for(p[0], p[1], q[0], q[1], r[0], r[1], s[0], s[1])
+            denom = dx * ey - dy * ex
+            rx, ry = r[0] - p[0], r[1] - p[1]
+            if abs(denom) > eps:
+                t = (rx * ey - ry * ex) / denom
+                u = (rx * dy - ry * dx) / denom
+                if 1e-9 < t < 1 - 1e-9 and 1e-9 < u < 1 - 1e-9:
+                    return False  # proper interior crossing
+            elif abs(rx * dy - ry * dx) <= eps and L2 > 0:
+                # collinear: overlap of positive length is invalid
+                t0 = ((r[0] - p[0]) * dx + (r[1] - p[1]) * dy) / L2
+                t1 = ((s[0] - p[0]) * dx + (s[1] - p[1]) * dy) / L2
+                lo, hi = min(t0, t1), max(t0, t1)
+                if min(hi, 1.0) - max(lo, 0.0) > 1e-9:
+                    return False
+    return True
+
+
+def repair_polygon(geom):
+    """Buffer-0 analog for invalid (self-intersecting) polygons — the
+    reference's ``shapelyobj.buffer(0.0)`` fix in ``clean``
+    (``pythongis/vector/manager.py:576-610``), built on this module's
+    arrangement machinery:
+
+    1. normalize the GLOBAL orientation (flip everything if the net
+       shoelace area is negative — so the dominant winding is positive,
+       matching GEOS's bowtie behavior);
+    2. node every ring edge at every self-contact (:func:`_split_edge`
+       against all other edges);
+    3. keep each noded sub-edge iff exactly one of its two sides has
+       POSITIVE winding number (the nonzero-positive rule GEOS's
+       zero-distance buffer applies), oriented positive-side-left;
+    4. stitch with :func:`_assemble` (exteriors CCW, holes assigned to
+       smallest container).
+
+    The classic bowtie keeps only its counterclockwise lobe (the other
+    is wound negative — exactly shapely's buffer(0)); a self-touching
+    ring with two same-winding lobes keeps both as a MultiPolygon;
+    a hole poking outside its exterior is trimmed to the contained
+    part. Returns a Polygon/MultiPolygon tuple, or None when nothing
+    positive-wound remains (caller drops the feature, like the
+    reference's "if still invalid: continue")."""
+    rings = []
+    for poly in W.iter_polygons(geom):
+        for r in poly:
+            r = np.asarray(r, dtype=np.float64)
+            if len(r) >= 4:
+                rings.append(r)
+    if not rings:
+        return None
+    net = sum(G.ring_signed_area(r) for r in rings)
+    if net < 0:
+        rings = [r[::-1] for r in rings]
+    edges = _directed_edges(rings)
+    sel = []
+    for i, (p, q) in enumerate(edges):
+        others = edges[:i] + edges[i + 1:]
+        for a, b in _split_edge(p, q, others):
+            mx, my = (a[0] + b[0]) * 0.5, (a[1] + b[1]) * 0.5
+            dx, dy = b[0] - a[0], b[1] - a[1]
+            ln = float(np.hypot(dx, dy))
+            if ln == 0:
+                continue
+            off = max(abs(mx), abs(my), 1.0) * 1e-6
+            nx, ny = -dy / ln * off, dx / ln * off
+            wl = _winding(mx + nx, my + ny, rings)
+            wr = _winding(mx - nx, my - ny, rings)
+            if (wl > 0) and not (wr > 0):
+                sel.append((a, b))
+            elif (wr > 0) and not (wl > 0):
+                sel.append((b, a))
+    return _assemble(sel)

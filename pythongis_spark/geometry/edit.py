@@ -590,3 +590,23 @@ def cut_by_polyline(geom, line_pts):
     b = BO.polygon_boolean(geom, side, "difference")
     pieces = _split_parts(a) + _split_parts(b)
     return pieces if pieces else [geom]
+
+
+def clean_geom(geom, tolerance: float = 0.0):
+    """The reference's full ``clean`` pipeline per feature
+    (``pythongis/vector/manager.py:576-610``): (1) invalid polygonal
+    geometries get the buffer-0 analog repair
+    (:func:`~pythongis_spark.geometry.boolean.repair_polygon` —
+    arrangement noding + positive-winding reassembly); (2) repeat-point
+    removal / Douglas–Peucker simplify at ``tolerance``; (3) still-
+    degenerate results → None (the reference drops them)."""
+    from pythongis_spark.geometry import boolean as BO
+
+    if geom is None:
+        return None
+    t = geom[0]
+    if t in ("Polygon", "MultiPolygon") and not BO.polygon_is_valid(geom):
+        geom = BO.repair_polygon(geom)
+        if geom is None:
+            return None
+    return simplify_geom(geom, tolerance)

@@ -287,6 +287,27 @@ def st_simplify(tolerance: float):
     return _simp
 
 
+def st_clean(tolerance: float = 0.0):
+    """Column UDF: the reference's full clean pass
+    (``pythongis/vector/manager.py:576-610``) — invalid polygons
+    repaired by the arrangement buffer-0 analog, then repeat-point /
+    Douglas–Peucker simplify; unrepairable → NULL (dropped)."""
+    from pythongis_spark.geometry import edit as E
+
+    @F.pandas_udf(T.BinaryType())
+    def _clean(geom: pd.Series) -> pd.Series:
+        out = []
+        for b in geom.to_numpy(object):
+            if b is None:
+                out.append(None)
+                continue
+            g = E.clean_geom(W.decode_wkb(bytes(b)), tolerance)
+            out.append(None if g is None else W.encode_wkb(g))
+        return pd.Series(out, index=geom.index)
+
+    return _clean
+
+
 def st_buffer(dist: float, join_style: str = "round", resolution: int = 32):
     """Column UDF: planar buffer (``manager.py:726-788``): points,
     lines/polylines, convex polygons (incl. negative inset) and concave/

@@ -144,3 +144,81 @@ def test_cut_by_polyline_concave_multi_piece():
     assert len(pieces) == 3
     total = sum(abs(G.polygon_area(p)) for p in pieces)
     assert total == pytest.approx(92.0)  # U area = 120 - 28 notch
+
+
+# ------------------------------------------------------------ clean/repair
+
+
+def test_repair_bowtie_keeps_ccw_lobe():
+    """Classic crossed bowtie: the counterclockwise-wound lobe survives,
+    the reverse-wound one is dropped (GEOS buffer(0) behavior)."""
+    import numpy as np
+
+    from pythongis_spark.geometry import boolean as BO
+    from pythongis_spark.geometry import core as G
+
+    ring = np.array([[0, 0], [2, 2], [2, 0], [0, 2], [0, 0]], dtype=float)
+    geom = ("Polygon", [ring])
+    assert not BO.polygon_is_valid(geom)
+    rep = BO.repair_polygon(geom)
+    assert rep is not None and rep[0] == "Polygon" and len(rep[1]) == 1
+    out = rep[1][0]
+    assert G.ring_signed_area(out) == 1.0
+    assert {tuple(p) for p in out[:-1]} == {(0.0, 0.0), (0.0, 2.0), (1.0, 1.0)}
+
+
+def test_repair_self_touch_two_lobes():
+    """A pinched ring with two same-winding lobes keeps BOTH as a
+    MultiPolygon (no crossing, just a shared vertex)."""
+    import numpy as np
+
+    from pythongis_spark.geometry import boolean as BO
+    from pythongis_spark.geometry import core as G
+
+    ring = np.array([[0, 0], [2, 0], [1, 1], [2, 2], [0, 2], [1, 1], [0, 0]],
+                    dtype=float)
+    rep = BO.repair_polygon(("Polygon", [ring]))
+    assert rep is not None and rep[0] == "MultiPolygon"
+    areas = sorted(abs(G.ring_signed_area(p[0])) for p in rep[1])
+    assert areas == [1.0, 1.0]
+
+
+def test_repair_hole_poking_outside():
+    """A hole extending past its exterior is trimmed to the contained
+    part: kept area = |ext| − |hole ∩ ext|."""
+    import numpy as np
+
+    from pythongis_spark.geometry import boolean as BO
+    from pythongis_spark.geometry import core as G
+
+    ext = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.array([[2, 1], [2, 3], [6, 3], [6, 1], [2, 1]], dtype=float)  # CW
+    geom = ("Polygon", [ext, hole])
+    assert not BO.polygon_is_valid(geom)
+    rep = BO.repair_polygon(geom)
+    assert rep is not None
+    assert G.polygon_area(rep) == 12.0
+
+
+def test_clean_geom_pipeline_and_validity():
+    import numpy as np
+
+    from pythongis_spark.geometry import boolean as BO
+    from pythongis_spark.geometry import core as G
+    from pythongis_spark.geometry.edit import clean_geom
+
+    ext = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], dtype=float)
+    hole = np.array([[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]], dtype=float)
+    valid = ("Polygon", [ext, hole])
+    assert BO.polygon_is_valid(valid)
+    out = clean_geom(valid, 0.0)
+    assert G.polygon_area(out) == G.polygon_area(valid)
+
+    # repeat points removed AND bowtie repaired in one pass
+    bow = np.array([[0, 0], [0, 0], [2, 2], [2, 0], [2, 0], [0, 2], [0, 0]],
+                   dtype=float)
+    out = clean_geom(("Polygon", [bow]), 0.0)
+    assert out is not None and G.polygon_area(out) == 1.0
+    # a zero-area sliver is unrepairable -> dropped
+    line_ring = np.array([[0, 0], [2, 0], [0, 0], [2, 0], [0, 0]], dtype=float)
+    assert clean_geom(("Polygon", [line_ring]), 0.0) is None
