@@ -1389,6 +1389,51 @@ def _q_bil_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _q_cell_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-table .txt round trip (sources/cell_table; reference
+    loader.py:421-520 / saver.py:146-180): dense xy-mode write with
+    nodata holes, distributed CSV read back through the world-file
+    affine — values and cell ids exact."""
+    import os
+    import shutil
+    import tempfile
+
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.cell_table import (
+        read_cell_table,
+        write_cell_table,
+    )
+
+    w, h = 48, 30
+    cells = (
+        spark.range(w * h)
+        .select(
+            (F.col("id") % w).cast("int").alias("x"),
+            (F.col("id") / w).cast("int").alias("y"),
+            F.lit(0).alias("band"),
+        )
+        .select(
+            "x", "y", "band",
+            F.when((F.col("x") * 3 + F.col("y") * 5) % 17 == 0, F.lit(None))
+            .otherwise(((F.col("x") * 7 + F.col("y") * 13) % 512) / F.lit(4.0))
+            .alias("val"),
+        )
+    )
+    rd = RasterDef(w, h, (0.5, 0.0, -16.0, 0.0, -0.5, 10.0))
+    d = tempfile.mkdtemp(prefix="celltable_")
+    try:
+        p = os.path.join(d, "grid.txt")
+        write_cell_table(cells, rd, p, cellid="xy")
+        df, rd2 = read_cell_table(spark, p)
+        assert rd2.affine == rd.affine, rd2.affine
+        assert (rd2.width, rd2.height) == (w, h)
+        return df.select("x", "y", "band", "val").toPandas().pipe(
+            spark.createDataFrame, "x int, y int, band int, val double"
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_netcdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NetCDF-3 classic round trip (sources/netcdf3; public Unidata CDF
     spec, pure stdlib): 2-band float64 variable + CF coordinate
@@ -2133,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "viewshed_sectors_raster": _q_viewshed_sectors,
         "warp_raster_utm_parsed": _q_warp_raster_utm,
         "clean_bowties": _q_clean_bowties,
+        "cell_table_roundtrip": _q_cell_table_roundtrip,
         "spatial_join_clip_union": _q_spatial_join_clip_union,
         "spatial_join_clip_difference": _q_spatial_join_clip_difference,
         "pairwise_topk": _q_pairwise_topk,
@@ -4011,5 +4057,13 @@ def oracle_sql() -> dict[str, str]:
                (xmax - xmin) * (ymax - ymin) / 4.0 AS area,
                (xmin + xmax) / 2.0 AS bxmax
         FROM zones
+    """
+    out["cell_table_roundtrip"] = """
+        WITH gx AS (SELECT CAST(range AS INTEGER) AS x FROM range(48)),
+             gy AS (SELECT CAST(range AS INTEGER) AS y FROM range(30))
+        SELECT x, y, 0 AS band,
+               CAST((x * 7 + y * 13) % 512 AS DOUBLE) / 4.0 AS val
+        FROM gx, gy
+        WHERE (x * 3 + y * 5) % 17 <> 0
     """
     return out

@@ -628,3 +628,44 @@ def test_cost_distance_tile_rounds_scale_with_path_tiles(spark):
                 for r in RA.cost_distance(df, [(0, 0)], max_rounds=4,
                                           tile_size=64).collect()}
     assert got == one_tile
+
+
+def test_cell_table_roundtrip_both_modes(spark, tmp_path):
+    """Cell-table .txt (reference loader.py:421-520 / saver.py:146-180):
+    dense write + distributed CSV read back, colrow AND xy modes, world
+    file affine, nodata holes omitted on read."""
+    import numpy as np
+
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.cell_table import (
+        read_cell_table,
+        write_cell_table,
+    )
+
+    w, h = 7, 5
+    rng = np.random.default_rng(21)
+    vals = np.round(rng.uniform(-40, 40, size=(h, w)), 3)
+    vals[2, 3] = np.nan
+    cells = [(x, y, 0, None if np.isnan(vals[y, x]) else float(vals[y, x]))
+             for y in range(h) for x in range(w)]
+    df = spark.createDataFrame(cells, "x int, y int, band int, val double")
+    rd = RasterDef(w, h, (0.25, 0.0, -2.0, 0.0, -0.5, 4.0), nodata=-9999.0)
+
+    for cellid in ("colrow", "xy"):
+        p = str(tmp_path / f"cells_{cellid}.txt")
+        write_cell_table(df, rd, p, cellid=cellid)
+        out, rd2 = read_cell_table(spark, p)
+        assert rd2.affine == rd.affine, cellid   # world-file sidecar
+        assert (rd2.width, rd2.height) == (w, h), cellid
+        got = {(r["x"], r["y"]): r["val"] for r in out.collect()}
+        assert (3, 2) not in got, cellid
+        assert len(got) == w * h - 1, cellid
+        for (x, y), v in got.items():
+            assert v == vals[y, x], (cellid, x, y)
+
+    # header without recognizable id fields raises like the reference
+    (tmp_path / "bad.txt").write_text("a\tb\tvalue\n1\t2\t3.0\n")
+    import pytest
+
+    with pytest.raises(ValueError, match="column/row or x/y"):
+        read_cell_table(spark, str(tmp_path / "bad.txt"))
