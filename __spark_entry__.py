@@ -2165,13 +2165,28 @@ def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # ---- driver gate window: first 50 entries. Rotated each
-        # round (VERDICT r3 task 7): this round's previously-ungated
-        # 26 first, then changed/touched queries and one gate row per
-        # operator family; long-stable rows verified in r2+r3 sit
-        # past the window (still registered, judge-checkable via
-        # tools/check_oracle.py).
-        # ---- r5 additions first (new code leads the window)
+        # ================= GATE WINDOW MANIFEST (round 5) =================
+        # The driver gates the FIRST 50 entries. Composition this round:
+        #   slots 0-6   NEW r5 operators (geodetic area/length, tiled
+        #               cost-distance, sector viewshed, parsed-CRS warp,
+        #               clean repair, cell-table format);
+        #   slots 7-14  queries whose CODE was touched in r5 (incremental
+        #               dedup NULL-key fix; viewshed/cost observer
+        #               validation; BIL/NetCDF reader fixes; AVI decode;
+        #               warp norm() fix; projections parser wiring);
+        #   slots 15-49 the STALEST rows — last driver-recorded green is
+        #               r3 or earlier (incl. the never-r4-gated tpch_q1 /
+        #               geojson/shapefile round trips / train_test_counts /
+        #               cost_distance_raster per the r4 punch list).
+        # Rotated out (all driver-green in CORRECTNESS_r04.json): the r4
+        # window's 43 surviving rows. Still-stale remainder queued for the
+        # r6 sweep: rasterize_partial, vectorize_merged, buffer_zone_areas,
+        # dissolve_zone_rows, histogram_quantity, tab_orderpriority,
+        # merge_union_byname, topk_orders_per_customer, duplicates_geom,
+        # field_values_segment, seq_interpolate, mosaic_last_wins,
+        # clip_raster_semi, roll_raster, resample_raster, align_raster,
+        # idw_grid, disperse_zone_pop, morphology_dilate.
+        # ---- slots 0-6: new r5 operators
         "geodetic_area_zones": _q_geodetic_area_zones,
         "geodetic_length_meridians": _q_geodetic_length_meridians,
         "cost_distance_tiled": _q_cost_distance_tiled,
@@ -2179,29 +2194,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_raster_utm_parsed": _q_warp_raster_utm,
         "clean_bowties": _q_clean_bowties,
         "cell_table_roundtrip": _q_cell_table_roundtrip,
+        # ---- slots 7-14: r5-touched code paths
+        "incremental_dedup_docs": _q_incremental_dedup_docs,
+        "viewshed_raster": _q_viewshed_raster,
+        "cost_distance_raster": _q_cost_distance,
+        "bil_roundtrip": _q_bil_roundtrip,
+        "netcdf_roundtrip": _q_netcdf_roundtrip,
+        "video_features_exact": _q_video_features_exact,
+        "warp_raster_webmercator": _q_warp_raster,
+        "webmercator_points": _q_webmercator,
+        # ---- slots 15-49: stalest rows (last driver green <= r3)
+        "tpch_q1": _q_tpch_q1,
+        "geojson_roundtrip": _q_geojson_roundtrip,
+        "shapefile_roundtrip": _q_shapefile_roundtrip,
+        "train_test_counts": _q_train_test_counts,
+        "upscale_raster": _q_upscale,
+        "pip_semi_join": _q_pip_semi,
+        "distance_join_centers": _q_distance_join,
+        "agg_customer_nation": _q_agg_customer_nation,
+        "join_orders_collapse": _q_join_orders_collapse,
+        "classify_quantile": _q_classify_quantile,
+        "describe_customer": _q_describe,
+        "classify_equal_breaks": _q_classify_equal_breaks,
+        "stream_window_counts": _q_stream_window_counts,
+        "dedup_clusters_docs": _q_dedup_clusters,
+        "moving_window_events": _q_moving_window,
+        "moving_window_global": _q_moving_window_global,
+        "sessionize_events": _q_sessionize,
+        "classify_quantile_breaks": _q_classify_quantile_breaks,
+        "idw_bounded": _q_idw_bounded,
+        "ann_topk_ids": _q_ann_topk,
+        "embedding_pairs_exact": _q_embedding_pairs,
+        "vectorize_cells": _q_vectorize,
+        "density_events": _q_density,
+        "distance_raster_centers": _q_distance_raster,
+        "pip_join_salted": _q_pip_salted,
+        "knn_grid_path": _q_knn_grid,
+        "spatial_join_clip": _q_spatial_join_clip,
+        "spatial_join_clip_concave": _q_spatial_join_clip_concave,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "crop_raster": _q_crop,
+        "dissolve_overlap_rows": _q_dissolve_overlap_rows,
+        "buffer_concave_count": _q_buffer_concave_count,
+        "token_counts_docs": _q_token_counts,
+        "quality_docs": _q_quality_docs,
+        "langid_docs": _q_langid_docs,
+        # ======== past the window: r4 driver-green (CORRECTNESS_r04) =====
+        # and the by-design rows-only float-feature queries
         "spatial_join_clip_union": _q_spatial_join_clip_union,
         "spatial_join_clip_difference": _q_spatial_join_clip_difference,
         "pairwise_topk": _q_pairwise_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "image_raster_roundtrip": _q_image_raster_roundtrip,
-        "bil_roundtrip": _q_bil_roundtrip,
-        "netcdf_roundtrip": _q_netcdf_roundtrip,
         "xls_roundtrip": _q_xls_roundtrip,
-        # late-r4: the previously rows-only multimodal feature paths,
-        # now oracle-proven end-to-end through the REAL WAV/PNG codecs
-        # on SQL-replayable LCG payloads
         "audio_features_exact": _q_audio_features_exact,
         "image_features_exact": _q_image_features_exact,
-        "video_features_exact": _q_video_features_exact,
-        # r4 late additions: deterministic sampling family (new code →
-        # in-window; displaces five more r2/r3 long-stable rows)
         "sample_hash_docs": _q_sample_hash_docs,
         "stratified_sample_counts": _q_stratified_sample_counts,
         "mixture_epochs": _q_mixture_epochs,
         "sample_n_docs": _q_sample_n_docs,
         "cap_per_group_docs": _q_cap_per_group_docs,
-        # r4 late additions: sequence packing + decontamination (new
-        # code → in-window; displaces three r1-era long-stable rows)
         "pack_chunks_docs": _q_pack_chunks_docs,
         "pack_bins_lang": _q_pack_bins_lang,
         "decontam_docs": _q_decontam_docs,
@@ -2210,22 +2262,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": _q_repetition_docs,
         "c4_clean_docs": _q_c4_clean_docs,
         "lm_fit_docs": _q_lm_fit_docs,
-        "incremental_dedup_docs": _q_incremental_dedup_docs,
         "terrain_horn_raster": _q_terrain_horn,
         "gcp_affine_fit": _q_gcp_affine_fit,
-        "viewshed_raster": _q_viewshed_raster,
         "downscale_raster": _q_downscale_raster,
         "minhash_pairs_docs": _q_minhash_pairs_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
         "verify_images": _q_verify_images,
         "spatial_join_rects": _q_spatial_join_rects,
-        # r4 late additions: cross-modal near-dup dedup through the
-        # real codecs — image phash, audio envelope fingerprint, video
-        # majority-frame phash, all over the same banded Hamming engine
-        # (in-window; displaces the r2/r3-stable idw_bounded,
-        # classify_quantile_breaks and sessionize_events rows past the
-        # edge — each re-verified via tools/check_oracle.py this round)
         "phash_neardup_images": _q_phash_neardup,
         "audio_neardup_clips": _q_audio_neardup,
         "video_neardup_vids": _q_video_neardup,
@@ -2241,57 +2285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_zone_stats": _q_pip_zone_stats,
         "tile_assign_quadkey": _q_tile_assign,
         "knn_zone_centers": _q_knn_zone_centers,
-        # r4 rect fast paths: keep these two inside the 50-slot gate
-        # window (the displaced webmercator/dedup_exact rows are r2/r3
-        # long-stable and move just past the edge). The rows-only float
-        # feature queries (audio_features / image_features /
-        # video_frame_sample) moved past the window once their
-        # integer-exact codec-proving counterparts (*_features_exact)
-        # took in-window slots.
         "spatial_join_within": _q_spatial_join_within,
-        "upscale_raster": _q_upscale,
-        "train_test_counts": _q_train_test_counts,
-        "pip_semi_join": _q_pip_semi,
-        "distance_join_centers": _q_distance_join,
-        "agg_customer_nation": _q_agg_customer_nation,
-        "join_orders_collapse": _q_join_orders_collapse,
-        "classify_quantile": _q_classify_quantile,
-        "describe_customer": _q_describe,
-        "classify_equal_breaks": _q_classify_equal_breaks,
         "audio_features": _q_audio_features,
         "image_features": _q_image_features,
         "video_frame_sample": _q_video_frames,
-        # displaced r2/r3-stable rows (re-verified via check_oracle
-        # this round): dedup_clusters' CC machinery is exercised
-        # in-window by semantic_dedup_embeddings' closure oracle;
-        # stream_window_counts was r3 gate-green
-        "stream_window_counts": _q_stream_window_counts,
-        "dedup_clusters_docs": _q_dedup_clusters,
-        "moving_window_events": _q_moving_window,
-        "moving_window_global": _q_moving_window_global,
-        "sessionize_events": _q_sessionize,
-        "classify_quantile_breaks": _q_classify_quantile_breaks,
-        "idw_bounded": _q_idw_bounded,
-        "ann_topk_ids": _q_ann_topk,
-        "embedding_pairs_exact": _q_embedding_pairs,
-        # rotated past the window this round (stable since r1, gate-green
-        # in r2+r3): tpch_q1, geojson_roundtrip, shapefile_roundtrip
-        "vectorize_cells": _q_vectorize,
-        "density_events": _q_density,
-        "distance_raster_centers": _q_distance_raster,
-        "tpch_q1": _q_tpch_q1,
-        "geojson_roundtrip": _q_geojson_roundtrip,
-        "shapefile_roundtrip": _q_shapefile_roundtrip,
-        "pip_join_salted": _q_pip_salted,
-        "knn_grid_path": _q_knn_grid,
-        "spatial_join_clip": _q_spatial_join_clip,
-        "spatial_join_clip_concave": _q_spatial_join_clip_concave,
-        "webmercator_points": _q_webmercator,
-        "dedup_exact_docs": _q_dedup_exact_docs,
-        "crop_raster": _q_crop,
-        "dissolve_overlap_rows": _q_dissolve_overlap_rows,
-        "buffer_concave_count": _q_buffer_concave_count,
-        "warp_raster_webmercator": _q_warp_raster,
         "rasterize_partial": _q_rasterize_partial,
         "vectorize_merged": _q_vectorize_merged,
         "buffer_zone_areas": _q_buffer_zone_areas,
@@ -2311,14 +2308,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idw_grid": _q_idw,
         "disperse_zone_pop": _q_disperse,
         "morphology_dilate": _q_morphology,
-        "token_counts_docs": _q_token_counts,
-        "quality_docs": _q_quality_docs,
-        "langid_docs": _q_langid_docs,
-        # past-the-window by design: 12 sequential Bellman rounds =
-        # many tiny jobs whose wall scales with scheduler latency, not
-        # data - kept out of the driver's 50-slot budget; oracle-checkable
-        # via tools/check_oracle.py in a quiet window
-        "cost_distance_raster": _q_cost_distance,
     }
 
 
