@@ -44,6 +44,21 @@ EPSG_PROJ4 = {
     # NAD83 / California Albers
     3310: ("+proj=aea +lat_0=0 +lon_0=-120 +lat_1=34 +lat_2=40.5 "
            "+x_0=0 +y_0=-4000000 +ellps=GRS80"),
+    # WGS 84 / World Mercator (ellipsoidal)
+    3395: "+proj=merc +lon_0=0 +k=1 +x_0=0 +y_0=0 +datum=WGS84",
+    # NSIDC Sea Ice Polar Stereographic North / South
+    3413: ("+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0 "
+           "+datum=WGS84"),
+    3976: ("+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +x_0=0 +y_0=0 "
+           "+datum=WGS84"),
+    # WGS 84 / Antarctic Polar Stereographic
+    3031: ("+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 "
+           "+datum=WGS84"),
+    # Universal Polar Stereographic North / South
+    5041: ("+proj=stere +lat_0=90 +k=0.994 +lon_0=0 +x_0=2000000 "
+           "+y_0=2000000 +datum=WGS84"),
+    5042: ("+proj=stere +lat_0=-90 +k=0.994 +lon_0=0 +x_0=2000000 "
+           "+y_0=2000000 +datum=WGS84"),
     # ETRS89 / UTM zone 32N via the generated range; nothing to list.
 }
 
@@ -58,10 +73,14 @@ _WKT_PROJ_NAMES = {
     "albers_conic_equal_area": "aea",
     "albers": "aea",
     "mercator_1sp": "merc",
+    "mercator_2sp": "merc",
     "mercator": "merc",
     "equirectangular": "eqc",
     "equidistant_cylindrical": "eqc",
-    "popular_visualisation_pseudo_mercator": "merc",
+    "popular_visualisation_pseudo_mercator": "webmerc",
+    "polar_stereographic": "stere",
+    "polar_stereographic_(variant_a)": "stere",
+    "polar_stereographic_(variant_b)": "stere",
 }
 
 _WKT_PARAM_NAMES = {
@@ -117,9 +136,14 @@ def parse_wkt(s: str) -> dict:
     if sph and abs(float(sph.group(1)) - 6378137.0) > 0.5:
         raise NotImplementedError(
             f"spheroid a={sph.group(1)} is not WGS84/GRS80-equivalent")
-    if proj == "merc":
-        out.setdefault("a", 6378137.0)
-        out.setdefault("b", 6378137.0)
+    if proj == "stere" and abs(abs(out.get("lat_0", 90.0)) - 90.0) > 1e-9:
+        # WKT1 "Polar_Stereographic" (variant B) carries the standard
+        # parallel in latitude_of_origin (EPSG:3031 WKT has -71 there);
+        # proj4 +lat_0 always means the pole for the polar aspect
+        out["lat_ts"] = out["lat_0"]
+        out["lat_0"] = math.copysign(90.0, out["lat_0"])
+    if proj == "webmerc":
+        out["a"] = out["b"] = 6378137.0
     return out
 
 
@@ -185,11 +209,41 @@ def _family(p: dict):
     if proj == "longlat":
         ident = lambda a, b: (np.asarray(a, float), np.asarray(b, float))  # noqa: E731
         return ident, ident
-    if proj == "merc" or proj == "webmerc":
-        if float(p.get("a", 6378137.0)) != float(p.get("b", 6378137.0)):
+    if proj == "merc":
+        # +a == +b (EPSG:3857's definition) selects the spherical path
+        # below; everything else is ellipsoidal Mercator on WGS84
+        # (EPSG:3395 family), so an explicit +b must be the WGS84/GRS80
+        # semi-minor
+        av, bv = p.get("a"), p.get("b")
+        if av is None or bv is None or float(av) != float(bv):
+            if bv is not None and abs(float(bv) - 6356752.3142) > 0.5:
+                raise NotImplementedError(
+                    f"+b={bv} is not the WGS84/GRS80 semi-minor axis; "
+                    f"only WGS84/GRS80 ellipsoids are supported")
+            k = float(p.get("k", p.get("k_0", 1.0)))
+            ts = p.get("lat_ts", p.get("lat_1"))
+            if ts is not None:
+                k = C.merc_k0_from_lat_ts(float(ts))
+            a = dict(lon0=float(p.get("lon_0", 0.0)), k0=k,
+                     x0=float(p.get("x_0", 0.0)), y0=float(p.get("y_0", 0.0)))
+            return (lambda lo, la: C.merc_forward(lo, la, **a),
+                    lambda x, y: C.merc_inverse(x, y, **a))
+    if proj == "stere":
+        lat0 = float(p.get("lat_0", 90.0))
+        if abs(abs(lat0) - 90.0) > 1e-9:
             raise NotImplementedError(
-                "ellipsoidal Mercator (a != b, e.g. EPSG:3395) is not "
-                "implemented; spherical web Mercator requires +a=+b")
+                "+proj=stere is implemented for the polar aspect only "
+                "(+lat_0=90 or -90); oblique stereographic is not")
+        ts = p.get("lat_ts", p.get("lat_1"))
+        inst = C.PolarStereographic(
+            lon0=float(p.get("lon_0", 0.0)),
+            lat_ts=None if ts is None else float(ts),
+            k0=float(p.get("k", p.get("k_0", 1.0))),
+            x0=float(p.get("x_0", 0.0)), y0=float(p.get("y_0", 0.0)),
+            south=lat0 < 0)
+        return inst.forward, inst.inverse
+    if proj == "merc" or proj == "webmerc":
+        # spherical (web) Mercator on the WGS84 major-axis sphere
 
         def fwd(lon, lat):
             c = PJ._np_fwd("EPSG:3857")(
@@ -236,7 +290,7 @@ def _family(p: dict):
         return inst.forward, inst.inverse
     raise NotImplementedError(
         f"+proj={proj} is not an implemented family "
-        f"(longlat/merc/eqc/utm/tmerc/lcc/aea)")
+        f"(longlat/merc/webmerc/eqc/utm/tmerc/lcc/aea/stere)")
 
 
 def forward(spec):
@@ -269,8 +323,19 @@ def column_inverse(src_spec, dst_spec):
         x, y = s_fwd(lon, lat)
         return pd.DataFrame({"x": x, "y": y}, index=gx.index)
 
+    # the transform IS deterministic, but CollapseProject inlines
+    # deterministic Python UDFs into every downstream consumer — the
+    # warp plan would evaluate the same Arrow batch 4× (plan-audited).
+    # Marking it nondeterministic pins exactly one ArrowEvalPython.
+    tr = tr.asNondeterministic()
+
     def inv(gx, gy):
         st = tr(gx, gy)
         return st.getField("x"), st.getField("y")
 
+    # consumers that can materialize the struct in one projection (e.g.
+    # raster.model.resample) grab the raw udf here — a nondeterministic
+    # udf can't be merged across output columns, so the two-field form
+    # above costs two Arrow evals when used directly in a select
+    inv.struct_udf = tr
     return inv

@@ -204,7 +204,20 @@ def resample(
     else:
         gx, gy = cell_center_exprs(dst)
     if inv_transform is not None:
-        gx, gy = inv_transform(gx, gy)
+        # materialize the transformed centers in ONE projection: a
+        # pandas-UDF-backed inverse (proj_parse.column_inverse exposes
+        # its struct udf) would otherwise be re-planned once per
+        # downstream use of gx/gy — 4 ArrowEvalPython stages instead of
+        # 1 (plan-audited as warp_parsed_single_arrow)
+        su = getattr(inv_transform, "struct_udf", None)
+        if su is not None:
+            tgt = tgt.select("*", su(gx, gy).alias("_w"))
+            gx = F.col("_w").getField("x")
+            gy = F.col("_w").getField("y")
+        else:
+            gx, gy = inv_transform(gx, gy)
+            tgt = tgt.select("*", gx.alias("_wgx"), gy.alias("_wgy"))
+            gx, gy = F.col("_wgx"), F.col("_wgy")
     if src.xskew == 0 and src.yskew == 0:
         u = (gx - src.xoffset) / src.xscale   # fractional source col
         v = (gy - src.yoffset) / src.yscale   # fractional source row

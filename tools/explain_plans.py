@@ -271,6 +271,71 @@ def main():
                   r"CartesianProduct"],
     )
 
+    # 19. parsed-CRS warp: the two struct-field reads of the
+    # column_inverse UDF must DEDUP to a single ArrowEvalPython (one
+    # vectorized projection batch per partition, not two)
+    wu = E.queries()["warp_raster_utm_parsed"](spark, sf)
+    plan = fmt(wu)
+    # count PHYSICAL NODES (the formatted details section repeats the
+    # node name once more per node)
+    n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+    ok19 = n_arrow == 1 and not re.search(r"CartesianProduct", plan)
+    if not ok19:
+        print(f"  ArrowEvalPython count = {n_arrow} (want 1)")
+    print(f"warp_parsed_single_arrow: {'OK' if ok19 else 'PLAN REGRESSION'}")
+    failures += not ok19
+
+    # 20. sector viewshed: ONE grouped-pandas stage on the sector key —
+    # no crossJoin against the observer row, no per-sample join/explode
+    # beyond the ≤2-sector membership explode
+    from pythongis_spark.raster.algebra import viewshed_sectors
+
+    dem = FX.raster_cells(spark, 360, 180, 1).filter(F.col("band") == 0)
+    vs = viewshed_sectors(dem, 180, 90, 1.0, 40, n_sectors=16)
+    plan = fmt(vs)
+    failures += not check(
+        "viewshed_sectors_one_grouped_pandas",
+        plan,
+        must=[r"FlatMapGroupsInPandas"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin",
+                  r"SortMergeJoin"],
+    )
+
+    # 21. tiled cost distance (one round's candidate frame): the dirty
+    # tile set joins BROADCAST onto the static per-tile replica — the
+    # big side is never shuffled for pruning; the only wide exchange is
+    # the groupBy(tile) feeding the per-tile Dijkstra
+    from pythongis_spark.raster import algebra as RA
+
+    grid = dem.select("x", "y", F.col("val").alias("c")).filter(
+        F.col("c").isNotNull())
+    T = 64
+    inf = (
+        grid.withColumn("_txs", F.array_distinct(F.array(
+            F.floor((F.col("x") - 1) / T), F.floor(F.col("x") / T),
+            F.floor((F.col("x") + 1) / T))))
+        .withColumn("_tys", F.array_distinct(F.array(
+            F.floor((F.col("y") - 1) / T), F.floor(F.col("y") / T),
+            F.floor((F.col("y") + 1) / T))))
+        .withColumn("tx", F.explode("_txs"))
+        .withColumn("ty", F.explode("_tys"))
+        .drop("_txs", "_tys")
+    )
+    dirty = F.broadcast(
+        spark.createDataFrame([(0, 0)], "tx long, ty long"))
+    region = inf.join(dirty, ["tx", "ty"])
+    out = region.withColumn("d0", F.lit(None).cast("double")).groupBy(
+        "tx", "ty").applyInPandas(
+        RA._tile_dijkstra_fn(T, [(1, 0), (-1, 0), (0, 1), (0, -1)]),
+        "x int, y int, d double")
+    plan = fmt(out)
+    failures += not check(
+        "cost_tiles_broadcast_prune",
+        plan,
+        must=[r"BroadcastHashJoin", r"FlatMapGroupsInPandas"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+    )
+
     sys.exit(1 if failures else 0)
 
 
