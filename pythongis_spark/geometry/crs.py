@@ -198,3 +198,83 @@ class AlbersEqualArea:
             denom = (1 - E2 * sphi**2) ** 2 / ((1 - E2) * np.cos(phi))
             phi = phi + (q - _q(phi)) * denom / 2
         return np.degrees(th / self.n) + self.lon0, np.degrees(phi)
+
+
+# ------------------------------------------------- Mercator (ellipsoidal)
+
+def merc_k0_from_lat_ts(lat_ts: float) -> float:
+    """EPSG 9805 (Mercator variant B): the scale factor equivalent to a
+    standard parallel, k0 = m(lat_ts)."""
+    return float(_m(np.array([math.radians(abs(lat_ts))]))[0])
+
+
+def merc_forward(lon, lat, lon0: float = 0.0, k0: float = 1.0,
+                 x0: float = 0.0, y0: float = 0.0):
+    """Ellipsoidal Mercator on WGS84 (Snyder 7-6/7-7, EPSG 9804/9805;
+    the EPSG:3395 family). y = A*k0*psi with psi the isometric latitude
+    (-ln t, sharing ``_t`` with the conic families)."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    return x0 + A_ * k0 * lam, y0 - A_ * k0 * np.log(_t(phi))
+
+
+def merc_inverse(x, y, lon0: float = 0.0, k0: float = 1.0,
+                 x0: float = 0.0, y0: float = 0.0):
+    t = np.exp(-(np.asarray(y, dtype=np.float64) - y0) / (A_ * k0))
+    lam = (np.asarray(x, dtype=np.float64) - x0) / (A_ * k0)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sphi = np.sin(phi)
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - E_ * sphi) / (1 + E_ * sphi)) ** (E_ / 2))
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
+# ------------------------------------------------- polar stereographic
+
+# sqrt((1+e)^(1+e) * (1-e)^(1-e)) — Snyder 21-35 denominator
+_T_BAR = math.sqrt((1 + E_) ** (1 + E_) * (1 - E_) ** (1 - E_))
+
+
+class PolarStereographic:
+    """Ellipsoidal polar stereographic, north or south aspect
+    (Snyder 21-33..21-41; EPSG 9810 variant A with k0 at the pole,
+    EPSG 9829 variant B with a standard parallel ``lat_ts``).
+
+    ``lat_ts`` (when given) overrides ``k0`` via the variant-B
+    equivalence k0 = m(lat_ts) * T_BAR / (2 * t(lat_ts)). The south
+    aspect is the exact mirror (phi, lam) -> (-phi, -lam) with both
+    plane axes negated, which reproduces the EPSG south-polar
+    E/N = FE + rho*sin(lam), FN + rho*cos(lam) convention."""
+
+    def __init__(self, lon0: float = 0.0, lat_ts: float | None = None,
+                 k0: float = 1.0, x0: float = 0.0, y0: float = 0.0,
+                 south: bool = False):
+        if lat_ts is not None:
+            pc = math.radians(abs(float(lat_ts)))
+            tc = float(_t(np.array([pc]))[0])
+            mc = float(_m(np.array([pc]))[0])
+            k0 = mc * _T_BAR / (2 * tc)
+        self.k0, self.lon0 = float(k0), float(lon0)
+        self.x0, self.y0, self.south = float(x0), float(y0), bool(south)
+
+    def forward(self, lon, lat):
+        s = -1.0 if self.south else 1.0
+        phi = np.radians(s * np.asarray(lat, dtype=np.float64))
+        lam = np.radians(s * (np.asarray(lon, dtype=np.float64) - self.lon0))
+        rho = 2 * A_ * self.k0 * _t(phi) / _T_BAR
+        return (self.x0 + s * rho * np.sin(lam),
+                self.y0 - s * rho * np.cos(lam))
+
+    def inverse(self, x, y):
+        s = -1.0 if self.south else 1.0
+        xs = s * (np.asarray(x, dtype=np.float64) - self.x0)
+        ys = s * (np.asarray(y, dtype=np.float64) - self.y0)
+        rho = np.hypot(xs, ys)
+        t = rho * _T_BAR / (2 * A_ * self.k0)
+        phi = np.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            sphi = np.sin(phi)
+            phi = np.pi / 2 - 2 * np.arctan(
+                t * ((1 - E_ * sphi) / (1 + E_ * sphi)) ** (E_ / 2))
+        return s * np.degrees(np.arctan2(xs, -ys)) + self.lon0, s * np.degrees(phi)

@@ -202,8 +202,8 @@ def test_proj_parse_conus_albers_and_errors():
     x, y = PP.forward("EPSG:5070")(np.array([-96.0]), np.array([23.0]))
     assert x[0] == pytest.approx(0.0, abs=1e-6)
     assert y[0] == pytest.approx(0.0, abs=1e-6)
-    with pytest.raises(NotImplementedError, match="ellipsoidal Mercator"):
-        PP.forward("+proj=merc +a=6378137 +b=6356752.314245")
+    with pytest.raises(NotImplementedError, match="semi-minor"):
+        PP.forward("+proj=merc +a=6378137 +b=6300000")
     with pytest.raises(NotImplementedError, match="WGS84/GRS80"):
         PP.forward("+proj=tmerc +lon_0=-2 +ellps=airy")
     with pytest.raises(NotImplementedError, match="not in the built-in"):
@@ -229,3 +229,82 @@ def test_reproject_points_parsed_crs_spark(spark):
     ex, ey = PP.forward("EPSG:2154")(pdf.lon.to_numpy(), pdf.lat.to_numpy())
     assert np.array_equal(out.x_m.to_numpy(), ex)
     assert np.array_equal(out.y_m.to_numpy(), ey)
+
+
+def test_ellipsoidal_mercator_epsg3395():
+    """EPSG:3395 (Mercator variant A) against the independent
+    isometric-latitude formula psi = atanh(sin phi) - e*atanh(e sin phi)
+    and the published grid value at 50N."""
+    import math
+
+    from pythongis_spark.geometry import crs, proj_parse as PP
+
+    lon = np.array([10.0, -75.3, 0.0, 179.9])
+    lat = np.array([50.0, -33.7, 0.0, 84.0])
+    x, y = PP.forward("EPSG:3395")(lon, lat)
+    assert x[0] == pytest.approx(crs.A_ * math.radians(10.0), abs=1e-9)
+    sphi = np.sin(np.radians(lat))
+    psi = np.arctanh(sphi) - crs.E_ * np.arctanh(crs.E_ * sphi)
+    assert np.allclose(y, crs.A_ * psi, rtol=0, atol=1e-6)
+    assert y[0] == pytest.approx(6413524.5942, abs=5e-4)  # published 3395 northing
+    lo2, la2 = PP.inverse("EPSG:3395")(x, y)
+    assert np.abs(lo2 - lon).max() < 1e-12 and np.abs(la2 - lat).max() < 1e-12
+    # variant B: k0 from a standard parallel; identity at the equator
+    assert crs.merc_k0_from_lat_ts(0.0) == pytest.approx(1.0, abs=1e-15)
+
+
+def test_polar_stereographic_families():
+    """Polar stereographic (EPSG 9810/9829): true scale at lat_ts,
+    variant A == variant B under the k0 equivalence, UPS false origin,
+    south-aspect E/N convention, round-trips for all built-in codes."""
+    import math
+
+    from pythongis_spark.geometry import crs, proj_parse as PP
+
+    # parallel scale k = rho / (A * m(phi)) is exactly 1 at lat_ts
+    for lat_ts, south in [(70.0, False), (-71.0, True)]:
+        ps = crs.PolarStereographic(lat_ts=lat_ts, south=south)
+        x, y = ps.forward(np.array([10.0]),
+                          np.array([math.copysign(abs(lat_ts), -1 if south else 1)]))
+        m = float(crs._m(np.array([math.radians(abs(lat_ts))]))[0])
+        assert math.hypot(x[0], y[0]) / (crs.A_ * m) == pytest.approx(1.0, abs=1e-12)
+    # variant A (k0) == variant B (lat_ts) bit-for-bit
+    ps_b = crs.PolarStereographic(lon0=-45, lat_ts=70)
+    ps_a = crs.PolarStereographic(lon0=-45, k0=ps_b.k0)
+    lon, lat = np.array([30.0, -120.0]), np.array([75.0, 82.0])
+    assert np.array_equal(ps_a.forward(lon, lat)[0], ps_b.forward(lon, lat)[0])
+    assert np.array_equal(ps_a.forward(lon, lat)[1], ps_b.forward(lon, lat)[1])
+    # UPS north pole lands on the (2e6, 2e6) false origin
+    x, y = PP.forward("EPSG:5041")(np.array([45.0]), np.array([90.0]))
+    assert x[0] == pytest.approx(2e6, abs=1e-6) and y[0] == pytest.approx(2e6, abs=1e-6)
+    # south aspect: at the central meridian northing grows POSITIVE (EPSG 3031)
+    x, y = PP.forward("EPSG:3031")(np.array([0.0]), np.array([-71.0]))
+    assert abs(x[0]) < 1e-9 and y[0] > 2e6
+    # round-trips through every built-in stere code
+    for code in (3413, 3976, 3031, 5041, 5042):
+        south = code in (3976, 3031, 5042)
+        lat = np.array([-75.0, -88.0, -66.0]) if south else np.array([75.0, 88.0, 66.0])
+        lon = np.array([13.0, -170.0, 91.5])
+        x, y = PP.forward(f"EPSG:{code}")(lon, lat)
+        lo2, la2 = PP.inverse(f"EPSG:{code}")(x, y)
+        assert np.abs(((lo2 - lon + 180) % 360) - 180).max() < 1e-9
+        assert np.abs(la2 - lat).max() < 1e-9
+
+
+def test_polar_stereographic_wkt_variant_b():
+    """WKT1 Polar_Stereographic variant B (EPSG:3031 style: the standard
+    parallel rides in latitude_of_origin) parses to lat_ts."""
+    from pythongis_spark.geometry import proj_parse as PP
+
+    wkt = ('PROJCS["WGS 84 / Antarctic Polar Stereographic",'
+           'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+           '6378137,298.257223563]]],PROJECTION["Polar_Stereographic"],'
+           'PARAMETER["latitude_of_origin",-71],'
+           'PARAMETER["central_meridian",0],'
+           'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+           'UNIT["metre",1]]')
+    lon = np.array([13.0, -170.0, 91.5])
+    lat = np.array([-75.0, -88.0, -66.0])
+    xe, ye = PP.forward("EPSG:3031")(lon, lat)
+    x, y = PP.forward(wkt)(lon, lat)
+    assert np.array_equal(x, xe) and np.array_equal(y, ye)
