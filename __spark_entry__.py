@@ -1554,6 +1554,40 @@ def _q_webmercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mercator3395(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ellipsoidal Mercator (EPSG:3395, r5 kernel: crs.merc_forward,
+    Snyder 7-6/7-7) through the parsed-CRS reproject path. Same
+    integer-meter contract as webmercator_points: numpy vs DuckDB libm
+    (tan/pow/ln) differ ≤ 1e-7 m here; measured min distance of any
+    unrounded value to a rounding boundary is 1.1e-5 m across sf0.01
+    AND sf0.1 (≥100× margin, deterministic data)."""
+    from pythongis_spark.geometry.projections import reproject_points
+
+    pts = FX.events_points(spark, sf_dir)
+    out = reproject_points(pts, to="EPSG:3395")
+    return out.select(
+        "event_id",
+        F.round("x_m", 0).alias("x_m"),
+        F.round("y_m", 0).alias("y_m"),
+    )
+
+
+def _q_polar_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North polar stereographic (EPSG:3413, r5 kernel:
+    crs.PolarStereographic variant B) over northern-hemisphere events.
+    The lat > 0 filter bounds rho ≤ ~1.3e7 m so libm noise stays ≤ 1e-6 m;
+    measured min boundary distance 3.4e-5 m across sf0.01 AND sf0.1."""
+    from pythongis_spark.geometry.projections import reproject_points
+
+    pts = FX.events_points(spark, sf_dir).filter(F.col("lat") > 0.0)
+    out = reproject_points(pts, to="EPSG:3413")
+    return out.select(
+        "event_id",
+        F.round("x_m", 0).alias("x_m"),
+        F.round("y_m", 0).alias("y_m"),
+    )
+
+
 def _q_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.raster.algebra import conditional, morphology
 
@@ -2170,16 +2204,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   slots 0-6   NEW r5 operators (geodetic area/length, tiled
         #               cost-distance, sector viewshed, parsed-CRS warp,
         #               clean repair, cell-table format);
-        #   slots 7-14  queries whose CODE was touched in r5 (incremental
+        #   slots 7-16  queries whose CODE was touched in r5 (incremental
         #               dedup NULL-key fix; viewshed/cost observer
         #               validation; BIL/NetCDF reader fixes; AVI decode;
-        #               warp norm() fix; projections parser wiring);
-        #   slots 15-49 the STALEST rows — last driver-recorded green is
+        #               warp norm() fix; projections parser wiring; the
+        #               new ellipsoidal-Mercator EPSG:3395 and polar-
+        #               stereographic EPSG:3413 kernels);
+        #   slots 17-49 the STALEST rows — last driver-recorded green is
         #               r3 or earlier (incl. the never-r4-gated tpch_q1 /
         #               geojson/shapefile round trips / train_test_counts /
         #               cost_distance_raster per the r4 punch list).
         # Rotated out (all driver-green in CORRECTNESS_r04.json): the r4
-        # window's 43 surviving rows. Still-stale remainder queued for the
+        # window's 43 surviving rows, plus quality_docs / langid_docs
+        # (r1-r3 green) displaced by the two new projection-kernel gates.
+        # Still-stale remainder queued for the
         # r6 sweep: rasterize_partial, vectorize_merged, buffer_zone_areas,
         # dissolve_zone_rows, histogram_quantity, tab_orderpriority,
         # merge_union_byname, topk_orders_per_customer, duplicates_geom,
@@ -2194,7 +2232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_raster_utm_parsed": _q_warp_raster_utm,
         "clean_bowties": _q_clean_bowties,
         "cell_table_roundtrip": _q_cell_table_roundtrip,
-        # ---- slots 7-14: r5-touched code paths
+        # ---- slots 7-16: r5-touched code paths
         "incremental_dedup_docs": _q_incremental_dedup_docs,
         "viewshed_raster": _q_viewshed_raster,
         "cost_distance_raster": _q_cost_distance,
@@ -2203,7 +2241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_features_exact": _q_video_features_exact,
         "warp_raster_webmercator": _q_warp_raster,
         "webmercator_points": _q_webmercator,
-        # ---- slots 15-49: stalest rows (last driver green <= r3)
+        "mercator3395_points": _q_mercator3395,
+        "polar_stereo_points": _q_polar_stereo,
+        # ---- slots 17-49: stalest rows (last driver green <= r3)
         "tpch_q1": _q_tpch_q1,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
@@ -2415,6 +2455,20 @@ def _geodetic_length_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pythongis_spark.geometry import crs as _crs
+
+    # ellipsoidal-Mercator / polar-stereographic replay constants: the
+    # SQL repeats the numpy kernels' exact operation order so the only
+    # divergence is libm tan/pow/ln ulps (≤1e-7 m, vs 0.5 m rounding)
+    _t_sql = (
+        f"(TAN(PI() / 4 - RADIANS(lat) / 2) / POW("
+        f"(1 - {_crs.E_!r} * SIN(RADIANS(lat))) / "
+        f"(1 + {_crs.E_!r} * SIN(RADIANS(lat))), {_crs.E_ / 2!r}))"
+    )
+    _ps3413 = _crs.PolarStereographic(lon0=-45.0, lat_ts=70.0)
+    # numpy computes rho = ((2 * A) * k0) * t / T_BAR
+    _rho_sql = f"(({2 * _crs.A_ * _ps3413.k0!r} * {_t_sql}) / {_crs._T_BAR!r})"
+
     zid = FX.zone_id_sql("p.lon", "p.lat")
     knn_dist = "sqrt((p.lon - z.cx) * (p.lon - z.cx) + (p.lat - z.cy) * (p.lat - z.cy))"
     raster1 = FX.raster_cells_cte_sql(360, 180, 1)
@@ -3117,6 +3171,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(RADIANS(lon) * 6378137.0, 0) AS x_m,
                    ROUND(LN(TAN(PI() / 4 + RADIANS(GREATEST(-85.05112877980659, LEAST(85.05112877980659, lat))) / 2)) * 6378137.0, 0) AS y_m
             FROM pts
+        """,
+        "mercator3395_points": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id,
+                   ROUND(RADIANS(lon) * 6378137.0, 0) AS x_m,
+                   ROUND(0.0 - 6378137.0 * LN({_t_sql}), 0) AS y_m
+            FROM pts
+        """,
+        "polar_stereo_points": f"""
+            WITH {_PTS_CTE}
+            SELECT event_id,
+                   ROUND({_rho_sql} * SIN(RADIANS(lon + 45.0)), 0) AS x_m,
+                   ROUND(0.0 - {_rho_sql} * COS(RADIANS(lon + 45.0)), 0) AS y_m
+            FROM pts
+            WHERE lat > 0.0
         """,
         "morphology_dilate": f"""
             WITH {FX.raster_cells_cte_sql(360, 180, 1)},
