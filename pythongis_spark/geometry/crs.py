@@ -162,6 +162,17 @@ def _q(phi):
     )
 
 
+def _phi_from_q(q):
+    """Authalic → geodetic latitude: Newton on q(phi) = q (Snyder 3-16),
+    shared by the equal-area inverses (Albers / LAEA / CEA)."""
+    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        sphi = np.sin(phi)
+        denom = (1 - E2 * sphi**2) ** 2 / ((1 - E2) * np.cos(phi))
+        phi = phi + (q - _q(phi)) * denom / 2
+    return phi
+
+
 class AlbersEqualArea:
     """Snyder 14-12..14-21 (ellipsoidal, two standard parallels)."""
 
@@ -191,12 +202,7 @@ class AlbersEqualArea:
         rho = np.sqrt(xs * xs + ys * ys)
         th = np.arctan2(xs, ys)
         q = (self.C - (rho * self.n / A_) ** 2) / self.n
-        # Newton on q(phi) = q
-        phi = np.arcsin(np.clip(q / 2, -1, 1))
-        for _ in range(8):
-            sphi = np.sin(phi)
-            denom = (1 - E2 * sphi**2) ** 2 / ((1 - E2) * np.cos(phi))
-            phi = phi + (q - _q(phi)) * denom / 2
+        phi = _phi_from_q(q)
         return np.degrees(th / self.n) + self.lon0, np.degrees(phi)
 
 
@@ -278,3 +284,93 @@ class PolarStereographic:
             phi = np.pi / 2 - 2 * np.arctan(
                 t * ((1 - E_ * sphi) / (1 + E_ * sphi)) ** (E_ / 2))
         return s * np.degrees(np.arctan2(xs, -ys)) + self.lon0, s * np.degrees(phi)
+
+
+# ------------------------------------------------- cylindrical equal-area
+
+def cea_forward(lon, lat, lon0: float = 0.0, lat_ts: float = 0.0,
+                x0: float = 0.0, y0: float = 0.0):
+    """Ellipsoidal cylindrical equal-area, normal aspect (Snyder
+    10-1/10-2, EPSG 9835; EPSG:6933 EASE-Grid 2.0 is lat_ts=30)."""
+    k0 = float(_m(np.array([math.radians(lat_ts)]))[0])
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    return x0 + A_ * k0 * lam, y0 + A_ * _q(phi) / (2 * k0)
+
+
+def cea_inverse(x, y, lon0: float = 0.0, lat_ts: float = 0.0,
+                x0: float = 0.0, y0: float = 0.0):
+    k0 = float(_m(np.array([math.radians(lat_ts)]))[0])
+    q = (np.asarray(y, dtype=np.float64) - y0) * (2 * k0) / A_
+    lam = (np.asarray(x, dtype=np.float64) - x0) / (A_ * k0)
+    return np.degrees(lam) + lon0, np.degrees(_phi_from_q(q))
+
+
+# ------------------------------------------- Lambert azimuthal equal-area
+
+class LambertAzimuthalEqualArea:
+    """Ellipsoidal oblique LAEA (Snyder 24-2..24-20, EPSG 9820) — the
+    EPSG:3035 (ETRS89-LAEA Europe) family. Polar aspects (lat_0 = ±90)
+    use different formulas and are not implemented (D degenerates)."""
+
+    def __init__(self, lat0: float, lon0: float,
+                 x0: float = 0.0, y0: float = 0.0):
+        if abs(lat0) > 90.0 - 1e-9:
+            raise NotImplementedError(
+                "polar-aspect LAEA (+lat_0=±90) is not implemented; "
+                "use polar stereographic or an oblique center")
+        p0 = math.radians(lat0)
+        self.qp = float(_q(np.array([math.pi / 2]))[0])
+        q1 = float(_q(np.array([p0]))[0])
+        self.beta1 = math.asin(q1 / self.qp)
+        self.Rq = A_ * math.sqrt(self.qp / 2)
+        m1 = float(_m(np.array([p0]))[0])
+        self.D = A_ * m1 / (self.Rq * math.cos(self.beta1))
+        self.lon0, self.x0, self.y0 = lon0, x0, y0
+
+    def forward(self, lon, lat):
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        beta = np.arcsin(np.clip(_q(phi) / self.qp, -1, 1))
+        sb1, cb1 = math.sin(self.beta1), math.cos(self.beta1)
+        B = self.Rq * np.sqrt(
+            2 / (1 + sb1 * np.sin(beta) + cb1 * np.cos(beta) * np.cos(lam)))
+        x = B * self.D * np.cos(beta) * np.sin(lam)
+        y = (B / self.D) * (cb1 * np.sin(beta) - sb1 * np.cos(beta) * np.cos(lam))
+        return self.x0 + x, self.y0 + y
+
+    def inverse(self, x, y):
+        xs = np.asarray(x, dtype=np.float64) - self.x0
+        ys = np.asarray(y, dtype=np.float64) - self.y0
+        sb1, cb1 = math.sin(self.beta1), math.cos(self.beta1)
+        rho = np.hypot(xs / self.D, self.D * ys)
+        ce = 2 * np.arcsin(np.clip(rho / (2 * self.Rq), -1, 1))
+        at_center = rho == 0
+        rho_safe = np.where(at_center, 1.0, rho)
+        q = self.qp * (np.cos(ce) * sb1
+                       + self.D * ys * np.sin(ce) * cb1 / rho_safe)
+        q = np.where(at_center, self.qp * sb1, q)
+        lam = np.arctan2(
+            xs * np.sin(ce),
+            self.D * rho_safe * cb1 * np.cos(ce)
+            - self.D * self.D * ys * sb1 * np.sin(ce))
+        lam = np.where(at_center, 0.0, lam)
+        return np.degrees(lam) + self.lon0, np.degrees(_phi_from_q(q))
+
+
+# ------------------------------------------------------------ sinusoidal
+
+def sinu_forward(lon, lat, lon0: float = 0.0, R: float = 6371007.181,
+                 x0: float = 0.0, y0: float = 0.0):
+    """Spherical sinusoidal (Snyder 30-1/30-2) on an authalic sphere —
+    the MODIS grid is R=6371007.181 (+proj=sinu +R=6371007.181)."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    return x0 + R * lam * np.cos(phi), y0 + R * phi
+
+
+def sinu_inverse(x, y, lon0: float = 0.0, R: float = 6371007.181,
+                 x0: float = 0.0, y0: float = 0.0):
+    phi = (np.asarray(y, dtype=np.float64) - y0) / R
+    lam = (np.asarray(x, dtype=np.float64) - x0) / (R * np.cos(phi))
+    return np.degrees(lam) + lon0, np.degrees(phi)

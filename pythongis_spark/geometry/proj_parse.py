@@ -6,7 +6,9 @@ pyproj-backed "reproject to any CRS" (``pythongis/vector/manager.py:
 The overwhelming majority of real-world projected EPSG codes are
 instances of exactly the families implemented in :mod:`.crs`:
 UTM / transverse Mercator (Karney series), Lambert conformal conic,
-Albers equal-area, plus spherical (web) Mercator and equirectangular.
+Albers equal-area, Lambert azimuthal equal-area, cylindrical
+equal-area, ellipsoidal Mercator, polar stereographic, sinusoidal,
+plus spherical (web) Mercator and equirectangular.
 This module parses ``+proj=...`` parameter strings, OGC WKT1 ``PROJCS``
 blocks, and ``EPSG:n`` codes (small built-in table + the full UTM
 ranges) into those families, giving numpy forward/inverse transforms
@@ -59,7 +61,18 @@ EPSG_PROJ4 = {
            "+y_0=2000000 +datum=WGS84"),
     5042: ("+proj=stere +lat_0=-90 +k=0.994 +lon_0=0 +x_0=2000000 "
            "+y_0=2000000 +datum=WGS84"),
-    # ETRS89 / UTM zone 32N via the generated range; nothing to list.
+    # ETRS89-extended / LAEA Europe (the EU INSPIRE standard grid)
+    3035: ("+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+           "+ellps=GRS80"),
+    # WGS 84 / NSIDC EASE-Grid 2.0 Global
+    6933: "+proj=cea +lat_ts=30 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84",
+    # GDA94 / Australian Albers
+    3577: ("+proj=aea +lat_0=0 +lon_0=132 +lat_1=-18 +lat_2=-36 "
+           "+x_0=0 +y_0=0 +ellps=GRS80"),
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    2193: ("+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+           "+y_0=10000000 +ellps=GRS80"),
+    # WGS84/ETRS89/NAD83 UTM zones via the generated ranges below.
 }
 
 _OK_ELLPS = {"WGS84", "GRS80"}
@@ -81,6 +94,9 @@ _WKT_PROJ_NAMES = {
     "polar_stereographic": "stere",
     "polar_stereographic_(variant_a)": "stere",
     "polar_stereographic_(variant_b)": "stere",
+    "lambert_azimuthal_equal_area": "laea",
+    "cylindrical_equal_area": "cea",
+    "sinusoidal": "sinu",
 }
 
 _WKT_PARAM_NAMES = {
@@ -134,8 +150,11 @@ def parse_wkt(s: str) -> dict:
             out[pk] = float(m.group(2))
     sph = re.search(r'SPHEROID\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)', s)
     if sph and abs(float(sph.group(1)) - 6378137.0) > 0.5:
-        raise NotImplementedError(
-            f"spheroid a={sph.group(1)} is not WGS84/GRS80-equivalent")
+        if proj == "sinu":
+            out["R"] = float(sph.group(1))  # MODIS authalic sphere
+        else:
+            raise NotImplementedError(
+                f"spheroid a={sph.group(1)} is not WGS84/GRS80-equivalent")
     if proj == "stere" and abs(abs(out.get("lat_0", 90.0)) - 90.0) > 1e-9:
         # WKT1 "Polar_Stereographic" (variant B) carries the standard
         # parallel in latitude_of_origin (EPSG:3031 WKT has -71 there);
@@ -160,6 +179,10 @@ def normalize(spec) -> dict:
                 return {"proj": "utm", "zone": code - 32600}
             if 32701 <= code <= 32760:
                 return {"proj": "utm", "zone": code - 32700, "south": True}
+            if 25828 <= code <= 25838:  # ETRS89 / UTM (GRS80)
+                return {"proj": "utm", "zone": code - 25800}
+            if 26901 <= code <= 26923:  # NAD83 / UTM (GRS80)
+                return {"proj": "utm", "zone": code - 26900}
             if code not in EPSG_PROJ4:
                 raise NotImplementedError(
                     f"EPSG:{code} is not in the built-in table "
@@ -184,6 +207,12 @@ def normalize(spec) -> dict:
     if isinstance(ell, str) and ell.upper() not in _OK_ELLPS:
         raise NotImplementedError(
             f"ellipsoid/datum {ell!r}: only WGS84/GRS80 supported")
+    av = p.get("a")
+    if (av is not None and p.get("proj") not in ("sinu", "merc", "webmerc")
+            and abs(float(av) - 6378137.0) > 0.5):
+        # sinu takes a custom sphere; merc/webmerc validate a/b themselves
+        raise NotImplementedError(
+            f"+a={av} is not the WGS84/GRS80 semi-major axis")
     if "proj" not in p:
         raise ValueError(f"CRS spec has no +proj: {spec!r}")
     return p
@@ -275,6 +304,24 @@ def _family(p: dict):
         a = _tmerc_args(p)
         return (lambda lo, la: C.tmerc_forward(lo, la, **a),
                 lambda x, y: C.tmerc_inverse(x, y, **a))
+    if proj == "cea":
+        a = dict(lon0=float(p.get("lon_0", 0.0)),
+                 lat_ts=float(p.get("lat_ts", p.get("lat_1", 0.0))),
+                 x0=float(p.get("x_0", 0.0)), y0=float(p.get("y_0", 0.0)))
+        return (lambda lo, la: C.cea_forward(lo, la, **a),
+                lambda x, y: C.cea_inverse(x, y, **a))
+    if proj == "laea":
+        inst = C.LambertAzimuthalEqualArea(
+            lat0=float(p.get("lat_0", 0.0)), lon0=float(p.get("lon_0", 0.0)),
+            x0=float(p.get("x_0", 0.0)), y0=float(p.get("y_0", 0.0)))
+        return inst.forward, inst.inverse
+    if proj == "sinu":
+        # MODIS grid sphere by default; +R / spherical +a override
+        a = dict(lon0=float(p.get("lon_0", 0.0)),
+                 R=float(p.get("R", p.get("a", 6371007.181))),
+                 x0=float(p.get("x_0", 0.0)), y0=float(p.get("y_0", 0.0)))
+        return (lambda lo, la: C.sinu_forward(lo, la, **a),
+                lambda x, y: C.sinu_inverse(x, y, **a))
     if proj in ("lcc", "aea"):
         lat1 = float(p.get("lat_1", p.get("lat_0", 0.0)))
         args = dict(
@@ -290,7 +337,7 @@ def _family(p: dict):
         return inst.forward, inst.inverse
     raise NotImplementedError(
         f"+proj={proj} is not an implemented family "
-        f"(longlat/merc/webmerc/eqc/utm/tmerc/lcc/aea/stere)")
+        f"(longlat/merc/webmerc/eqc/utm/tmerc/lcc/aea/stere/laea/cea/sinu)")
 
 
 def forward(spec):

@@ -308,3 +308,96 @@ def test_polar_stereographic_wkt_variant_b():
     xe, ye = PP.forward("EPSG:3031")(lon, lat)
     x, y = PP.forward(wkt)(lon, lat)
     assert np.array_equal(x, xe) and np.array_equal(y, ye)
+
+
+def test_laea_epsg3035():
+    """Lambert azimuthal equal-area (EPSG:3035, Snyder 24-2..24-20):
+    grid-origin anchor, equal-area law, WKT==EPSG, round trip."""
+    import math
+
+    from pythongis_spark.geometry import crs, proj_parse as PP
+
+    lon = np.array([10.0, -5.2, 28.7, 24.0])
+    lat = np.array([52.0, 41.3, 66.0, 62.0])
+    x, y = PP.forward("EPSG:3035")(lon, lat)
+    # published false origin: (10E, 52N) -> (4321000, 3210000)
+    assert x[0] == pytest.approx(4321000.0, abs=1e-6)
+    assert y[0] == pytest.approx(3210000.0, abs=1e-6)
+    lo2, la2 = PP.inverse("EPSG:3035")(x, y)
+    assert np.abs(lo2 - lon).max() < 1e-9 and np.abs(la2 - lat).max() < 1e-9
+    wkt = ('PROJCS["ETRS89-extended / LAEA Europe",GEOGCS["ETRS89",'
+           'DATUM["ETRS89",SPHEROID["GRS 1980",6378137,298.257222101]]],'
+           'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+           'PARAMETER["latitude_of_center",52],'
+           'PARAMETER["longitude_of_center",10],'
+           'PARAMETER["false_easting",4321000],'
+           'PARAMETER["false_northing",3210000],UNIT["metre",1]]')
+    xw, yw = PP.forward(wkt)(lon, lat)
+    assert np.array_equal(x, xw) and np.array_equal(y, yw)
+    # equal-area law: projected quad area == ellipsoid surface element
+    laea = crs.LambertAzimuthalEqualArea(lat0=52, lon0=10)
+    for lo, la in [(5.0, 45.0), (24.0, 62.0)]:
+        d = 0.01
+        qx, qy = laea.forward(np.array([lo, lo + d, lo + d, lo]),
+                              np.array([la, la, la + d, la + d]))
+        area_p = 0.5 * abs(np.dot(qx, np.roll(qy, -1)) - np.dot(qy, np.roll(qx, -1)))
+        phi = math.radians(la + d / 2)
+        m = crs.A_ * (1 - crs.E2) / (1 - crs.E2 * math.sin(phi) ** 2) ** 1.5
+        nn = crs.A_ / math.sqrt(1 - crs.E2 * math.sin(phi) ** 2)
+        area_t = m * nn * math.cos(phi) * math.radians(d) ** 2
+        assert area_p / area_t == pytest.approx(1.0, rel=1e-5)
+    with pytest.raises(NotImplementedError, match="polar-aspect"):
+        crs.LambertAzimuthalEqualArea(lat0=90, lon0=0)
+
+
+def test_cea_epsg6933_and_sinusoidal():
+    """Cylindrical equal-area (EPSG:6933 EASE-Grid 2.0) and the MODIS
+    sinusoidal sphere: round trips, equal-area law, WKT sphere parse."""
+    import math
+
+    from pythongis_spark.geometry import crs, proj_parse as PP
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    lon = rng.uniform(-179, 179, 100)
+    lat = rng.uniform(-84, 84, 100)
+    x, y = PP.forward("EPSG:6933")(lon, lat)
+    lo2, la2 = PP.inverse("EPSG:6933")(x, y)
+    assert np.abs(lo2 - lon).max() < 1e-9 and np.abs(la2 - lat).max() < 1e-9
+    for lo, la in [(0.0, 0.0), (100.0, 55.0), (-60.0, -30.0)]:
+        d = 0.01
+        qx, qy = crs.cea_forward(np.array([lo, lo + d, lo + d, lo]),
+                                 np.array([la, la, la + d, la + d]), lat_ts=30.0)
+        area_p = 0.5 * abs(np.dot(qx, np.roll(qy, -1)) - np.dot(qy, np.roll(qx, -1)))
+        phi = math.radians(la + d / 2)
+        m = crs.A_ * (1 - crs.E2) / (1 - crs.E2 * math.sin(phi) ** 2) ** 1.5
+        nn = crs.A_ / math.sqrt(1 - crs.E2 * math.sin(phi) ** 2)
+        area_t = m * nn * math.cos(phi) * math.radians(d) ** 2
+        assert area_p / area_t == pytest.approx(1.0, rel=1e-5)
+    # sinusoidal: y is the spherical meridian arc; WKT sphere == proj4 +R
+    R = 6371007.181
+    x, y = PP.forward("+proj=sinu +R=6371007.181")(np.array([30.0]), np.array([45.0]))
+    assert y[0] == pytest.approx(R * math.radians(45.0), abs=1e-9)
+    assert x[0] == pytest.approx(R * math.radians(30.0) * math.cos(math.radians(45.0)), abs=1e-9)
+    wkt = ('PROJCS["MODIS Sinusoidal",GEOGCS["Unknown",DATUM["Unknown",'
+           'SPHEROID["Authalic_Sphere",6371007.181,0]]],'
+           'PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],'
+           'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+           'UNIT["metre",1]]')
+    xw, yw = PP.forward(wkt)(np.array([30.0]), np.array([45.0]))
+    assert x[0] == xw[0] and y[0] == yw[0]
+    lo2, la2 = PP.inverse("+proj=sinu +R=6371007.181")(x, y)
+    assert lo2[0] == pytest.approx(30.0, abs=1e-12)
+    # new EPSG conveniences: ETRS89/NAD83 UTM ranges, GDA94 Albers, NZTM
+    xr, yr = PP.forward("EPSG:25832")(np.array([9.0]), np.array([48.0]))
+    xe, ye = crs.utm_forward(np.array([9.0]), np.array([48.0]), 32, True)
+    assert xr[0] == xe[0] and yr[0] == ye[0]
+    xr, yr = PP.forward("EPSG:26918")(np.array([-75.0]), np.array([40.0]))
+    xe, ye = crs.utm_forward(np.array([-75.0]), np.array([40.0]), 18, True)
+    assert xr[0] == xe[0] and yr[0] == ye[0]
+    x, y = PP.forward("EPSG:3577")(np.array([132.0]), np.array([0.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    x, y = PP.forward("EPSG:2193")(np.array([173.0]), np.array([0.0]))
+    assert x[0] == pytest.approx(1600000.0, abs=1e-9)
+    assert y[0] == pytest.approx(10000000.0, abs=1e-6)
+    with pytest.raises(NotImplementedError, match="semi-major"):
+        PP.forward("+proj=laea +lat_0=52 +lon_0=10 +a=6370997")
