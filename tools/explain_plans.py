@@ -336,6 +336,22 @@ def main():
         must_not=[r"SortMergeJoin", r"CartesianProduct"],
     )
 
+    # 22. parsed-CRS point reproject (the r5 projection-kernel gates):
+    # one ArrowEvalPython over the parquet scan — the whole transform is
+    # a single vectorized batch per partition, no exchange, no join
+    for qname in ("laea3035_points", "cea6933_points"):
+        rp = E.queries()[qname](spark, sf)
+        plan = fmt(rp)
+        n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
+        ok22 = (n_arrow == 1
+                and not re.search(r"Exchange", plan)
+                and not re.search(r"CartesianProduct", plan))
+        if not ok22:
+            print(f"  {qname}: ArrowEvalPython={n_arrow} (want 1, no Exchange)")
+        print(f"reproject_parsed_single_arrow[{qname}]: "
+              f"{'OK' if ok22 else 'PLAN REGRESSION'}")
+        failures += not ok22
+
     sys.exit(1 if failures else 0)
 
 
