@@ -35,6 +35,13 @@ from pythongis_spark.geometry import projections as PJ
 # epsg.io registry); UTM 326xx/327xx are generated, not listed.
 EPSG_PROJ4 = {
     4326: "+proj=longlat +datum=WGS84",
+    # GRS80 geographic datums (NAD83 / ETRS89 / GDA94 / NZGD2000):
+    # coordinates are treated as WGS84-equivalent (no datum shift applied
+    # — module-docstring divergence)
+    4269: "+proj=longlat +ellps=GRS80",
+    4258: "+proj=longlat +ellps=GRS80",
+    4283: "+proj=longlat +ellps=GRS80",
+    4167: "+proj=longlat +ellps=GRS80",
     4087: "+proj=eqc +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 +datum=WGS84",
     3857: "+proj=merc +a=6378137 +b=6378137 +lon_0=0 +x_0=0 +y_0=0 +k=1",
     # RGF93 / Lambert-93 (France)

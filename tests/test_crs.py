@@ -401,3 +401,7 @@ def test_cea_epsg6933_and_sinusoidal():
     assert y[0] == pytest.approx(10000000.0, abs=1e-6)
     with pytest.raises(NotImplementedError, match="semi-major"):
         PP.forward("+proj=laea +lat_0=52 +lon_0=10 +a=6370997")
+    # GRS80 geographic aliases resolve to identity (no datum shift)
+    for code in (4269, 4258, 4283, 4167):
+        lo, la = PP.forward(f"EPSG:{code}")(np.array([1.5]), np.array([-2.25]))
+        assert lo[0] == 1.5 and la[0] == -2.25
