@@ -1,0 +1,256 @@
+"""Geodetic datums without pyproj: non-WGS84 reference ellipsoids, the
+ellipsoid-parameterized Karney transverse Mercator, geodetic↔geocentric
+conversion and 3/7-parameter Helmert datum shifts (+towgs84).
+
+Reference analog: ``pythongis/vector/manager.py:822-846`` reprojects via
+pyproj, which applies these exact datum transformations for CRS pairs on
+different datums (e.g. EPSG:4326 → EPSG:27700). pyproj is not installed
+in this image; this module implements the standard public formulas:
+
+- Helmert position-vector 7-parameter transformation (EPSG method 9606,
+  the convention PROJ's ``+towgs84`` uses): rotations in arc-seconds,
+  scale in ppm; the reverse direction uses the exact matrix inverse so
+  round trips close to float precision.
+- Geodetic → geocentric (EPSG 9602) with h = 0 for 2-D coordinates
+  (same convention PROJ applies to 2-D input).
+- Geocentric → geodetic via a FIXED 4-step fixed-point latitude
+  iteration (error < 1e-12 rad for surface points): deterministic
+  operation order, SQL-replayable for the bit-exact oracles.
+- Transverse Mercator on an arbitrary ellipsoid: the same Karney–Krüger
+  n^4 series as :mod:`.crs` (sub-mm), with the series coefficients
+  computed from the ellipsoid's third flattening. ``geometry.crs`` keeps
+  the WGS84-constant fast path untouched (its oracles are bit-frozen).
+
+Everything is numpy-vectorized; scalar constants are plain Python floats
+so oracle SQL can embed them via ``repr`` and replay the exact op order.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+class Ellipsoid:
+    """Reference ellipsoid (a, 1/f) + the derived Karney TM series."""
+
+    def __init__(self, name: str, a: float, rf: float):
+        self.name = name
+        self.a = float(a)
+        self.f = 1.0 / float(rf)
+        self.e2 = self.f * (2 - self.f)
+        self.e = math.sqrt(self.e2)
+        n = self.f / (2 - self.f)
+        self.n = n
+        # Karney series (to n^4), same polynomials as geometry.crs
+        self.alpha = [
+            n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180,
+            13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440,
+            61 * n**3 / 240 - 103 * n**4 / 140,
+            49561 * n**4 / 161280,
+        ]
+        self.beta = [
+            n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360,
+            n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440,
+            17 * n**3 / 480 - 37 * n**4 / 840,
+            4397 * n**4 / 161280,
+        ]
+        self.delta = [
+            2 * n - 2 * n**2 / 3 - 2 * n**3 + 116 * n**4 / 45,
+            7 * n**2 / 3 - 8 * n**3 / 5 - 227 * n**4 / 45,
+            56 * n**3 / 15 - 136 * n**4 / 35,
+            4279 * n**4 / 630,
+        ]
+        self.a_rect = self.a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Ellipsoid({self.name}, a={self.a}, 1/f={1 / self.f})"
+
+
+# PROJ +ellps= names → (a, 1/f); public constants (EPSG registry /
+# PROJ's ellps table).
+ELLIPSOIDS = {
+    "WGS84": Ellipsoid("WGS84", 6378137.0, 298.257223563),
+    "GRS80": Ellipsoid("GRS80", 6378137.0, 298.257222101),
+    "airy": Ellipsoid("airy", 6377563.396, 299.3249646),
+    "intl": Ellipsoid("intl", 6378388.0, 297.0),
+    "bessel": Ellipsoid("bessel", 6377397.155, 299.1528128),
+    "krass": Ellipsoid("krass", 6378245.0, 298.3),
+    "clrk66": Ellipsoid("clrk66", 6378206.4, 294.978698214),
+    "clrk80ign": Ellipsoid("clrk80ign", 6378249.2, 293.466021293627),
+}
+
+WGS84 = ELLIPSOIDS["WGS84"]
+
+
+def ellipsoid_from_axes(a: float, rf_or_b: float, is_b: bool = False) -> Ellipsoid:
+    """Match (a, 1/f) or (a, b) against the registry (1 mm tolerance)."""
+    if is_b:
+        rf = a / (a - rf_or_b) if a != rf_or_b else float("inf")
+    else:
+        rf = rf_or_b
+    for ell in ELLIPSOIDS.values():
+        if abs(ell.a - a) < 1e-3 and abs(1 / ell.f - rf) < 1e-6:
+            return ell
+    return Ellipsoid(f"a={a}", a, rf)
+
+
+# --------------------------------------------- geodetic <-> geocentric
+
+def geodetic_to_geocentric(lon, lat, ell: Ellipsoid = WGS84):
+    """Degrees (h = 0) → geocentric X, Y, Z meters (EPSG 9602)."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    sp = np.sin(phi)
+    nu = ell.a / np.sqrt(1.0 - ell.e2 * sp * sp)
+    cp = np.cos(phi)
+    return nu * cp * np.cos(lam), nu * cp * np.sin(lam), nu * (1.0 - ell.e2) * sp
+
+
+def geocentric_to_geodetic(X, Y, Z, ell: Ellipsoid = WGS84):
+    """Geocentric meters → lon, lat degrees (h discarded).
+
+    Fixed 4-iteration latitude recursion (deterministic op order; error
+    < 1e-12 rad for near-surface points — sub-µm)."""
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    p = np.sqrt(X * X + Y * Y)
+    lam = np.arctan2(Y, X)
+    phi = np.arctan2(Z, p * (1.0 - ell.e2))
+    for _ in range(4):
+        sp = np.sin(phi)
+        nu = ell.a / np.sqrt(1.0 - ell.e2 * sp * sp)
+        phi = np.arctan2(Z + ell.e2 * nu * sp, p)
+    return np.degrees(lam), np.degrees(phi)
+
+
+# ------------------------------------------------------- Helmert shift
+
+class Helmert:
+    """Position-vector 3/7-parameter Helmert transformation (EPSG 9606,
+    PROJ ``+towgs84`` convention): ``forward`` maps source-datum
+    geocentric coordinates to WGS84; ``inverse`` applies the exact
+    matrix inverse (round trips close to float precision, unlike the
+    sign-negation approximation).
+
+    Parameters: tx, ty, tz meters; rx, ry, rz arc-seconds; s ppm."""
+
+    _AS2RAD = math.pi / (180.0 * 3600.0)
+
+    def __init__(self, params):
+        vals = [float(v) for v in params]
+        if len(vals) == 3:
+            vals += [0.0, 0.0, 0.0, 0.0]
+        if len(vals) != 7:
+            raise ValueError(f"towgs84 needs 3 or 7 parameters, got {len(vals)}")
+        tx, ty, tz, rx, ry, rz, s = vals
+        self.params = tuple(vals)
+        self.identity = all(v == 0.0 for v in vals)
+        rx *= self._AS2RAD
+        ry *= self._AS2RAD
+        rz *= self._AS2RAD
+        m = 1.0 + s * 1e-6
+        M = np.array([
+            [m, -m * rz, m * ry],
+            [m * rz, m, -m * rx],
+            [-m * ry, m * rx, m],
+        ], dtype=np.float64)
+        Minv = np.linalg.inv(M)
+        # plain-float scalar constants: the numpy kernels AND the oracle
+        # SQL replay both use exactly these values
+        self.M = [[float(v) for v in row] for row in M]
+        self.Minv = [[float(v) for v in row] for row in Minv]
+        self.T = (tx, ty, tz)
+
+    def forward(self, X, Y, Z):
+        """Source datum geocentric → WGS84 geocentric."""
+        M, (tx, ty, tz) = self.M, self.T
+        Xo = tx + (M[0][0] * X + M[0][1] * Y + M[0][2] * Z)
+        Yo = ty + (M[1][0] * X + M[1][1] * Y + M[1][2] * Z)
+        Zo = tz + (M[2][0] * X + M[2][1] * Y + M[2][2] * Z)
+        return Xo, Yo, Zo
+
+    def inverse(self, X, Y, Z):
+        """WGS84 geocentric → source datum geocentric (exact inverse)."""
+        Mi, (tx, ty, tz) = self.Minv, self.T
+        Xs = X - tx
+        Ys = Y - ty
+        Zs = Z - tz
+        Xo = Mi[0][0] * Xs + Mi[0][1] * Ys + Mi[0][2] * Zs
+        Yo = Mi[1][0] * Xs + Mi[1][1] * Ys + Mi[1][2] * Zs
+        Zo = Mi[2][0] * Xs + Mi[2][1] * Ys + Mi[2][2] * Zs
+        return Xo, Yo, Zo
+
+
+def datum_to_wgs84(lon, lat, ell: Ellipsoid, helmert: Helmert):
+    """Source-datum geodetic degrees → WGS84 geodetic degrees (h = 0)."""
+    X, Y, Z = geodetic_to_geocentric(lon, lat, ell)
+    X, Y, Z = helmert.forward(X, Y, Z)
+    return geocentric_to_geodetic(X, Y, Z, WGS84)
+
+
+def wgs84_to_datum(lon, lat, ell: Ellipsoid, helmert: Helmert):
+    """WGS84 geodetic degrees → source-datum geodetic degrees (h = 0)."""
+    X, Y, Z = geodetic_to_geocentric(lon, lat, WGS84)
+    X, Y, Z = helmert.inverse(X, Y, Z)
+    return geocentric_to_geodetic(X, Y, Z, ell)
+
+
+# ------------------------------- transverse Mercator, any ellipsoid
+
+class TransverseMercator:
+    """Karney–Krüger transverse Mercator on an arbitrary ellipsoid —
+    the non-WGS84 counterpart of ``crs.tmerc_forward/inverse`` (same
+    series, instance constants). EPSG:27700 (Airy), ED50 UTM (intl) and
+    DHDN Gauss-Krüger (bessel) are instances.
+
+    ``lat0`` follows PROJ semantics: northing measured from the meridian
+    arc at lat_0 (false northing shifted by the Karney xi at lam=0)."""
+
+    def __init__(self, ell: Ellipsoid, lon0: float, k0: float = 1.0,
+                 x0: float = 0.0, y0: float = 0.0, lat0: float = 0.0):
+        self.ell = ell
+        self.lon0, self.k0 = float(lon0), float(k0)
+        self.x0 = float(x0)
+        self.y0 = float(y0)
+        if lat0 != 0.0:
+            _, m0 = self._forward_raw(np.array([lon0]), np.array([lat0]))
+            self.y0 = float(y0) - float(m0[0])
+
+    def _forward_raw(self, lon, lat):
+        e = self.ell
+        lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        sphi = np.sin(phi)
+        t = np.sinh(np.arctanh(sphi) - e.e * np.arctanh(e.e * sphi))
+        xi_p = np.arctan2(t, np.cos(lam))
+        eta_p = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+        xi = xi_p.copy()
+        eta = eta_p.copy()
+        for j, a in enumerate(e.alpha, start=1):
+            xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+            eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+        return self.k0 * e.a_rect * eta, self.k0 * e.a_rect * xi
+
+    def forward(self, lon, lat):
+        x, y = self._forward_raw(lon, lat)
+        return self.x0 + x, self.y0 + y
+
+    def inverse(self, x, y):
+        e = self.ell
+        xi = (np.asarray(y, dtype=np.float64) - self.y0) / (self.k0 * e.a_rect)
+        eta = (np.asarray(x, dtype=np.float64) - self.x0) / (self.k0 * e.a_rect)
+        xi_p = xi.copy()
+        eta_p = eta.copy()
+        for j, b in enumerate(e.beta, start=1):
+            xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+            eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        tau_p = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+        lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+        chi = np.arctan(tau_p)
+        phi = chi.copy()
+        for j, d in enumerate(e.delta, start=1):
+            phi += d * np.sin(2 * j * chi)
+        return np.degrees(lam) + self.lon0, np.degrees(phi)

@@ -14,10 +14,19 @@ blocks, and ``EPSG:n`` codes (small built-in table + the full UTM
 ranges) into those families, giving numpy forward/inverse transforms
 and a Catalyst column inverse for raster warps.
 
-Documented divergences: only WGS84/GRS80-equivalent ellipsoids are
-accepted (GRS80's flattening differs from WGS84 by ~1e-11 — sub-0.1 mm
-everywhere; non-GRS80/WGS84 datums like Airy/OSGB raise loudly), and
-datum SHIFTS (+towgs84, NAD27) are not applied.
+Datum support (round 5): non-WGS84 ellipsoids (Airy, International,
+Bessel, Krassowsky, Clarke — :mod:`.datum`) are accepted for the
+transverse-Mercator / UTM / longlat families, and ``+towgs84`` 3/7-
+parameter Helmert shifts ARE applied (position-vector convention,
+exact-inverse reverse leg) — EPSG:27700 (British National Grid), ED50
+UTM and DHDN Gauss-Krüger resolve end-to-end. ``forward``/``inverse``
+keep the WGS84-hub convention: ``forward`` maps WGS84 lon/lat to the
+target CRS (datum shift + projection), exactly like pyproj's
+``Transformer.from_crs(4326, crs)``.
+
+Documented divergences: non-WGS84 ellipsoids on the conic/azimuthal/
+cylindrical families raise (no known high-use EPSG code needs them
+here); grid-based datums (NAD27 NADCON, +nadgrids) raise loudly.
 """
 
 from __future__ import annotations
@@ -30,6 +39,12 @@ import pandas as pd
 
 from pythongis_spark.geometry import crs as C
 from pythongis_spark.geometry import projections as PJ
+
+# +towgs84 strings shared by several codes (public PROJ definitions)
+_TOWGS84_OSGB36 = ("+towgs84=446.448,-125.157,542.06,"
+                   "0.15,0.247,0.842,-20.489")
+_TOWGS84_ED50 = "+towgs84=-87,-96,-120"
+_TOWGS84_DHDN = "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7"
 
 # EPSG codes → proj4 parameter strings (public definitions, e.g. the
 # epsg.io registry); UTM 326xx/327xx are generated, not listed.
@@ -79,10 +94,34 @@ EPSG_PROJ4 = {
     # NZGD2000 / New Zealand Transverse Mercator 2000
     2193: ("+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
            "+y_0=10000000 +ellps=GRS80"),
-    # WGS84/ETRS89/NAD83 UTM zones via the generated ranges below.
+    # --- non-WGS84 datums (r5: +towgs84 Helmert applied; parameter
+    # values are the public PROJ/epsg.io definitions) ---
+    # OSGB36 geographic / British National Grid (Airy 1830)
+    4277: "+proj=longlat +ellps=airy " + _TOWGS84_OSGB36,
+    27700: ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+            "+x_0=400000 +y_0=-100000 +ellps=airy " + _TOWGS84_OSGB36),
+    # ED50 geographic (International 1924); UTM zones via the range below
+    4230: "+proj=longlat +ellps=intl " + _TOWGS84_ED50,
+    # DHDN geographic / Gauss-Krüger zones (Bessel 1841)
+    4314: "+proj=longlat +ellps=bessel " + _TOWGS84_DHDN,
+    # WGS84/ETRS89/NAD83 UTM zones and ED50 UTM / DHDN GK via the
+    # generated ranges below.
 }
 
 _OK_ELLPS = {"WGS84", "GRS80"}
+
+# PROJ +datum= shortcuts (public PROJ datum table): name → proj4 tail
+_DATUM_DEFS = {
+    "WGS84": "+ellps=WGS84",
+    "OSGB36": "+ellps=airy " + _TOWGS84_OSGB36,
+    "potsdam": "+ellps=bessel " + _TOWGS84_DHDN,
+    "GGRS87": "+ellps=GRS80 +towgs84=-199.87,74.79,246.62",
+    "hermannskogel": ("+ellps=bessel +towgs84=577.326,90.129,463.919,"
+                      "5.137,1.474,5.297,2.4232"),
+    "carthage": "+ellps=clrk80ign +towgs84=-263.0,6.0,431.0",
+    "nzgd49": ("+ellps=intl +towgs84=59.47,-5.04,187.44,"
+               "0.47,-0.1,1.024,-4.5993"),
+}
 
 _WKT_PROJ_NAMES = {
     "transverse_mercator": "tmerc",
@@ -140,14 +179,16 @@ def parse_wkt(s: str) -> dict:
     """OGC WKT1 PROJCS/GEOGCS → the same normalized proj4-style dict."""
     name = re.search(r'PROJECTION\s*\[\s*"([^"]+)"', s)
     if name is None:
-        if re.match(r"\s*GEOGCS", s):
-            return {"proj": "longlat"}
-        raise ValueError("WKT without PROJECTION or GEOGCS")
-    key = name.group(1).strip().lower().replace(" ", "_")
-    proj = _WKT_PROJ_NAMES.get(key)
-    if proj is None:
-        raise NotImplementedError(f"WKT projection {name.group(1)!r} is not "
-                                  f"an implemented family {tuple(set(_WKT_PROJ_NAMES.values()))}")
+        if not re.match(r"\s*GEOGCS", s):
+            raise ValueError("WKT without PROJECTION or GEOGCS")
+        proj = "longlat"
+    else:
+        key = name.group(1).strip().lower().replace(" ", "_")
+        proj = _WKT_PROJ_NAMES.get(key)
+        if proj is None:
+            raise NotImplementedError(
+                f"WKT projection {name.group(1)!r} is not an implemented "
+                f"family {tuple(set(_WKT_PROJ_NAMES.values()))}")
     out: dict = {"proj": proj}
     for m in re.finditer(
         r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', s
@@ -155,13 +196,23 @@ def parse_wkt(s: str) -> dict:
         pk = _WKT_PARAM_NAMES.get(m.group(1).strip().lower())
         if pk:
             out[pk] = float(m.group(2))
-    sph = re.search(r'SPHEROID\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)', s)
+    sph = re.search(
+        r'SPHEROID\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)', s)
     if sph and abs(float(sph.group(1)) - 6378137.0) > 0.5:
         if proj == "sinu":
             out["R"] = float(sph.group(1))  # MODIS authalic sphere
         else:
-            raise NotImplementedError(
-                f"spheroid a={sph.group(1)} is not WGS84/GRS80-equivalent")
+            ell = _datum_mod().ellipsoid_from_axes(
+                float(sph.group(1)), float(sph.group(2)))
+            if ell.name not in _datum_mod().ELLIPSOIDS:
+                raise NotImplementedError(
+                    f"spheroid a={sph.group(1)} rf={sph.group(2)} matches "
+                    f"no registry ellipsoid and is not WGS84/GRS80")
+            out["ellps"] = ell.name
+    tw = re.search(r"TOWGS84\s*\[([^\]]+)\]", s)
+    if tw:
+        out["towgs84"] = ",".join(
+            v.strip() for v in tw.group(1).split(","))
     if proj == "stere" and abs(abs(out.get("lat_0", 90.0)) - 90.0) > 1e-9:
         # WKT1 "Polar_Stereographic" (variant B) carries the standard
         # parallel in latitude_of_origin (EPSG:3031 WKT has -71 there);
@@ -190,6 +241,15 @@ def normalize(spec) -> dict:
                 return {"proj": "utm", "zone": code - 25800}
             if 26901 <= code <= 26923:  # NAD83 / UTM (GRS80)
                 return {"proj": "utm", "zone": code - 26900}
+            if 23028 <= code <= 23038:  # ED50 / UTM (intl + Helmert)
+                return dict(parse_proj4(_TOWGS84_ED50), proj="utm",
+                            zone=code - 23000, ellps="intl")
+            if 31466 <= code <= 31469:  # DHDN / Gauss-Krüger zones 2-5
+                z = code - 31464
+                return parse_proj4(
+                    f"+proj=tmerc +lat_0=0 +lon_0={3 * z} +k=1 "
+                    f"+x_0={z * 1_000_000 + 500_000} +y_0=0 "
+                    f"+ellps=bessel {_TOWGS84_DHDN}")
             if code not in EPSG_PROJ4:
                 raise NotImplementedError(
                     f"EPSG:{code} is not in the built-in table "
@@ -210,19 +270,93 @@ def normalize(spec) -> dict:
             raise ValueError(f"unrecognized CRS spec {spec!r}")
     else:
         raise ValueError(f"unrecognized CRS spec {spec!r}")
-    ell = p.get("ellps", p.get("datum", "WGS84"))
-    if isinstance(ell, str) and ell.upper() not in _OK_ELLPS:
+    if "nadgrids" in p:
         raise NotImplementedError(
-            f"ellipsoid/datum {ell!r}: only WGS84/GRS80 supported")
+            "+nadgrids (grid-based datum shift, e.g. NAD27 NADCON) is "
+            "not supported; only +towgs84 Helmert shifts are")
+    dat = p.get("datum")
+    if isinstance(dat, str) and "ellps" not in p:
+        # expand the PROJ +datum= shortcut into +ellps (+towgs84)
+        dd = _DATUM_DEFS.get(dat, _DATUM_DEFS.get(dat.upper()))
+        if dd is None:
+            raise NotImplementedError(
+                f"datum {dat!r}: known shortcuts are "
+                f"{sorted(_DATUM_DEFS)}; pass +ellps/+towgs84 instead")
+        for k, v in parse_proj4(dd).items():
+            p.setdefault(k, v)
+    ell = p.get("ellps", "WGS84")
+    if isinstance(ell, str) and _ellps_lookup(ell) is None:
+        raise NotImplementedError(
+            f"ellipsoid {ell!r}: known names are "
+            f"{sorted(_datum_mod().ELLIPSOIDS)}")
     av = p.get("a")
     if (av is not None and p.get("proj") not in ("sinu", "merc", "webmerc")
             and abs(float(av) - 6378137.0) > 0.5):
-        # sinu takes a custom sphere; merc/webmerc validate a/b themselves
-        raise NotImplementedError(
-            f"+a={av} is not the WGS84/GRS80 semi-major axis")
+        # sinu takes a custom sphere; merc/webmerc validate a/b
+        # themselves; other families need a NAMED registry ellipsoid
+        if _ellipsoid_from_axes_params(p) is None:
+            raise NotImplementedError(
+                f"+a={av} matches no registry ellipsoid "
+                f"({sorted(_datum_mod().ELLIPSOIDS)}) and is not the "
+                f"WGS84/GRS80 semi-major axis")
     if "proj" not in p:
         raise ValueError(f"CRS spec has no +proj: {spec!r}")
     return p
+
+
+def _datum_mod():
+    from pythongis_spark.geometry import datum as D
+
+    return D
+
+
+def _ellps_lookup(name: str):
+    D = _datum_mod()
+    if name in D.ELLIPSOIDS:
+        return D.ELLIPSOIDS[name]
+    for k, v in D.ELLIPSOIDS.items():
+        if k.lower() == name.lower():
+            return v
+    return None
+
+
+def _ellipsoid_from_axes_params(p: dict):
+    """(+a, +b or +rf) → registry Ellipsoid, or None if no match."""
+    D = _datum_mod()
+    a = float(p["a"])
+    if "rf" in p:
+        cand = D.ellipsoid_from_axes(a, float(p["rf"]))
+    elif "b" in p:
+        cand = D.ellipsoid_from_axes(a, float(p["b"]), is_b=True)
+    else:
+        return None
+    return cand if cand.name in D.ELLIPSOIDS else None
+
+
+def _ellipsoid_of(p: dict):
+    """Resolved Ellipsoid for a normalized dict (WGS84 default)."""
+    D = _datum_mod()
+    ell = p.get("ellps")
+    if isinstance(ell, str):
+        found = _ellps_lookup(ell)
+        if found is not None:
+            return found
+    if p.get("a") is not None:
+        found = _ellipsoid_from_axes_params(p)
+        if found is not None:
+            return found
+    return D.WGS84
+
+
+def _helmert_of(p: dict):
+    """Parsed +towgs84 → Helmert, or None (absent / identity)."""
+    tw = p.get("towgs84")
+    if tw is None:
+        return None
+    D = _datum_mod()
+    vals = [float(v) for v in str(tw).split(",")]
+    h = D.Helmert(vals)
+    return None if h.identity else h
 
 
 def _tmerc_args(p: dict) -> dict:
@@ -240,7 +374,58 @@ def _tmerc_args(p: dict) -> dict:
 
 
 def _family(p: dict):
-    """Normalized dict → (forward, inverse) numpy callables."""
+    """Normalized dict → (forward, inverse) numpy callables.
+
+    WGS84-hub convention (pyproj ``Transformer.from_crs(4326, crs)``):
+    ``forward`` maps WGS84 lon/lat to the CRS — applying the +towgs84
+    Helmert datum leg (when present) before the projection; ``inverse``
+    is the exact reverse. Non-WGS84 ellipsoids route tmerc/utm through
+    the parameterized Karney TM in :mod:`.datum`."""
+    proj = p.get("proj")
+    ell = _ellipsoid_of(p)
+    helm = _helmert_of(p)
+    if ell.name not in ("WGS84", "GRS80"):
+        D = _datum_mod()
+        if proj == "utm":
+            zone = int(p["zone"])
+            tm = D.TransverseMercator(
+                ell, lon0=-183.0 + 6 * zone, k0=0.9996, x0=500_000.0,
+                y0=10_000_000.0 if p.get("south", False) else 0.0)
+            fwd, inv = tm.forward, tm.inverse
+        elif proj == "tmerc":
+            tm = D.TransverseMercator(
+                ell, lon0=float(p.get("lon_0", 0.0)),
+                k0=float(p.get("k", p.get("k_0", 1.0))),
+                x0=float(p.get("x_0", 0.0)), y0=float(p.get("y_0", 0.0)),
+                lat0=float(p.get("lat_0", 0.0)))
+            fwd, inv = tm.forward, tm.inverse
+        elif proj == "longlat":
+            ident = lambda a, b: (np.asarray(a, float), np.asarray(b, float))  # noqa: E731
+            fwd = inv = ident
+        else:
+            raise NotImplementedError(
+                f"+proj={proj} on ellipsoid {ell.name!r}: non-WGS84 "
+                f"ellipsoids are implemented for tmerc/utm/longlat only")
+    else:
+        fwd, inv = _family_base(p)
+    if helm is None:
+        return fwd, inv
+    D = _datum_mod()
+    f0, i0 = fwd, inv
+
+    def fwd_shifted(lon, lat):
+        lo, la = D.wgs84_to_datum(lon, lat, ell, helm)
+        return f0(lo, la)
+
+    def inv_shifted(x, y):
+        lo, la = i0(x, y)
+        return D.datum_to_wgs84(lo, la, ell, helm)
+
+    return fwd_shifted, inv_shifted
+
+
+def _family_base(p: dict):
+    """WGS84/GRS80 projection families (no datum leg)."""
     proj = p["proj"]
     if proj == "longlat":
         ident = lambda a, b: (np.asarray(a, float), np.asarray(b, float))  # noqa: E731

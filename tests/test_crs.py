@@ -204,13 +204,18 @@ def test_proj_parse_conus_albers_and_errors():
     assert y[0] == pytest.approx(0.0, abs=1e-6)
     with pytest.raises(NotImplementedError, match="semi-minor"):
         PP.forward("+proj=merc +a=6378137 +b=6300000")
-    with pytest.raises(NotImplementedError, match="WGS84/GRS80"):
-        PP.forward("+proj=tmerc +lon_0=-2 +ellps=airy")
-    with pytest.raises(NotImplementedError, match="not in the built-in"):
-        PP.forward("EPSG:27700")
-    with pytest.raises(NotImplementedError, match="spheroid"):
-        PP.parse_wkt('PROJCS["x",GEOGCS["y",DATUM["z",SPHEROID["Airy",'
-                     '6377563.396,299.3249646]]],PROJECTION["Transverse_Mercator"]]')
+    # r5: Airy tmerc / EPSG:27700 / Airy WKT spheroids now RESOLVE
+    # (geometry.datum); what still raises is a non-TM family on a
+    # non-WGS84 ellipsoid, an unknown ellipsoid and grid-based datums
+    with pytest.raises(NotImplementedError, match="tmerc/utm/longlat"):
+        PP.forward("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+                   "+ellps=airy")
+    with pytest.raises(NotImplementedError, match="known names"):
+        PP.forward("+proj=tmerc +lon_0=-2 +ellps=evrst30")
+    with pytest.raises(NotImplementedError, match="nadgrids"):
+        PP.forward("+proj=utm +zone=14 +datum=NAD27 +nadgrids=conus")
+    with pytest.raises(NotImplementedError, match="datum"):
+        PP.forward("+proj=utm +zone=14 +datum=NAD27")
 
 
 def test_reproject_points_parsed_crs_spark(spark):
