@@ -1588,6 +1588,129 @@ def _q_polar_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bng27700(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """British National Grid (EPSG:27700) — the r5 DATUM-SHIFT path:
+    WGS84 → 7-parameter Helmert (exact-inverse leg) → Airy 1830
+    geodetic → Karney TM (geometry/datum.py). GB-window events only
+    (the TM series diverges far from the central meridian, as it
+    should). Oracle replays the full chain — geocentric conversion,
+    Helmert matrix, 4-step latitude recursion, Karney series with
+    sinh/cosh/atanh as EXP/LN forms — in SQL with the kernel's exact
+    scalar constants. Integer-meter contract: measured replay noise
+    ≤ 3.8e-9 m (libm atan2/exp/ln ulps × the 6.4e6 m scale); measured
+    min rounding-boundary distance 1.6e-3 m across sf0.01 AND sf0.1
+    (≥ 400,000× margin on deterministic data)."""
+    from pythongis_spark.geometry.projections import reproject_points
+
+    pts = FX.events_points(spark, sf_dir).filter(
+        (F.col("lon") >= -10.0) & (F.col("lon") <= 6.0)
+        & (F.col("lat") >= 46.0) & (F.col("lat") <= 62.0))
+    out = reproject_points(pts, to="EPSG:27700")
+    return out.select(
+        "event_id",
+        F.round("x_m", 0).alias("x_m"),
+        F.round("y_m", 0).alias("y_m"),
+    )
+
+
+def _bng27700_sql() -> str:
+    """EPSG:27700 oracle: the datum.py chain unrolled in SQL, constants
+    embedded from the SAME objects the Spark path constructs."""
+    from pythongis_spark.geometry import datum as _D
+    from pythongis_spark.geometry import proj_parse as _PPm
+
+    p = _PPm.normalize("EPSG:27700")
+    ell = _PPm._ellipsoid_of(p)  # Airy 1830
+    hm = _PPm._helmert_of(p)
+    tm = _D.TransverseMercator(
+        ell, lon0=float(p["lon_0"]), k0=float(p["k"]),
+        x0=float(p["x_0"]), y0=float(p["y_0"]), lat0=float(p["lat_0"]))
+    W = _D.WGS84
+    Mi, (tx, ty, tz) = hm.Minv, hm.T
+    K = tm.k0 * ell.a_rect
+    ea = ell.e
+    # atanh(x) = 0.5*ln((1+x)/(1-x)); asinh(x) = ln(x+sqrt(x*x+1));
+    # sinh/cosh as EXP forms (DuckDB has no hyperbolics) — 1-ulp class
+    # vs numpy, covered by the measured integer-rounding margin
+    u = (f"(0.5 * LN((1.0 + sphi) / (1.0 - sphi)) - {ea!r} * "
+         f"(0.5 * LN((1.0 + {ea!r} * sphi) / (1.0 - {ea!r} * sphi))))")
+    v = "(SIN(lam) / SQRT(t * t + COS(lam) * COS(lam)))"
+    xi_terms = " + ".join(
+        f"{a!r} * SIN({2 * j} * xi_p) * "
+        f"((EXP({2 * j} * eta_p) + EXP(-({2 * j}) * eta_p)) / 2)"
+        for j, a in enumerate(ell.alpha, start=1))
+    eta_terms = " + ".join(
+        f"{a!r} * COS({2 * j} * xi_p) * "
+        f"((EXP({2 * j} * eta_p) - EXP(-({2 * j}) * eta_p)) / 2)"
+        for j, a in enumerate(ell.alpha, start=1))
+    nu_it = f"({ell.a!r} / SQRT(1.0 - {ell.e2!r} * SIN(phi) * SIN(phi)))"
+    it_step = f"ATAN2(Z + {ell.e2!r} * {nu_it} * SIN(phi), p)"
+    return f"""
+        WITH {_PTS_CTE},
+        w AS (
+          SELECT event_id, RADIANS(lon) AS lam_w,
+                 SIN(RADIANS(lat)) AS sp, COS(RADIANS(lat)) AS cp
+          FROM pts
+          WHERE lon BETWEEN -10.0 AND 6.0 AND lat BETWEEN 46.0 AND 62.0
+        ),
+        xyz AS (
+          SELECT event_id,
+                 (({W.a!r} / SQRT(1.0 - {W.e2!r} * sp * sp)) * cp) * COS(lam_w) AS X,
+                 (({W.a!r} / SQRT(1.0 - {W.e2!r} * sp * sp)) * cp) * SIN(lam_w) AS Y,
+                 ({W.a!r} / SQRT(1.0 - {W.e2!r} * sp * sp)) * {1.0 - W.e2!r} * sp AS Z
+          FROM w
+        ),
+        osx AS (
+          SELECT event_id,
+                 {Mi[0][0]!r} * (X - {tx!r}) + {Mi[0][1]!r} * (Y - {ty!r}) + {Mi[0][2]!r} * (Z - {tz!r}) AS X,
+                 {Mi[1][0]!r} * (X - {tx!r}) + {Mi[1][1]!r} * (Y - {ty!r}) + {Mi[1][2]!r} * (Z - {tz!r}) AS Y,
+                 {Mi[2][0]!r} * (X - {tx!r}) + {Mi[2][1]!r} * (Y - {ty!r}) + {Mi[2][2]!r} * (Z - {tz!r}) AS Z
+          FROM xyz
+        ),
+        gd0 AS (
+          SELECT event_id, SQRT(X * X + Y * Y) AS p, ATAN2(Y, X) AS lam, Z
+          FROM osx
+        ),
+        gd1 AS (SELECT event_id, p, lam, Z,
+                       ATAN2(Z, p * {1.0 - ell.e2!r}) AS phi FROM gd0),
+        gd2 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd1),
+        gd3 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd2),
+        gd4 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd3),
+        gd5 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd4),
+        deg AS (
+          SELECT event_id, DEGREES(lam) AS lon_d, DEGREES(phi) AS lat_d
+          FROM gd5
+        ),
+        tm0 AS (
+          SELECT event_id,
+                 RADIANS(lon_d - ({tm.lon0!r})) AS lam,
+                 SIN(RADIANS(lat_d)) AS sphi
+          FROM deg
+        ),
+        tm1 AS (
+          SELECT event_id, lam,
+                 ((EXP({u}) - EXP(-{u})) / 2) AS t
+          FROM tm0
+        ),
+        tm2 AS (
+          SELECT event_id,
+                 ATAN2(t, COS(lam)) AS xi_p,
+                 LN({v} + SQRT({v} * {v} + 1.0)) AS eta_p
+          FROM tm1
+        ),
+        tm3 AS (
+          SELECT event_id,
+                 xi_p + {xi_terms} AS xi,
+                 eta_p + {eta_terms} AS eta
+          FROM tm2
+        )
+        SELECT event_id,
+               ROUND({tm.x0!r} + {K!r} * eta, 0) AS x_m,
+               ROUND({tm.y0!r} + {K!r} * xi, 0) AS y_m
+        FROM tm3
+    """
+
+
 def _q_cea6933(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cylindrical equal-area (EPSG:6933, NSIDC EASE-Grid 2.0; r5
     kernel crs.cea_forward) through the parsed-CRS reproject path.
@@ -2275,7 +2398,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webmercator_points": _q_webmercator,
         "mercator3395_points": _q_mercator3395,
         "polar_stereo_points": _q_polar_stereo,
-        # ---- slots 17-49: stalest rows (last driver green <= r3)
+        # slot 17: late-r5 datum-shift gate (Helmert + Airy TM chain)
+        "bng27700_points": _q_bng27700,
+        # ---- slots 18-49: stalest rows (last driver green <= r3)
         "tpch_q1": _q_tpch_q1,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
@@ -3241,6 +3366,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
             WHERE lat > 0.0
         """,
+        "bng27700_points": _bng27700_sql(),
         "cea6933_points": f"""
             WITH {_PTS_CTE}
             SELECT event_id,
