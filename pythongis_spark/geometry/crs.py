@@ -103,96 +103,112 @@ def utm_inverse(x, y, zone: int, north: bool = True):
 
 # ------------------------------------------------- Lambert conformal 2SP
 
-def _m(phi):
-    return np.cos(phi) / np.sqrt(1 - E2 * np.sin(phi) ** 2)
+def _m(phi, e2: float = E2):
+    return np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
 
 
-def _t(phi):
+def _t(phi, e: float = E_):
     sphi = np.sin(phi)
     return np.tan(np.pi / 4 - phi / 2) / (
-        (1 - E_ * sphi) / (1 + E_ * sphi)
-    ) ** (E_ / 2)
+        (1 - e * sphi) / (1 + e * sphi)
+    ) ** (e / 2)
 
 
 class LambertConformal:
-    """Snyder 15-1..15-11 (ellipsoidal, two standard parallels)."""
+    """Snyder 15-1..15-11 (ellipsoidal, two standard parallels).
+
+    ``k0`` (EPSG 9801 Lambert 1SP, PROJ ``+k_0``) scales F — with
+    lat1 == lat2 == lat0 this is exactly the 1SP form (French NTF
+    Lambert zones, Belgian Lambert). ``a``/``e`` default to WGS84 (the
+    bit-frozen oracle path: k0 = 1.0 multiplies exactly); non-WGS84
+    instances (intl, clrk80ign) are constructed by ``proj_parse`` with
+    the :mod:`.datum` ellipsoid constants."""
 
     def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
-                 x0: float = 0.0, y0: float = 0.0):
+                 x0: float = 0.0, y0: float = 0.0, k0: float = 1.0,
+                 a: float = A_, e: float = E_):
+        e2 = e * e
         p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
-        m1, m2 = _m(np.array([p1]))[0], _m(np.array([p2]))[0]
-        t1, t2, t0 = (_t(np.array([v]))[0] for v in (p1, p2, p0))
+        m1, m2 = _m(np.array([p1]), e2)[0], _m(np.array([p2]), e2)[0]
+        t1, t2, t0 = (_t(np.array([v]), e)[0] for v in (p1, p2, p0))
         if abs(p1 - p2) < 1e-12:
             self.n = math.sin(p1)
         else:
             self.n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
-        self.F = m1 / (self.n * t1**self.n)
-        self.rho0 = A_ * self.F * t0**self.n
+        self.F = k0 * (m1 / (self.n * t1**self.n))
+        self.a, self.e = float(a), float(e)
+        self.rho0 = self.a * self.F * t0**self.n
         self.lon0, self.x0, self.y0 = lon0, x0, y0
 
     def forward(self, lon, lat):
         phi = np.radians(np.asarray(lat, dtype=np.float64))
         lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
-        rho = A_ * self.F * _t(phi) ** self.n
+        rho = self.a * self.F * _t(phi, self.e) ** self.n
         th = self.n * lam
         return self.x0 + rho * np.sin(th), self.y0 + self.rho0 - rho * np.cos(th)
 
     def inverse(self, x, y):
+        e = self.e
         xs = np.asarray(x, dtype=np.float64) - self.x0
         ys = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
         rho = np.sign(self.n) * np.sqrt(xs * xs + ys * ys)
         th = np.arctan2(np.sign(self.n) * xs, np.sign(self.n) * ys)
-        t = (rho / (A_ * self.F)) ** (1 / self.n)
+        t = (rho / (self.a * self.F)) ** (1 / self.n)
         phi = np.pi / 2 - 2 * np.arctan(t)
         for _ in range(8):
             sphi = np.sin(phi)
             phi = np.pi / 2 - 2 * np.arctan(
-                t * ((1 - E_ * sphi) / (1 + E_ * sphi)) ** (E_ / 2)
+                t * ((1 - e * sphi) / (1 + e * sphi)) ** (e / 2)
             )
         return np.degrees(th / self.n) + self.lon0, np.degrees(phi)
 
 
 # ------------------------------------------------- Albers equal-area 2SP
 
-def _q(phi):
+def _q(phi, e: float = E_, e2: float = E2):
     sphi = np.sin(phi)
-    return (1 - E2) * (
-        sphi / (1 - E2 * sphi**2)
-        - (1 / (2 * E_)) * np.log((1 - E_ * sphi) / (1 + E_ * sphi))
+    return (1 - e2) * (
+        sphi / (1 - e2 * sphi**2)
+        - (1 / (2 * e)) * np.log((1 - e * sphi) / (1 + e * sphi))
     )
 
 
-def _phi_from_q(q):
+def _phi_from_q(q, e: float = E_, e2: float = E2):
     """Authalic → geodetic latitude: Newton on q(phi) = q (Snyder 3-16),
     shared by the equal-area inverses (Albers / LAEA / CEA)."""
     phi = np.arcsin(np.clip(q / 2, -1, 1))
     for _ in range(8):
         sphi = np.sin(phi)
-        denom = (1 - E2 * sphi**2) ** 2 / ((1 - E2) * np.cos(phi))
-        phi = phi + (q - _q(phi)) * denom / 2
+        denom = (1 - e2 * sphi**2) ** 2 / ((1 - e2) * np.cos(phi))
+        phi = phi + (q - _q(phi, e, e2)) * denom / 2
     return phi
 
 
 class AlbersEqualArea:
-    """Snyder 14-12..14-21 (ellipsoidal, two standard parallels)."""
+    """Snyder 14-12..14-21 (ellipsoidal, two standard parallels).
+    ``a``/``e`` default to WGS84 (bit-frozen oracle path); non-WGS84
+    instances are constructed by ``proj_parse``."""
 
     def __init__(self, lat1: float, lat2: float, lat0: float, lon0: float,
-                 x0: float = 0.0, y0: float = 0.0):
+                 x0: float = 0.0, y0: float = 0.0,
+                 a: float = A_, e: float = E_):
+        e2 = e * e
+        self.a, self.e, self.e2 = float(a), float(e), float(e2)
         p1, p2, p0 = (math.radians(v) for v in (lat1, lat2, lat0))
-        m1, m2 = _m(np.array([p1]))[0], _m(np.array([p2]))[0]
-        q1, q2, q0 = (_q(np.array([v]))[0] for v in (p1, p2, p0))
+        m1, m2 = _m(np.array([p1]), e2)[0], _m(np.array([p2]), e2)[0]
+        q1, q2, q0 = (_q(np.array([v]), e, e2)[0] for v in (p1, p2, p0))
         if abs(p1 - p2) < 1e-12:
             self.n = math.sin(p1)
         else:
             self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
         self.C = m1 * m1 + self.n * q1
-        self.rho0 = A_ * math.sqrt(self.C - self.n * q0) / self.n
+        self.rho0 = self.a * math.sqrt(self.C - self.n * q0) / self.n
         self.lon0, self.x0, self.y0 = lon0, x0, y0
 
     def forward(self, lon, lat):
         phi = np.radians(np.asarray(lat, dtype=np.float64))
         lam = np.radians(np.asarray(lon, dtype=np.float64) - self.lon0)
-        rho = A_ * np.sqrt(self.C - self.n * _q(phi)) / self.n
+        rho = self.a * np.sqrt(self.C - self.n * _q(phi, self.e, self.e2)) / self.n
         th = self.n * lam
         return self.x0 + rho * np.sin(th), self.y0 + self.rho0 - rho * np.cos(th)
 
@@ -201,38 +217,40 @@ class AlbersEqualArea:
         ys = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
         rho = np.sqrt(xs * xs + ys * ys)
         th = np.arctan2(xs, ys)
-        q = (self.C - (rho * self.n / A_) ** 2) / self.n
-        phi = _phi_from_q(q)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        phi = _phi_from_q(q, self.e, self.e2)
         return np.degrees(th / self.n) + self.lon0, np.degrees(phi)
 
 
 # ------------------------------------------------- Mercator (ellipsoidal)
 
-def merc_k0_from_lat_ts(lat_ts: float) -> float:
+def merc_k0_from_lat_ts(lat_ts: float, e2: float = E2) -> float:
     """EPSG 9805 (Mercator variant B): the scale factor equivalent to a
     standard parallel, k0 = m(lat_ts)."""
-    return float(_m(np.array([math.radians(abs(lat_ts))]))[0])
+    return float(_m(np.array([math.radians(abs(lat_ts))]), e2)[0])
 
 
 def merc_forward(lon, lat, lon0: float = 0.0, k0: float = 1.0,
-                 x0: float = 0.0, y0: float = 0.0):
-    """Ellipsoidal Mercator on WGS84 (Snyder 7-6/7-7, EPSG 9804/9805;
-    the EPSG:3395 family). y = A*k0*psi with psi the isometric latitude
-    (-ln t, sharing ``_t`` with the conic families)."""
+                 x0: float = 0.0, y0: float = 0.0,
+                 a: float = A_, e: float = E_):
+    """Ellipsoidal Mercator (Snyder 7-6/7-7, EPSG 9804/9805; the
+    EPSG:3395 family on the WGS84 defaults). y = a*k0*psi with psi the
+    isometric latitude (-ln t, sharing ``_t`` with the conic families)."""
     lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
     phi = np.radians(np.asarray(lat, dtype=np.float64))
-    return x0 + A_ * k0 * lam, y0 - A_ * k0 * np.log(_t(phi))
+    return x0 + a * k0 * lam, y0 - a * k0 * np.log(_t(phi, e))
 
 
 def merc_inverse(x, y, lon0: float = 0.0, k0: float = 1.0,
-                 x0: float = 0.0, y0: float = 0.0):
-    t = np.exp(-(np.asarray(y, dtype=np.float64) - y0) / (A_ * k0))
-    lam = (np.asarray(x, dtype=np.float64) - x0) / (A_ * k0)
+                 x0: float = 0.0, y0: float = 0.0,
+                 a: float = A_, e: float = E_):
+    t = np.exp(-(np.asarray(y, dtype=np.float64) - y0) / (a * k0))
+    lam = (np.asarray(x, dtype=np.float64) - x0) / (a * k0)
     phi = np.pi / 2 - 2 * np.arctan(t)
     for _ in range(8):
         sphi = np.sin(phi)
         phi = np.pi / 2 - 2 * np.arctan(
-            t * ((1 - E_ * sphi) / (1 + E_ * sphi)) ** (E_ / 2))
+            t * ((1 - e * sphi) / (1 + e * sphi)) ** (e / 2))
     return np.degrees(lam) + lon0, np.degrees(phi)
 
 

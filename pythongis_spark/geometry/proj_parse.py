@@ -16,17 +16,22 @@ and a Catalyst column inverse for raster warps.
 
 Datum support (round 5): non-WGS84 ellipsoids (Airy, International,
 Bessel, Krassowsky, Clarke — :mod:`.datum`) are accepted for the
-transverse-Mercator / UTM / longlat families, and ``+towgs84`` 3/7-
-parameter Helmert shifts ARE applied (position-vector convention,
-exact-inverse reverse leg) — EPSG:27700 (British National Grid), ED50
-UTM and DHDN Gauss-Krüger resolve end-to-end. ``forward``/``inverse``
+transverse-Mercator / UTM / Lambert-conformal / Albers / Mercator /
+longlat families, and ``+towgs84`` 3/7-parameter Helmert shifts ARE
+applied (position-vector convention, exact-inverse reverse leg) —
+EPSG:27700 (British National Grid), ED50 UTM, DHDN Gauss-Krüger,
+EPSG:31370 (Belgian Lambert 72) and the NTF (Paris) Lambert carto
+zones (27571-27574, incl. the ``+pm=paris`` prime-meridian shift and
+the LCC-1SP ``+k_0`` form) resolve end-to-end. ``forward``/``inverse``
 keep the WGS84-hub convention: ``forward`` maps WGS84 lon/lat to the
 target CRS (datum shift + projection), exactly like pyproj's
 ``Transformer.from_crs(4326, crs)``.
 
-Documented divergences: non-WGS84 ellipsoids on the conic/azimuthal/
-cylindrical families raise (no known high-use EPSG code needs them
-here); grid-based datums (NAD27 NADCON, +nadgrids) raise loudly.
+Documented divergences: non-WGS84 ellipsoids on the azimuthal /
+cylindrical-equal-area / polar-stereographic families raise (no known
+high-use EPSG code needs them here); grid-based datums (NAD27 NADCON,
++nadgrids) raise loudly; WKT1 with a non-Greenwich PRIMEM raises (the
+EPSG Paris-meridian WKTs express it in grads — pass the proj4 string).
 """
 
 from __future__ import annotations
@@ -45,6 +50,7 @@ _TOWGS84_OSGB36 = ("+towgs84=446.448,-125.157,542.06,"
                    "0.15,0.247,0.842,-20.489")
 _TOWGS84_ED50 = "+towgs84=-87,-96,-120"
 _TOWGS84_DHDN = "+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7"
+_TOWGS84_NTF = "+towgs84=-168,-60,320,0,0,0,0"
 
 # EPSG codes → proj4 parameter strings (public definitions, e.g. the
 # epsg.io registry); UTM 326xx/327xx are generated, not listed.
@@ -104,8 +110,43 @@ EPSG_PROJ4 = {
     4230: "+proj=longlat +ellps=intl " + _TOWGS84_ED50,
     # DHDN geographic / Gauss-Krüger zones (Bessel 1841)
     4314: "+proj=longlat +ellps=bessel " + _TOWGS84_DHDN,
+    # NTF geographic (Clarke 1880 IGN); 4807 is the Paris-meridian form
+    4275: "+proj=longlat +ellps=clrk80ign " + _TOWGS84_NTF,
+    4807: "+proj=longlat +ellps=clrk80ign +pm=paris " + _TOWGS84_NTF,
+    # BD72 / Belgian Lambert 72 (International 1924, 7-param Helmert,
+    # LCC 2SP with the pole as latitude of origin)
+    31370: ("+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 "
+            "+lat_0=90 +lon_0=4.367486666666666 +x_0=150000.013 "
+            "+y_0=5400088.438 +ellps=intl +towgs84=-106.869,52.2978,"
+            "-103.724,0.3366,-0.457,1.8422,-1.2747"),
+    # NTF (Paris) / Lambert carto zones I-IV (LCC 1SP on Clarke 1880
+    # IGN, Paris prime meridian; zone-number × 1e6 m false northing)
+    27571: ("+proj=lcc +lat_1=49.5 +lat_0=49.5 +lon_0=0 "
+            "+k_0=0.999877341 +x_0=600000 +y_0=1200000 "
+            "+ellps=clrk80ign +pm=paris " + _TOWGS84_NTF),
+    27572: ("+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 "
+            "+k_0=0.99987742 +x_0=600000 +y_0=2200000 "
+            "+ellps=clrk80ign +pm=paris " + _TOWGS84_NTF),
+    27573: ("+proj=lcc +lat_1=44.1 +lat_0=44.1 +lon_0=0 "
+            "+k_0=0.999877499 +x_0=600000 +y_0=3200000 "
+            "+ellps=clrk80ign +pm=paris " + _TOWGS84_NTF),
+    27574: ("+proj=lcc +lat_1=42.165 +lat_0=42.165 +lon_0=0 "
+            "+k_0=0.99994471 +x_0=234.358 +y_0=4185861.369 "
+            "+ellps=clrk80ign +pm=paris " + _TOWGS84_NTF),
     # WGS84/ETRS89/NAD83 UTM zones and ED50 UTM / DHDN GK via the
     # generated ranges below.
+}
+
+# PROJ prime-meridian table (degrees east of Greenwich)
+_PM_DEFS = {
+    "greenwich": 0.0,
+    "paris": 2.337229166666667,      # 2°20'14.025"E
+    "lisbon": -9.131906111111112,    # 9°07'54.862"W
+    "madrid": -3.687938888888889,    # 3°41'16.58"W
+    "rome": 12.452333333333334,      # 12°27'08.4"E
+    "bern": 7.439583333333333,       # 7°26'22.5"E
+    "oslo": 10.722916666666666,      # 10°43'22.5"E
+    "athens": 23.7163375,            # 23°42'58.815"E
 }
 
 _OK_ELLPS = {"WGS84", "GRS80"}
@@ -213,6 +254,14 @@ def parse_wkt(s: str) -> dict:
     if tw:
         out["towgs84"] = ",".join(
             v.strip() for v in tw.group(1).split(","))
+    pmm = re.search(r'PRIMEM\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)', s)
+    if pmm and abs(float(pmm.group(1))) > 1e-9:
+        # EPSG Paris-meridian WKTs give PRIMEM (and parameters) in the
+        # GEOGCS angular unit (grads for NTF) — ambiguous to resolve
+        # here; the proj4 strings (+pm=paris, degrees) are supported
+        raise NotImplementedError(
+            "WKT with a non-Greenwich PRIMEM is not supported; pass the "
+            "proj4 string (+pm=...) instead")
     if proj == "stere" and abs(abs(out.get("lat_0", 90.0)) - 90.0) > 1e-9:
         # WKT1 "Polar_Stereographic" (variant B) carries the standard
         # parallel in latitude_of_origin (EPSG:3031 WKT has -71 there);
@@ -289,6 +338,17 @@ def normalize(spec) -> dict:
         raise NotImplementedError(
             f"ellipsoid {ell!r}: known names are "
             f"{sorted(_datum_mod().ELLIPSOIDS)}")
+    pm = p.get("pm")
+    if pm is not None:
+        if isinstance(pm, str):
+            pmd = _PM_DEFS.get(pm.lower())
+            if pmd is None:
+                raise NotImplementedError(
+                    f"prime meridian {pm!r}: known names are "
+                    f"{sorted(_PM_DEFS)}; pass degrees east instead")
+        else:
+            pmd = float(pm)
+        p["pm"] = pmd
     av = p.get("a")
     if (av is not None and p.get("proj") not in ("sinu", "merc", "webmerc")
             and abs(float(av) - 6378137.0) > 0.5):
@@ -384,6 +444,13 @@ def _family(p: dict):
     proj = p.get("proj")
     ell = _ellipsoid_of(p)
     helm = _helmert_of(p)
+    pm = float(p.get("pm", 0.0) or 0.0)
+    if pm != 0.0 and proj != "longlat":
+        # PROJ +pm: projection longitudes are measured from the named
+        # meridian — the effective Greenwich central meridian is
+        # lon_0 + pm (every family subtracts lon0 in degrees)
+        p = dict(p)
+        p["lon_0"] = float(p.get("lon_0", 0.0)) + pm
     if ell.name not in ("WGS84", "GRS80"):
         D = _datum_mod()
         if proj == "utm":
@@ -399,15 +466,40 @@ def _family(p: dict):
                 x0=float(p.get("x_0", 0.0)), y0=float(p.get("y_0", 0.0)),
                 lat0=float(p.get("lat_0", 0.0)))
             fwd, inv = tm.forward, tm.inverse
+        elif proj in ("lcc", "aea"):
+            inst = _conic_of(p, a=ell.a, e=ell.e)
+            fwd, inv = inst.forward, inst.inverse
+        elif proj == "merc":
+            k = float(p.get("k", p.get("k_0", 1.0)))
+            ts = p.get("lat_ts", p.get("lat_1"))
+            if ts is not None:
+                k = C.merc_k0_from_lat_ts(float(ts), ell.e2)
+            ma = dict(lon0=float(p.get("lon_0", 0.0)), k0=k,
+                      x0=float(p.get("x_0", 0.0)),
+                      y0=float(p.get("y_0", 0.0)), a=ell.a, e=ell.e)
+            fwd = lambda lo, la: C.merc_forward(lo, la, **ma)  # noqa: E731
+            inv = lambda x, y: C.merc_inverse(x, y, **ma)  # noqa: E731
         elif proj == "longlat":
             ident = lambda a, b: (np.asarray(a, float), np.asarray(b, float))  # noqa: E731
             fwd = inv = ident
         else:
             raise NotImplementedError(
                 f"+proj={proj} on ellipsoid {ell.name!r}: non-WGS84 "
-                f"ellipsoids are implemented for tmerc/utm/longlat only")
+                f"ellipsoids are implemented for tmerc/utm/lcc/aea/merc/"
+                f"longlat only")
     else:
         fwd, inv = _family_base(p)
+    if pm != 0.0 and proj == "longlat":
+        # geographic CRS on a non-Greenwich meridian (e.g. EPSG:4807):
+        # longitudes are measured east of that meridian
+        f1, i1 = fwd, inv
+
+        def fwd(lon, lat, _f=f1, _pm=pm):
+            lo, la = _f(lon, lat)
+            return lo - _pm, la
+
+        def inv(x, y, _i=i1, _pm=pm):
+            return _i(np.asarray(x, dtype=np.float64) + _pm, y)
     if helm is None:
         return fwd, inv
     D = _datum_mod()
@@ -422,6 +514,29 @@ def _family(p: dict):
         return D.datum_to_wgs84(lo, la, ell, helm)
 
     return fwd_shifted, inv_shifted
+
+
+def _conic_of(p: dict, a: float | None = None, e: float | None = None):
+    """lcc/aea parameter dict → crs conic instance (``a``/``e`` override
+    the WGS84 defaults for non-WGS84 ellipsoids). lcc honors the 1SP
+    ``+k_0`` scale factor (EPSG 9801; lat_1 == lat_0 with k0 ≠ 1 is the
+    NTF Lambert-zone / Belgian form)."""
+    lat1 = float(p.get("lat_1", p.get("lat_0", 0.0)))
+    args = dict(
+        lat1=lat1,
+        lat2=float(p.get("lat_2", lat1)),
+        lat0=float(p.get("lat_0", 0.0)),
+        lon0=float(p.get("lon_0", 0.0)),
+        x0=float(p.get("x_0", 0.0)),
+        y0=float(p.get("y_0", 0.0)),
+    )
+    if a is not None:
+        args["a"] = float(a)
+        args["e"] = float(e)
+    if p["proj"] == "lcc":
+        args["k0"] = float(p.get("k", p.get("k_0", 1.0)))
+        return C.LambertConformal(**args)
+    return C.AlbersEqualArea(**args)
 
 
 def _family_base(p: dict):
@@ -515,17 +630,7 @@ def _family_base(p: dict):
         return (lambda lo, la: C.sinu_forward(lo, la, **a),
                 lambda x, y: C.sinu_inverse(x, y, **a))
     if proj in ("lcc", "aea"):
-        lat1 = float(p.get("lat_1", p.get("lat_0", 0.0)))
-        args = dict(
-            lat1=lat1,
-            lat2=float(p.get("lat_2", lat1)),
-            lat0=float(p.get("lat_0", 0.0)),
-            lon0=float(p.get("lon_0", 0.0)),
-            x0=float(p.get("x_0", 0.0)),
-            y0=float(p.get("y_0", 0.0)),
-        )
-        inst = (C.LambertConformal if proj == "lcc"
-                else C.AlbersEqualArea)(**args)
+        inst = _conic_of(p)
         return inst.forward, inst.inverse
     raise NotImplementedError(
         f"+proj={proj} is not an implemented family "

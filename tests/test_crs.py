@@ -204,12 +204,19 @@ def test_proj_parse_conus_albers_and_errors():
     assert y[0] == pytest.approx(0.0, abs=1e-6)
     with pytest.raises(NotImplementedError, match="semi-minor"):
         PP.forward("+proj=merc +a=6378137 +b=6300000")
-    # r5: Airy tmerc / EPSG:27700 / Airy WKT spheroids now RESOLVE
-    # (geometry.datum); what still raises is a non-TM family on a
-    # non-WGS84 ellipsoid, an unknown ellipsoid and grid-based datums
-    with pytest.raises(NotImplementedError, match="tmerc/utm/longlat"):
-        PP.forward("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
-                   "+ellps=airy")
+    # r5: Airy tmerc / EPSG:27700 / Airy WKT spheroids resolve, and the
+    # late-r5 ellipsoid parameterization extends lcc/aea/merc to
+    # non-WGS84 datums too (EPSG:31370, NTF Lambert zones); what still
+    # raises is an azimuthal/CEA/polar family on a non-WGS84 ellipsoid,
+    # an unknown ellipsoid and grid-based datums
+    lcc_airy = PP.forward("+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 "
+                          "+lon_0=3 +ellps=airy")
+    x, y = lcc_airy(np.array([3.0]), np.array([46.5]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    with pytest.raises(NotImplementedError, match="tmerc/utm/lcc/aea"):
+        PP.forward("+proj=laea +lat_0=52 +lon_0=10 +ellps=airy")
+    with pytest.raises(NotImplementedError, match="tmerc/utm/lcc/aea"):
+        PP.forward("+proj=cea +lat_ts=30 +ellps=bessel")
     with pytest.raises(NotImplementedError, match="known names"):
         PP.forward("+proj=tmerc +lon_0=-2 +ellps=evrst30")
     with pytest.raises(NotImplementedError, match="nadgrids"):

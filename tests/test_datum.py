@@ -187,3 +187,171 @@ def test_reproject_points_epsg27700_spark(spark):
         pdf.sort_values("lon")["lat"].to_numpy())
     assert np.array_equal(out["x_m"].to_numpy(), xe)
     assert np.array_equal(out["y_m"].to_numpy(), ye)
+
+
+# ---------------- conic / Mercator families on non-WGS84 datums (r5)
+
+
+def _fd_scale(fwd, lon_deg, lat_deg, ell):
+    """Finite-difference parallel scale factor h_lam of a projection at
+    a point, measured on the given ellipsoid (dx per unit of true
+    ellipsoidal distance along the parallel)."""
+    d = 1e-7
+    x1, y1 = fwd(np.array([lon_deg]), np.array([lat_deg]))
+    x2, y2 = fwd(np.array([lon_deg + d]), np.array([lat_deg]))
+    phi = np.radians(lat_deg)
+    N = ell.a / np.sqrt(1 - ell.e2 * np.sin(phi) ** 2)
+    return float(np.hypot(x2 - x1, y2 - y1)[0] / (np.radians(d) * N * np.cos(phi)))
+
+
+def test_lcc_1sp_k0_scale_law_clrk80ign():
+    """LCC 1SP (EPSG 9801): local scale at the latitude of origin equals
+    k0 exactly — on Clarke 1880 IGN (the NTF Lambert-zone form)."""
+    from pythongis_spark.geometry import crs as C
+
+    ell = D.ELLIPSOIDS["clrk80ign"]
+    k0 = 0.99987742
+    inst = C.LambertConformal(46.8, 46.8, 46.8, 0.0, 600_000.0,
+                              2_200_000.0, k0=k0, a=ell.a, e=ell.e)
+    assert _fd_scale(inst.forward, 0.0, 46.8, ell) == pytest.approx(k0, rel=1e-7)
+    # 200 km north: scale grows away from the standard parallel
+    assert _fd_scale(inst.forward, 0.0, 48.8, ell) > k0
+    # round trip
+    lon = np.array([-1.2, 0.0, 3.4])
+    lat = np.array([45.1, 46.8, 48.9])
+    lon2, lat2 = inst.inverse(*inst.forward(lon, lat))
+    assert np.abs(lon2 - lon).max() < 1e-11
+    assert np.abs(lat2 - lat).max() < 1e-11
+
+
+def test_lcc_2sp_intl_standard_parallels():
+    """Belgian Lambert 72's projection core (intl ellipsoid): scale is
+    exactly 1 on both standard parallels, < 1 between them."""
+    p = PP.normalize("EPSG:31370")
+    ell = D.ELLIPSOIDS["intl"]
+    inst = PP._conic_of(p, a=ell.a, e=ell.e)
+    for sp in (51.16666723333333, 49.8333339):
+        assert _fd_scale(inst.forward, 4.5, sp, ell) == pytest.approx(1.0, rel=1e-7)
+    assert _fd_scale(inst.forward, 4.5, 50.5, ell) < 1.0
+
+
+def test_albers_equal_area_law_intl():
+    """Albers on a non-WGS84 ellipsoid: h * k = 1 everywhere (meridian
+    scale is the reciprocal of the parallel scale)."""
+    from pythongis_spark.geometry import crs as C
+
+    ell = D.ELLIPSOIDS["intl"]
+    inst = C.AlbersEqualArea(40.0, 50.0, 45.0, 10.0, a=ell.a, e=ell.e)
+    d = 1e-7
+    for lat0 in (41.0, 45.0, 52.0):
+        k = _fd_scale(inst.forward, 12.0, lat0, ell)
+        x1, y1 = inst.forward(np.array([12.0]), np.array([lat0]))
+        x2, y2 = inst.forward(np.array([12.0]), np.array([lat0 + d]))
+        phi = np.radians(lat0)
+        M = (ell.a * (1 - ell.e2)
+             / (1 - ell.e2 * np.sin(phi) ** 2) ** 1.5)
+        h = float(np.hypot(x2 - x1, y2 - y1)[0] / (np.radians(d) * M))
+        assert h * k == pytest.approx(1.0, rel=1e-6)
+
+
+def test_mercator_bessel_scale_and_roundtrip():
+    from pythongis_spark.geometry import crs as C
+
+    ell = D.ELLIPSOIDS["bessel"]
+    fwd = lambda lo, la: C.merc_forward(lo, la, lon0=110.0, a=ell.a, e=ell.e)  # noqa: E731
+    # equatorial scale is exactly k0 = 1 on any ellipsoid
+    assert _fd_scale(fwd, 112.0, 1e-9, ell) == pytest.approx(1.0, rel=1e-7)
+    x, y = C.merc_forward(np.array([112.0]), np.array([-7.25]),
+                          lon0=110.0, a=ell.a, e=ell.e)
+    lon2, lat2 = C.merc_inverse(x, y, lon0=110.0, a=ell.a, e=ell.e)
+    assert abs(lon2[0] - 112.0) < 1e-11 and abs(lat2[0] + 7.25) < 1e-9
+
+
+def test_epsg_31370_belgian_lambert():
+    """EPSG:31370 end-to-end (intl + 7-param Helmert + LCC 2SP):
+    Brussels Grand-Place lands at its known Lambert-72 coordinates
+    (~148.9 km E, ~170.7 km N) and the WGS84 round trip closes."""
+    f, i = PP.forward("EPSG:31370"), PP.inverse("EPSG:31370")
+    x, y = f(np.array([4.3525]), np.array([50.8467]))
+    assert abs(x[0] - 148_900.0) < 2_000.0
+    assert abs(y[0] - 170_700.0) < 2_000.0
+    lon2, lat2 = i(x, y)
+    assert abs(lon2[0] - 4.3525) < 5e-8 and abs(lat2[0] - 50.8467) < 5e-8
+
+
+def test_epsg_27572_ntf_lambert_zone_ii():
+    """EPSG:27572 (NTF Paris / Lambert zone II étendu): the +pm=paris
+    shift + Clarke 1880 IGN + 3-param Helmert + LCC 1SP. Central Paris
+    lands near (601 km, 2429 km) and round-trips."""
+    f, i = PP.forward("EPSG:27572"), PP.inverse("EPSG:27572")
+    x, y = f(np.array([2.3522]), np.array([48.8566]))
+    assert abs(x[0] - 601_000.0) < 3_000.0
+    assert abs(y[0] - 2_428_500.0) < 3_000.0
+    lon2, lat2 = i(x, y)
+    assert abs(lon2[0] - 2.3522) < 5e-8 and abs(lat2[0] - 48.8566) < 5e-8
+    # lon_0=0 means the PARIS meridian: a point on it maps to x ~ x_0
+    xp, _ = f(np.array([2.337229166666667]), np.array([46.8]))
+    assert abs(xp[0] - 600_000.0) < 150.0  # datum shift only
+
+
+def test_pm_paris_equals_explicit_lon0():
+    """+pm folds into the effective central meridian: +lon_0=0 +pm=paris
+    is bit-identical to +lon_0=2.337229166666667 for projected CRS."""
+    base = ("+proj=lcc +lat_1=46.8 +lat_0=46.8 +k_0=0.99987742 "
+            "+x_0=600000 +y_0=2200000 +ellps=clrk80ign "
+            "+towgs84=-168,-60,320,0,0,0,0 ")
+    fa = PP.forward(base + "+lon_0=0 +pm=paris")
+    fb = PP.forward(base + "+lon_0=2.337229166666667")
+    lon = np.array([1.1, 2.35, 4.8])
+    lat = np.array([45.5, 48.86, 50.1])
+    xa, ya = fa(lon, lat)
+    xb, yb = fb(lon, lat)
+    assert (xa == xb).all() and (ya == yb).all()
+
+
+def test_epsg_4807_paris_meridian_geographic():
+    """EPSG:4807 (NTF Paris geographic): longitudes come back measured
+    east of the Paris meridian — the Paris Observatory sits near 0."""
+    f, i = PP.forward("EPSG:4807"), PP.inverse("EPSG:4807")
+    lo, la = f(np.array([2.337229166666667]), np.array([48.8364]))
+    # NTF<->WGS84 datum wobble is ~2.5e-3 deg in lon over France
+    assert abs(lo[0]) < 5e-3 and abs(la[0] - 48.8364) < 5e-3
+    lon2, lat2 = i(lo, la)
+    assert abs(lon2[0] - 2.337229166666667) < 5e-8
+
+
+def test_wkt_nonzero_primem_raises():
+    wkt = ('PROJCS["NTF (Paris) / Lambert zone II",GEOGCS["NTF (Paris)",'
+           'DATUM["NTF_Paris",SPHEROID["Clarke 1880 (IGN)",6378249.2,'
+           '293.466021293627]],PRIMEM["Paris",2.5969213],'
+           'UNIT["grad",0.01570796326794897]],'
+           'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+           'PARAMETER["latitude_of_origin",52],'
+           'PARAMETER["central_meridian",0],'
+           'PARAMETER["scale_factor",0.99987742],'
+           'PARAMETER["false_easting",600000],'
+           'PARAMETER["false_northing",2200000],UNIT["metre",1]]')
+    with pytest.raises(NotImplementedError, match="PRIMEM"):
+        PP.parse_wkt(wkt)
+
+
+def test_wgs84_defaults_bit_frozen():
+    """The r5 ellipsoid parameterization must not move a single bit on
+    the WGS84 default path (the 2154/5070 oracles are bit-frozen):
+    k0=1.0 and a=A_/e=E_ multiply/substitute exactly."""
+    from pythongis_spark.geometry import crs as C
+
+    lon = np.linspace(-5.0, 9.0, 23)
+    lat = np.linspace(41.0, 51.0, 23)
+    l1 = C.LambertConformal(49, 44, 46.5, 3, 700000, 6600000)
+    l2 = C.LambertConformal(49, 44, 46.5, 3, 700000, 6600000,
+                            k0=1.0, a=C.A_, e=C.E_)
+    for v1, v2 in zip(l1.forward(lon, lat), l2.forward(lon, lat)):
+        assert (v1 == v2).all()
+    a1 = C.AlbersEqualArea(29.5, 45.5, 23, -96)
+    a2 = C.AlbersEqualArea(29.5, 45.5, 23, -96, a=C.A_, e=C.E_)
+    for v1, v2 in zip(a1.forward(lon, lat), a2.forward(lon, lat)):
+        assert (v1 == v2).all()
+    m1 = C.merc_forward(lon, lat, 0.0, 1.0, 0.0, 0.0)
+    m2 = C.merc_forward(lon, lat, 0.0, 1.0, 0.0, 0.0, a=C.A_, e=C.E_)
+    assert (m1[0] == m2[0]).all() and (m1[1] == m2[1]).all()
