@@ -1812,6 +1812,115 @@ def _lambert72_sql() -> str:
     """
 
 
+def _q_rdnew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amersfoort / RD New (EPSG:28992) — the late-r5 oblique
+    stereographic family (EPSG method 9809, datum.ObliqueStereographic
+    on Bessel 1841 + 7-parameter Helmert). Kernel anchored to the EPSG
+    Guidance Note 7-2 worked example (sub-mm in test_datum). Oracle
+    replays the whole chain — geocentric, Helmert matrix, 4-step
+    latitude recursion, conformal-sphere stereographic with the
+    instance's exact scalar constants (n, c, sin/cos chi0, 2Rk0) — in
+    SQL. Integer-meter contract: measured replay noise ≤ 4.6e-9 m vs
+    measured min rounding-boundary distance 3.9e-4 m across sf0.01 AND
+    sf0.1 (≥ 85,000× margin on deterministic data)."""
+    from pythongis_spark.geometry.projections import reproject_points
+
+    pts = FX.events_points(spark, sf_dir).filter(
+        (F.col("lon") >= -10.0) & (F.col("lon") <= 15.0)
+        & (F.col("lat") >= 40.0) & (F.col("lat") <= 60.0))
+    out = reproject_points(pts, to="EPSG:28992")
+    return out.select(
+        "event_id",
+        F.round("x_m", 0).alias("x_m"),
+        F.round("y_m", 0).alias("y_m"),
+    )
+
+
+def _rdnew_sql() -> str:
+    """EPSG:28992 oracle: datum leg + EPSG 9809 oblique stereographic
+    unrolled in SQL, constants from the SAME instance Spark builds."""
+    from pythongis_spark.geometry import datum as _D
+    from pythongis_spark.geometry import proj_parse as _PPm
+
+    p = _PPm.normalize("EPSG:28992")
+    ell = _PPm._ellipsoid_of(p)  # Bessel 1841
+    hm = _PPm._helmert_of(p)
+    inst = _D.ObliqueStereographic(
+        ell, lat0=float(p["lat_0"]), lon0=float(p["lon_0"]),
+        k0=float(p.get("k", p.get("k_0", 1.0))),
+        x0=float(p["x_0"]), y0=float(p["y_0"]))
+    W = _D.WGS84
+    Mi, (tx, ty, tz) = hm.Minv, hm.T
+    ea = ell.e
+    nu_it = f"({ell.a!r} / SQRT(1.0 - {ell.e2!r} * SIN(phi) * SIN(phi)))"
+    it_step = f"ATAN2(Z + {ell.e2!r} * {nu_it} * SIN(phi), p)"
+    return f"""
+        WITH {_PTS_CTE},
+        w AS (
+          SELECT event_id, RADIANS(lon) AS lam_w,
+                 SIN(RADIANS(lat)) AS sp, COS(RADIANS(lat)) AS cp
+          FROM pts
+          WHERE lon BETWEEN -10.0 AND 15.0 AND lat BETWEEN 40.0 AND 60.0
+        ),
+        xyz AS (
+          SELECT event_id,
+                 (({W.a!r} / SQRT(1.0 - {W.e2!r} * sp * sp)) * cp) * COS(lam_w) AS X,
+                 (({W.a!r} / SQRT(1.0 - {W.e2!r} * sp * sp)) * cp) * SIN(lam_w) AS Y,
+                 ({W.a!r} / SQRT(1.0 - {W.e2!r} * sp * sp)) * {1.0 - W.e2!r} * sp AS Z
+          FROM w
+        ),
+        ams AS (
+          SELECT event_id,
+                 {Mi[0][0]!r} * (X - {tx!r}) + {Mi[0][1]!r} * (Y - {ty!r}) + {Mi[0][2]!r} * (Z - {tz!r}) AS X,
+                 {Mi[1][0]!r} * (X - {tx!r}) + {Mi[1][1]!r} * (Y - {ty!r}) + {Mi[1][2]!r} * (Z - {tz!r}) AS Y,
+                 {Mi[2][0]!r} * (X - {tx!r}) + {Mi[2][1]!r} * (Y - {ty!r}) + {Mi[2][2]!r} * (Z - {tz!r}) AS Z
+          FROM xyz
+        ),
+        gd0 AS (
+          SELECT event_id, SQRT(X * X + Y * Y) AS p, ATAN2(Y, X) AS lam, Z
+          FROM ams
+        ),
+        gd1 AS (SELECT event_id, p, lam, Z,
+                       ATAN2(Z, p * {1.0 - ell.e2!r}) AS phi FROM gd0),
+        gd2 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd1),
+        gd3 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd2),
+        gd4 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd3),
+        gd5 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd4),
+        deg AS (
+          SELECT event_id, DEGREES(lam) AS lon_d, DEGREES(phi) AS lat_d
+          FROM gd5
+        ),
+        st0 AS (
+          SELECT event_id,
+                 {inst.n!r} * (RADIANS(lon_d) - {inst.lam0!r}) AS Lam,
+                 SIN(RADIANS(lat_d)) AS sp
+          FROM deg
+        ),
+        st1 AS (
+          SELECT event_id, Lam,
+                 {inst.c!r} * POW(((1 + sp) / (1 - sp)) *
+                     POW((1.0 - {ea!r} * sp) / (1.0 + {ea!r} * sp), {ea!r}),
+                     {inst.n!r}) AS w
+          FROM st0
+        ),
+        st2 AS (
+          SELECT event_id, Lam,
+                 (w - 1) / (w + 1) AS schi,
+                 SQRT(1.0 - ((w - 1) / (w + 1)) * ((w - 1) / (w + 1))) AS cchi
+          FROM st1
+        ),
+        st3 AS (
+          SELECT event_id, Lam, schi, cchi,
+                 1 + schi * {inst.sin_chi0!r} + cchi * {inst.cos_chi0!r} * COS(Lam) AS B
+          FROM st2
+        )
+        SELECT event_id,
+               ROUND({inst.x0!r} + {inst.two_R_k0!r} * cchi * SIN(Lam) / B, 0) AS x_m,
+               ROUND({inst.y0!r} + {inst.two_R_k0!r} * (schi * {inst.cos_chi0!r} - cchi * {inst.sin_chi0!r} * COS(Lam)) / B, 0) AS y_m
+        FROM st3
+    """
+
+
 def _q_cea6933(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cylindrical equal-area (EPSG:6933, NSIDC EASE-Grid 2.0; r5
     kernel crs.cea_forward) through the parsed-CRS reproject path.
@@ -2466,11 +2575,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #               warp norm() fix; projections parser wiring; the
         #               new ellipsoidal-Mercator EPSG:3395 and polar-
         #               stereographic EPSG:3413 kernels);
-        #   slots 17-18 late-r5 datum-shift gates (bng27700_points —
+        #   slots 17-19 late-r5 datum-shift gates (bng27700_points —
         #               Helmert + Karney-on-Airy; lambert72_points —
         #               Helmert + Snyder LCC on intl, the non-WGS84
-        #               conic path);
-        #   slots 19-49 the STALEST rows — last driver-recorded green is
+        #               conic path; rdnew_points — Helmert + EPSG 9809
+        #               oblique stereographic on Bessel);
+        #   slots 20-49 the STALEST rows — last driver-recorded green is
         #               r3 or earlier (incl. the never-r4-gated tpch_q1 /
         #               geojson/shapefile round trips / train_test_counts /
         #               cost_distance_raster per the r4 punch list).
@@ -2503,11 +2613,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webmercator_points": _q_webmercator,
         "mercator3395_points": _q_mercator3395,
         "polar_stereo_points": _q_polar_stereo,
-        # slots 17-18: late-r5 datum-shift gates (Helmert + Airy TM
-        # chain; Helmert + intl LCC conic chain)
+        # slots 17-19: late-r5 datum-shift gates (Helmert + Airy TM
+        # chain; Helmert + intl LCC conic chain; Helmert + Bessel
+        # oblique-stereographic chain)
         "bng27700_points": _q_bng27700,
         "lambert72_points": _q_lambert72,
-        # ---- slots 19-49: stalest rows (last driver green <= r3)
+        "rdnew_points": _q_rdnew,
+        # ---- slots 20-49: stalest rows (last driver green <= r3)
         "tpch_q1": _q_tpch_q1,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
@@ -2541,8 +2653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_overlap_rows": _q_dissolve_overlap_rows,
         "buffer_concave_count": _q_buffer_concave_count,
         "token_counts_docs": _q_token_counts,
-        "quality_docs": _q_quality_docs,
         # ======== past the window: r4 driver-green (CORRECTNESS_r04) =====
+        "quality_docs": _q_quality_docs,
         "langid_docs": _q_langid_docs,
         # and the by-design rows-only float-feature queries; plus the two
         # late-r5 equal-area kernel gates (cea6933/laea3035 — oracle-green
@@ -3475,6 +3587,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bng27700_points": _bng27700_sql(),
         "lambert72_points": _lambert72_sql(),
+        "rdnew_points": _rdnew_sql(),
         "cea6933_points": f"""
             WITH {_PTS_CTE}
             SELECT event_id,

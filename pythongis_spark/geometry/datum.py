@@ -254,3 +254,157 @@ class TransverseMercator:
         for j, d in enumerate(e.delta, start=1):
             phi += d * np.sin(2 * j * chi)
         return np.degrees(lam) + self.lon0, np.degrees(phi)
+
+
+# ------------------------- oblique stereographic (EPSG method 9809)
+
+class ObliqueStereographic:
+    """Oblique (double) stereographic projection, EPSG method 9809 —
+    the RD New (Amersfoort / EPSG:28992) projection. Formulas follow
+    the public EPSG Guidance Note 7 part 2: ellipsoid → conformal
+    sphere (Gaussian radius at the origin) → stereographic on the
+    sphere. Reference analog: pyproj ``+proj=sterea``
+    (``pythongis/vector/manager.py:822-846`` reprojects via pyproj).
+
+    All derived constants are plain Python floats so oracle SQL can
+    embed them and replay the exact numpy operation order."""
+
+    def __init__(self, ell: Ellipsoid, lat0: float, lon0: float,
+                 k0: float = 1.0, x0: float = 0.0, y0: float = 0.0):
+        self.ell = ell
+        e2, e = ell.e2, ell.e
+        p0 = math.radians(lat0)
+        self.lam0 = math.radians(lon0)
+        self.k0, self.x0, self.y0 = float(k0), float(x0), float(y0)
+        sp0 = math.sin(p0)
+        rho0 = ell.a * (1 - e2) / (1 - e2 * sp0 * sp0) ** 1.5
+        nu0 = ell.a / math.sqrt(1 - e2 * sp0 * sp0)
+        self.R = math.sqrt(rho0 * nu0)
+        cp0 = math.cos(p0)
+        self.n = math.sqrt(1 + e2 * cp0 ** 4 / (1 - e2))
+        S1 = (1 + sp0) / (1 - sp0)
+        S2 = (1 - e * sp0) / (1 + e * sp0)
+        w1 = (S1 * S2 ** e) ** self.n
+        sin_chi00 = (w1 - 1) / (w1 + 1)
+        self.c = ((self.n + sp0) * (1 - sin_chi00)
+                  / ((self.n - sp0) * (1 + sin_chi00)))
+        w2 = self.c * w1
+        self.chi0 = math.asin((w2 - 1) / (w2 + 1))
+        self.sin_chi0 = math.sin(self.chi0)
+        self.cos_chi0 = math.cos(self.chi0)
+        self.two_R_k0 = 2.0 * self.R * self.k0
+
+    def forward(self, lon, lat):
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        sp = np.sin(phi)
+        Lam = self.n * (lam - self.lam0)  # Λ - Λ0
+        Sa = (1 + sp) / (1 - sp)
+        Sb = (1 - e * sp) / (1 + e * sp)
+        w = self.c * (Sa * Sb ** e) ** self.n
+        schi = (w - 1) / (w + 1)          # sin χ
+        cchi = np.sqrt(1.0 - schi * schi)
+        B = 1 + schi * self.sin_chi0 + cchi * self.cos_chi0 * np.cos(Lam)
+        x = self.x0 + self.two_R_k0 * cchi * np.sin(Lam) / B
+        y = self.y0 + self.two_R_k0 * (
+            schi * self.cos_chi0 - cchi * self.sin_chi0 * np.cos(Lam)) / B
+        return x, y
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        Ep = np.asarray(x, dtype=np.float64) - self.x0
+        Np = np.asarray(y, dtype=np.float64) - self.y0
+        g = self.two_R_k0 * math.tan(math.pi / 4 - self.chi0 / 2)
+        h = 2.0 * self.two_R_k0 * math.tan(self.chi0) + g
+        i = np.arctan2(Ep, h + Np)
+        j = np.arctan2(Ep, g - Np) - i
+        chi = self.chi0 + 2 * np.arctan2(Np - Ep * np.tan(j / 2),
+                                         self.two_R_k0)
+        Lam = j + 2 * i
+        lam = Lam / self.n + self.lam0
+        schi = np.sin(chi)
+        psi = 0.5 * np.log((1 + schi) / (self.c * (1 - schi))) / self.n
+        phi = 2 * np.arctan(np.exp(psi)) - math.pi / 2
+        for _ in range(5):
+            sp = np.sin(phi)
+            psi_i = np.log(np.tan(phi / 2 + math.pi / 4)
+                           * ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+            phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e2 * sp * sp) / (1 - e2)
+        return np.degrees(lam), np.degrees(phi)
+
+
+# --------------------- Swiss oblique cylindrical (PROJ +proj=somerc)
+
+class SwissObliqueMercator:
+    """Swiss oblique cylindrical projection (EPSG method 9814, PROJ
+    ``+proj=somerc``) — CH1903 / LV03 (EPSG:21781) and CH1903+ / LV95
+    (EPSG:2056). Formulas follow swisstopo's public reference
+    "Formulas and constants for the calculation of the Swiss conformal
+    cylindrical projection": ellipsoid → conformal sphere → oblique
+    Mercator with the origin rotated onto the pseudo-equator. The
+    projection center maps exactly to (x0, y0) by construction."""
+
+    def __init__(self, ell: Ellipsoid, lat0: float, lon0: float,
+                 k0: float = 1.0, x0: float = 0.0, y0: float = 0.0):
+        self.ell = ell
+        e2, e = ell.e2, ell.e
+        p0 = math.radians(lat0)
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = float(x0), float(y0)
+        sp0 = math.sin(p0)
+        self.alpha = math.sqrt(1 + e2 * math.cos(p0) ** 4 / (1 - e2))
+        self.Rk = (k0 * ell.a * math.sqrt(1 - e2)
+                   / (1 - e2 * sp0 * sp0))
+        self.b0 = math.asin(sp0 / self.alpha)
+        self.K = (math.log(math.tan(math.pi / 4 + self.b0 / 2))
+                  - self.alpha * math.log(
+                      math.tan(math.pi / 4 + p0 / 2)
+                      * ((1 - e * sp0) / (1 + e * sp0)) ** (e / 2)))
+        self.sin_b0 = math.sin(self.b0)
+        self.cos_b0 = math.cos(self.b0)
+
+    def forward(self, lon, lat):
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        sp = np.sin(phi)
+        S = (self.alpha * np.log(np.tan(math.pi / 4 + phi / 2)
+                                 * ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+             + self.K)
+        b = 2 * np.arctan(np.exp(S)) - math.pi / 2
+        ell_ = self.alpha * (lam - self.lam0)
+        sb, cb = np.sin(b), np.cos(b)
+        # rotation onto the pseudo-equator (swisstopo eq. set):
+        #   b̄ = asin(cos(b0) sin(b) − sin(b0) cos(b) cos(l))
+        #   l̄ = atan2(sin(l) cos(b), cos(b0) cos(b) cos(l) + sin(b0) sin(b))
+        bbar_s = self.cos_b0 * sb - self.sin_b0 * cb * np.cos(ell_)
+        lbar = np.arctan2(np.sin(ell_) * cb,
+                          self.cos_b0 * cb * np.cos(ell_) + self.sin_b0 * sb)
+        x = self.x0 + self.Rk * lbar
+        y = self.y0 + self.Rk * (0.5 * np.log((1 + bbar_s) / (1 - bbar_s)))
+        return x, y
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        Y = (np.asarray(x, dtype=np.float64) - self.x0) / self.Rk   # l̄
+        X = (np.asarray(y, dtype=np.float64) - self.y0) / self.Rk
+        bbar = 2 * np.arctan(np.exp(X)) - math.pi / 2
+        sbb, cbb = np.sin(bbar), np.cos(bbar)
+        b = np.arcsin(self.cos_b0 * sbb + self.sin_b0 * cbb * np.cos(Y))
+        ell_ = np.arctan2(np.sin(Y) * cbb,
+                          self.cos_b0 * cbb * np.cos(Y) - self.sin_b0 * sbb)
+        lam = ell_ / self.alpha + self.lam0
+        # conformal sphere latitude -> ellipsoidal latitude (fixed-point)
+        S = np.log(np.tan(math.pi / 4 + b / 2))
+        phi = b.copy()
+        for _ in range(6):
+            sp = np.sin(phi)
+            Si = (self.alpha * np.log(np.tan(math.pi / 4 + phi / 2)
+                                      * ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+                  + self.K)
+            # Newton step on S(phi) = S with dS/dphi = alpha (1-e2) /
+            # ((1 - e2 sin^2 phi) cos phi)
+            dS = self.alpha * (1 - e2) / ((1 - e2 * sp * sp) * np.cos(phi))
+            phi = phi - (Si - S) / dS
+        return np.degrees(lam), np.degrees(phi)

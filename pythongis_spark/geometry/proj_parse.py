@@ -113,6 +113,20 @@ EPSG_PROJ4 = {
     # NTF geographic (Clarke 1880 IGN); 4807 is the Paris-meridian form
     4275: "+proj=longlat +ellps=clrk80ign " + _TOWGS84_NTF,
     4807: "+proj=longlat +ellps=clrk80ign +pm=paris " + _TOWGS84_NTF,
+    # Amersfoort / RD New (Netherlands): oblique stereographic on
+    # Bessel 1841, 7-param Helmert
+    28992: ("+proj=sterea +lat_0=52.15616055555555 "
+            "+lon_0=5.38763888888889 +k_0=0.9999079 +x_0=155000 "
+            "+y_0=463000 +ellps=bessel +towgs84=565.417,50.3319,"
+            "465.552,-0.398957,0.343988,-1.8774,4.0725"),
+    # CH1903 / LV03 and CH1903+ / LV95 (Switzerland): Swiss oblique
+    # cylindrical on Bessel 1841, 3-param Helmert
+    21781: ("+proj=somerc +lat_0=46.95240555555556 "
+            "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 +y_0=200000 "
+            "+ellps=bessel +towgs84=674.374,15.056,405.346"),
+    2056: ("+proj=somerc +lat_0=46.95240555555556 "
+           "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 "
+           "+ellps=bessel +towgs84=674.374,15.056,405.346"),
     # BD72 / Belgian Lambert 72 (International 1924, 7-param Helmert,
     # LCC 2SP with the pole as latitude of origin)
     31370: ("+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 "
@@ -184,6 +198,9 @@ _WKT_PROJ_NAMES = {
     "lambert_azimuthal_equal_area": "laea",
     "cylindrical_equal_area": "cea",
     "sinusoidal": "sinu",
+    "oblique_stereographic": "sterea",
+    "double_stereographic": "sterea",
+    "swiss_oblique_cylindrical": "somerc",
 }
 
 _WKT_PARAM_NAMES = {
@@ -451,7 +468,20 @@ def _family(p: dict):
         # lon_0 + pm (every family subtracts lon0 in degrees)
         p = dict(p)
         p["lon_0"] = float(p.get("lon_0", 0.0)) + pm
-    if ell.name not in ("WGS84", "GRS80"):
+    if proj in ("sterea", "somerc"):
+        # oblique stereographic (EPSG 9809, RD New) / Swiss oblique
+        # cylindrical (EPSG 9814, LV03/LV95): ellipsoid-parameterized
+        # from the start (their canonical instances are Bessel)
+        D = _datum_mod()
+        cls = (D.ObliqueStereographic if proj == "sterea"
+               else D.SwissObliqueMercator)
+        inst = cls(ell, lat0=float(p.get("lat_0", 0.0)),
+                   lon0=float(p.get("lon_0", 0.0)),
+                   k0=float(p.get("k", p.get("k_0", 1.0))),
+                   x0=float(p.get("x_0", 0.0)),
+                   y0=float(p.get("y_0", 0.0)))
+        fwd, inv = inst.forward, inst.inverse
+    elif ell.name not in ("WGS84", "GRS80"):
         D = _datum_mod()
         if proj == "utm":
             zone = int(p["zone"])

@@ -355,3 +355,93 @@ def test_wgs84_defaults_bit_frozen():
     m1 = C.merc_forward(lon, lat, 0.0, 1.0, 0.0, 0.0)
     m2 = C.merc_forward(lon, lat, 0.0, 1.0, 0.0, 0.0, a=C.A_, e=C.E_)
     assert (m1[0] == m2[0]).all() and (m1[1] == m2[1]).all()
+
+
+# --------- oblique stereographic (RD New) + Swiss oblique cylindrical
+
+
+def test_oblique_stereographic_epsg_guidance_example():
+    """EPSG Guidance Note 7-2 worked example for Amersfoort / RD New
+    (method 9809, Bessel 1841): phi = 53°N, lam = 6°E (Amersfoort
+    geodetic) → E 196105.283, N 557057.739 — projection only, no
+    datum leg."""
+    ell = D.ELLIPSOIDS["bessel"]
+    inst = D.ObliqueStereographic(
+        ell, lat0=52.15616055555555, lon0=5.38763888888889,
+        k0=0.9999079, x0=155_000.0, y0=463_000.0)
+    x, y = inst.forward(np.array([6.0]), np.array([53.0]))
+    assert x[0] == pytest.approx(196105.283, abs=2e-3)
+    assert y[0] == pytest.approx(557057.739, abs=2e-3)
+    # inverse of the published E/N reproduces the input coordinates
+    lon2, lat2 = inst.inverse(np.array([196105.283]), np.array([557057.739]))
+    assert lon2[0] == pytest.approx(6.0, abs=5e-9)
+    assert lat2[0] == pytest.approx(53.0, abs=5e-9)
+
+
+def test_oblique_stereographic_roundtrip_and_scale():
+    ell = D.ELLIPSOIDS["bessel"]
+    inst = D.ObliqueStereographic(
+        ell, lat0=52.15616055555555, lon0=5.38763888888889,
+        k0=0.9999079, x0=155_000.0, y0=463_000.0)
+    lon, lat = np.meshgrid(np.linspace(3.3, 7.2, 6), np.linspace(50.7, 53.6, 6))
+    x, y = inst.forward(lon.ravel(), lat.ravel())
+    lon2, lat2 = inst.inverse(x, y)
+    assert np.abs(lon2 - lon.ravel()).max() < 1e-9
+    assert np.abs(lat2 - lat.ravel()).max() < 1e-9
+    # scale at the origin equals k0; grows away from it (stereographic)
+    k_origin = _fd_scale(inst.forward, 5.38763888888889, 52.15616055555555, ell)
+    assert k_origin == pytest.approx(0.9999079, rel=1e-7)
+    assert _fd_scale(inst.forward, 5.38763888888889, 53.6, ell) > 0.9999079
+    # origin maps to the false origin exactly
+    x0, y0 = inst.forward(np.array([5.38763888888889]),
+                          np.array([52.15616055555555]))
+    assert abs(x0[0] - 155_000.0) < 1e-6 and abs(y0[0] - 463_000.0) < 1e-6
+
+
+def test_swiss_oblique_mercator_center_and_conformality():
+    """CH1903/LV03: the projection center (old Bern observatory) maps
+    EXACTLY to (600000, 200000) by construction; the projection is
+    conformal (isotropic local scale) and k = 1 at the center."""
+    ell = D.ELLIPSOIDS["bessel"]
+    inst = D.SwissObliqueMercator(
+        ell, lat0=46.95240555555556, lon0=7.439583333333333,
+        k0=1.0, x0=600_000.0, y0=200_000.0)
+    x, y = inst.forward(np.array([7.439583333333333]),
+                        np.array([46.95240555555556]))
+    assert abs(x[0] - 600_000.0) < 1e-6 and abs(y[0] - 200_000.0) < 1e-6
+    assert _fd_scale(inst.forward, 7.439583333333333,
+                     46.95240555555556, ell) == pytest.approx(1.0, rel=1e-7)
+    # conformality: meridian scale == parallel scale away from center
+    d = 1e-7
+    for lo, la in ((8.5, 46.0), (6.6, 47.3)):
+        k = _fd_scale(inst.forward, lo, la, ell)
+        x1, y1 = inst.forward(np.array([lo]), np.array([la]))
+        x2, y2 = inst.forward(np.array([lo]), np.array([la + d]))
+        phi = np.radians(la)
+        M = ell.a * (1 - ell.e2) / (1 - ell.e2 * np.sin(phi) ** 2) ** 1.5
+        h = float(np.hypot(x2 - x1, y2 - y1)[0] / (np.radians(d) * M))
+        assert h == pytest.approx(k, rel=1e-6)
+    # round trip over Switzerland
+    lon, lat = np.meshgrid(np.linspace(6.0, 10.5, 6), np.linspace(45.8, 47.8, 6))
+    x, y = inst.forward(lon.ravel(), lat.ravel())
+    lon2, lat2 = inst.inverse(x, y)
+    assert np.abs(lon2 - lon.ravel()).max() < 1e-9
+    assert np.abs(lat2 - lat.ravel()).max() < 1e-9
+
+
+def test_epsg_28992_and_21781_end_to_end():
+    """Parsed EPSG codes resolve with the datum leg: WGS84 input lands
+    near the national-grid coordinates (shift ~a hundred meters from
+    the projection-only result) and round-trips."""
+    for code, lonlat, near in (
+        ("EPSG:28992", (5.38763888888889, 52.15616055555555), (155_000.0, 463_000.0)),
+        ("EPSG:21781", (7.439583333333333, 46.95240555555556), (600_000.0, 200_000.0)),
+        ("EPSG:2056", (7.439583333333333, 46.95240555555556), (2_600_000.0, 1_200_000.0)),
+    ):
+        f, i = PP.forward(code), PP.inverse(code)
+        x, y = f(np.array([lonlat[0]]), np.array([lonlat[1]]))
+        d = float(np.hypot(x[0] - near[0], y[0] - near[1]))
+        assert 10.0 < d < 400.0, (code, d)  # datum shift, not identity
+        lon2, lat2 = i(x, y)
+        assert abs(lon2[0] - lonlat[0]) < 5e-8
+        assert abs(lat2[0] - lonlat[1]) < 5e-8
