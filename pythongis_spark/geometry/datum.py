@@ -408,3 +408,84 @@ class SwissObliqueMercator:
             dS = self.alpha * (1 - e2) / ((1 - e2 * sp * sp) * np.cos(phi))
             phi = phi - (Si - S) / dS
         return np.degrees(lam), np.degrees(phi)
+
+
+# ----------------------------------- Krovak (EPSG method 9819)
+
+class Krovak:
+    """Krovak oblique conformal conic (EPSG method 9819) — S-JTSK,
+    the Czech/Slovak national projection on Bessel 1841. Formulas
+    follow the public EPSG Guidance Note 7 part 2: Gaussian conformal
+    sphere at the center latitude, pole rotated by the azimuth
+    ``alpha``, conic with pseudo-standard parallel ``lat_ps`` and
+    scale ``k0`` on it.
+
+    ``forward`` returns the modern east-north orientation
+    (EPSG:5514 / PROJ ``+proj=krovak`` default): x = -westing,
+    y = -southing (both negative over the Czech Republic)."""
+
+    def __init__(self, ell: Ellipsoid, lat0: float, lon0: float,
+                 alpha: float, lat_ps: float = 78.5, k0: float = 0.9999,
+                 x0: float = 0.0, y0: float = 0.0):
+        self.ell = ell
+        e2, e = ell.e2, ell.e
+        pC = math.radians(lat0)
+        self.lam0 = math.radians(lon0)
+        self.x0, self.y0 = float(x0), float(y0)
+        spC = math.sin(pC)
+        self.A = ell.a * math.sqrt(1 - e2) / (1 - e2 * spC * spC)
+        self.B = math.sqrt(1 + e2 * math.cos(pC) ** 4 / (1 - e2))
+        self.gamma0 = math.asin(spC / self.B)
+        self.t0 = (math.tan(math.pi / 4 + self.gamma0 / 2)
+                   * ((1 + e * spC) / (1 - e * spC)) ** (e * self.B / 2)
+                   / math.tan(math.pi / 4 + pC / 2) ** self.B)
+        pP = math.radians(lat_ps)
+        self.n = math.sin(pP)
+        self.r0 = float(k0) * self.A / math.tan(pP)
+        self.tanP = math.tan(math.pi / 4 + pP / 2)
+        self.alphaC = math.radians(alpha)
+        self.sin_a = math.sin(self.alphaC)
+        self.cos_a = math.cos(self.alphaC)
+
+    def forward(self, lon, lat):
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        sp = np.sin(phi)
+        U = 2 * (np.arctan(
+            self.t0 * np.tan(phi / 2 + math.pi / 4) ** self.B
+            / ((1 + e * sp) / (1 - e * sp)) ** (e * self.B / 2))
+            - math.pi / 4)
+        V = self.B * (self.lam0 - lam)
+        sU, cU = np.sin(U), np.cos(U)
+        T = np.arcsin(self.cos_a * sU + self.sin_a * cU * np.cos(V))
+        D = np.arcsin(cU * np.sin(V) / np.cos(T))
+        theta = self.n * D
+        r = self.r0 * self.tanP ** self.n / np.tan(T / 2 + math.pi / 4) ** self.n
+        Xp = r * np.cos(theta)   # southing
+        Yp = r * np.sin(theta)   # westing
+        return self.x0 - Yp, self.y0 - Xp
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        Yp = -(np.asarray(x, dtype=np.float64) - self.x0)
+        Xp = -(np.asarray(y, dtype=np.float64) - self.y0)
+        r = np.sqrt(Xp * Xp + Yp * Yp)
+        theta = np.arctan2(Yp, Xp)
+        D = theta / self.n
+        T = 2 * (np.arctan((self.r0 / r) ** (1.0 / self.n) * self.tanP)
+                 - math.pi / 4)
+        sT, cT = np.sin(T), np.cos(T)
+        U = np.arcsin(self.cos_a * sT - self.sin_a * cT * np.cos(D))
+        V = np.arcsin(cT * np.sin(D) / np.cos(U))
+        lam = self.lam0 - V / self.B
+        # ellipsoidal latitude: fixed-point on the conformal mapping
+        phi = U.copy()
+        for _ in range(5):
+            sp = np.sin(phi)
+            phi = 2 * (np.arctan(
+                self.t0 ** (-1.0 / self.B)
+                * np.tan(U / 2 + math.pi / 4) ** (1.0 / self.B)
+                * ((1 + e * sp) / (1 - e * sp)) ** (e / 2))
+                - math.pi / 4)
+        return np.degrees(lam), np.degrees(phi)

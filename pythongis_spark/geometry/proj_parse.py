@@ -124,6 +124,10 @@ EPSG_PROJ4 = {
     21781: ("+proj=somerc +lat_0=46.95240555555556 "
             "+lon_0=7.439583333333333 +k_0=1 +x_0=600000 +y_0=200000 "
             "+ellps=bessel +towgs84=674.374,15.056,405.346"),
+    # S-JTSK / Krovak East North (Czech Republic / Slovakia)
+    5514: ("+proj=krovak +lat_0=49.5 +lon_0=24.83333333333333 "
+           "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 "
+           "+ellps=bessel +towgs84=589,76,480"),
     2056: ("+proj=somerc +lat_0=46.95240555555556 "
            "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 "
            "+ellps=bessel +towgs84=674.374,15.056,405.346"),
@@ -480,6 +484,17 @@ def _family(p: dict):
                    k0=float(p.get("k", p.get("k_0", 1.0))),
                    x0=float(p.get("x_0", 0.0)),
                    y0=float(p.get("y_0", 0.0)))
+        fwd, inv = inst.forward, inst.inverse
+    elif proj == "krovak":
+        # Krovak oblique conic (EPSG 9819, S-JTSK) — PROJ parameter
+        # defaults; east-north orientation (EPSG:5514)
+        D = _datum_mod()
+        inst = D.Krovak(
+            ell, lat0=float(p.get("lat_0", 49.5)),
+            lon0=float(p.get("lon_0", 24.833333333333332)),
+            alpha=float(p.get("alpha", 30.28813972222222)),
+            k0=float(p.get("k", p.get("k_0", 0.9999))),
+            x0=float(p.get("x_0", 0.0)), y0=float(p.get("y_0", 0.0)))
         fwd, inv = inst.forward, inst.inverse
     elif ell.name not in ("WGS84", "GRS80"):
         D = _datum_mod()

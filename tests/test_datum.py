@@ -445,3 +445,48 @@ def test_epsg_28992_and_21781_end_to_end():
         lon2, lat2 = i(x, y)
         assert abs(lon2[0] - lonlat[0]) < 5e-8
         assert abs(lat2[0] - lonlat[1]) < 5e-8
+
+
+def test_krovak_prague_brno_and_roundtrip():
+    """S-JTSK / Krovak East North (EPSG:5514): Prague and Brno land on
+    their known national-grid coordinates (negative east-north
+    orientation), and the WGS84 round trip closes."""
+    f, i = PP.forward("EPSG:5514"), PP.inverse("EPSG:5514")
+    x, y = f(np.array([14.4208, 16.6068]), np.array([50.0880, 49.1951]))
+    assert abs(x[0] + 742_840.0) < 1_500.0   # Prague ~ -743 km
+    assert abs(y[0] + 1_042_960.0) < 1_500.0  # ~ -1043 km
+    assert abs(x[1] + 598_250.0) < 1_500.0   # Brno
+    assert abs(y[1] + 1_160_750.0) < 1_500.0
+    lon = np.linspace(12.2, 22.5, 9)
+    lat = np.linspace(47.8, 51.0, 9)
+    lon2, lat2 = i(*f(lon, lat))
+    assert np.abs(lon2 - lon).max() < 5e-8
+    assert np.abs(lat2 - lat).max() < 5e-8
+
+
+def test_krovak_conformality_and_pseudo_parallel_scale():
+    """Projection-only invariants on Bessel: Krovak is conformal
+    (meridian scale == parallel scale) and the overall scale on the
+    pseudo-standard parallel is the design k0 = 0.9999 (to the Gaussian-
+    sphere residual, < 1e-5 near the center latitude)."""
+    ell = D.ELLIPSOIDS["bessel"]
+    inst = D.Krovak(ell, 49.5, 24.833333333333332, 30.28813972222222)
+    d = 1e-7
+    for lo, la in ((14.4, 50.1), (17.5, 48.7), (20.0, 49.3)):
+        k = _fd_scale(inst.forward, lo, la, ell)
+        x1, y1 = inst.forward(np.array([lo]), np.array([la]))
+        x2, y2 = inst.forward(np.array([lo]), np.array([la + d]))
+        phi = np.radians(la)
+        M = ell.a * (1 - ell.e2) / (1 - ell.e2 * np.sin(phi) ** 2) ** 1.5
+        h = float(np.hypot(x2 - x1, y2 - y1)[0] / (np.radians(d) * M))
+        assert h == pytest.approx(k, rel=1e-6)
+    # point on the pseudo-standard parallel along D = 0: U = 78.5 - alpha
+    lon0 = 24.833333333333332
+    lam_pt, phi_pt = inst.inverse(
+        *(-np.array([0.0]), -np.array([inst.r0 * inst.tanP ** inst.n
+                                       / np.tan(np.radians(78.5) / 2
+                                                + np.pi / 4) ** inst.n])))
+    # that inverse lands exactly on (lon0, phi at T = 78.5)
+    assert lam_pt[0] == pytest.approx(lon0, abs=1e-9)
+    k_psp = _fd_scale(inst.forward, lam_pt[0], phi_pt[0], ell)
+    assert k_psp == pytest.approx(0.9999, abs=1e-5)
