@@ -490,3 +490,36 @@ def test_krovak_conformality_and_pseudo_parallel_scale():
     assert lam_pt[0] == pytest.approx(lon0, abs=1e-9)
     k_psp = _fd_scale(inst.forward, lam_pt[0], phi_pt[0], ell)
     assert k_psp == pytest.approx(0.9999, abs=1e-5)
+
+
+def test_warp_raster_to_rdnew_datum_chain(spark):
+    """Raster warp through a parsed datum-shifted CRS: 4326 source →
+    EPSG:28992 (RD New) target grid. Every output value must equal the
+    source cell that the dst cell center inverse-projects into
+    (numpy replay of the same Helmert + oblique-stereographic chain)."""
+    import pyspark.sql.functions as F
+
+    from pythongis_spark import fixtures as FX
+    from pythongis_spark.raster.model import RasterDef, warp
+
+    # source: 0.05° cells over 3-8°E, 50-54°N (100 x 80)
+    w, h = 100, 80
+    cells = FX.raster_cells(spark, w, h, 1)
+    src = RasterDef(w, h, (0.05, 0.0, 3.0, 0.0, -0.05, 54.0))
+    # target: 5 km cells over RD New 0..300 km E, 300..600 km N
+    dst = RasterDef(60, 60, (5000.0, 0.0, 0.0, 0.0, -5000.0, 600000.0))
+    out = warp(cells, src, dst, "EPSG:4326", "EPSG:28992",
+               "nearest", spark=spark)
+    got = {(r["x"], r["y"]): r["val"]
+           for r in out.filter(F.col("band") == 0).collect()}
+    srcv = {(r["x"], r["y"]): r["val"]
+            for r in cells.filter(F.col("band") == 0).collect()}
+    assert len(got) > 500  # NL window overlaps the source extent
+    inv = PP.inverse("EPSG:28992")
+    xs = np.array([k[0] for k in got])
+    ys = np.array([k[1] for k in got])
+    lon, lat = inv((xs + 0.5) * 5000.0, 600000.0 - (ys + 0.5) * 5000.0)
+    sx = np.floor((lon - 3.0) / 0.05).astype(int)
+    sy = np.floor((54.0 - lat) / 0.05).astype(int)
+    for (k, vx, vy) in zip(got, sx, sy):
+        assert got[k] == srcv[(vx, vy)]
