@@ -336,10 +336,12 @@ def main():
         must_not=[r"SortMergeJoin", r"CartesianProduct"],
     )
 
-    # 22. parsed-CRS point reproject (the r5 projection-kernel gates):
+    # 22. parsed-CRS point reproject (the r5 projection-kernel gates,
+    # incl. the datum-shift chains — Helmert + non-WGS84 kernels):
     # one ArrowEvalPython over the parquet scan — the whole transform is
     # a single vectorized batch per partition, no exchange, no join
-    for qname in ("laea3035_points", "cea6933_points"):
+    for qname in ("laea3035_points", "cea6933_points", "bng27700_points",
+                  "lambert72_points", "rdnew_points", "krovak_points"):
         rp = E.queries()[qname](spark, sf)
         plan = fmt(rp)
         n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
