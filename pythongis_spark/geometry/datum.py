@@ -79,6 +79,8 @@ ELLIPSOIDS = {
     "krass": Ellipsoid("krass", 6378245.0, 298.3),
     "clrk66": Ellipsoid("clrk66", 6378206.4, 294.978698214),
     "clrk80ign": Ellipsoid("clrk80ign", 6378249.2, 293.466021293627),
+    "evrst30": Ellipsoid("evrst30", 6377276.345, 300.8017),
+    "evrstSS": Ellipsoid("evrstSS", 6377298.556, 300.8017),
 }
 
 WGS84 = ELLIPSOIDS["WGS84"]
@@ -488,4 +490,121 @@ class Krovak:
                 * np.tan(U / 2 + math.pi / 4) ** (1.0 / self.B)
                 * ((1 + e * sp) / (1 - e * sp)) ** (e / 2))
                 - math.pi / 4)
+        return np.degrees(lam), np.degrees(phi)
+
+
+# ------------------- Hotine oblique Mercator (EPSG 9812 / 9815)
+
+class HotineObliqueMercator:
+    """Hotine oblique Mercator, EPSG method 9812 (variant A, PROJ
+    ``+proj=omerc +no_uoff`` — false coordinates at the natural origin)
+    and 9815 (variant B, PROJ default ``+proj=omerc`` — false
+    coordinates at the projection center). Formulas follow the public
+    EPSG Guidance Note 7 part 2 (aposphere construction: B, A, t0, D,
+    F, H, G, gamma0, lambda0). Canonical instances: Timbalai 1948 /
+    RSO Borneo (EPSG:29873, variant B on Everest SS), GDM2000
+    Peninsular RSO (EPSG:3375, variant A on GRS80), NAD83 / Alaska
+    zone 1 (EPSG:26931, variant A on GRS80). Reference analog: pyproj
+    ``+proj=omerc`` (``pythongis/vector/manager.py:822-846``).
+
+    ``alpha`` is the azimuth of the initial line at the center;
+    ``gamma`` the rectified-grid (skew) angle, defaulting to ``alpha``
+    (both degrees, east of north — values > 180 are west-of-north
+    lines, e.g. 323° for the Alaska/Peninsular RSO instances).
+    ``no_rot`` skips the (u, v) → (E, N) rectification (PROJ flag).
+    ``alpha = ±90°`` degenerates the variant-B center-offset formula —
+    use :class:`SwissObliqueMercator` for that geometry.
+
+    All derived constants are plain Python floats so oracle SQL can
+    embed them and replay the exact numpy operation order."""
+
+    def __init__(self, ell: Ellipsoid, lat0: float, lonc: float,
+                 alpha: float, gamma: float | None = None,
+                 k0: float = 1.0, x0: float = 0.0, y0: float = 0.0,
+                 no_uoff: bool = False, no_rot: bool = False):
+        self.ell = ell
+        e2, e = ell.e2, ell.e
+        pC = math.radians(lat0)
+        lamC = math.radians(lonc)
+        spC = math.sin(pC)
+        cpC = math.cos(pC)
+        self.k0, self.x0, self.y0 = float(k0), float(x0), float(y0)
+        self.no_rot = bool(no_rot)
+        self.B = math.sqrt(1 + e2 * cpC ** 4 / (1 - e2))
+        self.A = (ell.a * self.B * self.k0 * math.sqrt(1 - e2)
+                  / (1 - e2 * spC * spC))
+        t0 = (math.tan(math.pi / 4 - pC / 2)
+              / ((1 - e * spC) / (1 + e * spC)) ** (e / 2))
+        Dv = (self.B * math.sqrt(1 - e2)
+              / (cpC * math.sqrt(1 - e2 * spC * spC)))
+        D2 = max(Dv * Dv, 1.0)
+        Fv = Dv + math.copysign(math.sqrt(D2 - 1.0), pC if pC != 0 else 1.0)
+        self.H = Fv * t0 ** self.B
+        G = (Fv - 1.0 / Fv) / 2.0
+        aC = math.radians(alpha)
+        self.gamma0 = math.asin(math.sin(aC) / Dv)
+        self.lam0 = lamC - math.asin(G * math.tan(self.gamma0)) / self.B
+        gC = math.radians(alpha if gamma is None else gamma)
+        self.sin_gc, self.cos_gc = math.sin(gC), math.cos(gC)
+        self.sin_g0, self.cos_g0 = math.sin(self.gamma0), math.cos(self.gamma0)
+        self.AoB = self.A / self.B
+        self.twoB = 2.0 * self.B
+        if no_uoff:
+            self.uc = 0.0  # variant A: u measured from the natural origin
+        else:
+            caC = math.cos(aC)
+            if abs(caC) < 1e-12:
+                raise NotImplementedError(
+                    "omerc variant B with alpha = ±90° (the center-offset "
+                    "uc formula degenerates); use somerc / pass +no_uoff")
+            # EPSG GN7-2: uc = (A/B) atan(sqrt(D^2-1)/cos(alpha_c)) sign(phi_c)
+            self.uc = math.copysign(
+                abs(self.AoB * math.atan(math.sqrt(D2 - 1.0) / caC)),
+                pC if pC != 0 else 1.0)
+
+    def forward(self, lon, lat):
+        e = self.ell.e
+        phi = np.radians(np.asarray(lat, dtype=np.float64))
+        lam = np.radians(np.asarray(lon, dtype=np.float64))
+        sp = np.sin(phi)
+        t = (np.tan(math.pi / 4 - phi / 2)
+             / ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+        Q = self.H / t ** self.B
+        S = (Q - 1.0 / Q) / 2.0
+        Tb = (Q + 1.0 / Q) / 2.0
+        w = self.B * (lam - self.lam0)
+        V = np.sin(w)
+        U = (-V * self.cos_g0 + S * self.sin_g0) / Tb
+        v = self.A * np.log((1.0 - U) / (1.0 + U)) / self.twoB
+        u = self.AoB * np.arctan2(
+            S * self.cos_g0 + V * self.sin_g0, np.cos(w)) - self.uc
+        if self.no_rot:
+            return self.x0 + v, self.y0 + u
+        return (self.x0 + v * self.cos_gc + u * self.sin_gc,
+                self.y0 + u * self.cos_gc - v * self.sin_gc)
+
+    def inverse(self, x, y):
+        e, e2 = self.ell.e, self.ell.e2
+        xs = np.asarray(x, dtype=np.float64) - self.x0
+        ys = np.asarray(y, dtype=np.float64) - self.y0
+        if self.no_rot:
+            v, u = xs, ys
+        else:
+            v = xs * self.cos_gc - ys * self.sin_gc
+            u = ys * self.cos_gc + xs * self.sin_gc
+        u = u + self.uc
+        Q = np.exp(-self.B * v / self.A)
+        S = (Q - 1.0 / Q) / 2.0
+        Tb = (Q + 1.0 / Q) / 2.0
+        w = self.B * u / self.A
+        V = np.sin(w)
+        U = (V * self.cos_g0 + S * self.sin_g0) / Tb
+        t = (self.H / np.sqrt((1.0 + U) / (1.0 - U))) ** (1.0 / self.B)
+        phi = math.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            sp = np.sin(phi)
+            phi = math.pi / 2 - 2 * np.arctan(
+                t * ((1 - e * sp) / (1 + e * sp)) ** (e / 2))
+        lam = self.lam0 - np.arctan2(
+            S * self.cos_g0 - V * self.sin_g0, np.cos(w)) / self.B
         return np.degrees(lam), np.degrees(phi)

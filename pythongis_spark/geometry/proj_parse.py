@@ -131,6 +131,20 @@ EPSG_PROJ4 = {
     2056: ("+proj=somerc +lat_0=46.95240555555556 "
            "+lon_0=7.439583333333333 +k_0=1 +x_0=2600000 +y_0=1200000 "
            "+ellps=bessel +towgs84=674.374,15.056,405.346"),
+    # Timbalai 1948 / RSO Borneo (m): Hotine oblique Mercator variant B
+    # (EPSG 9815) on Everest 1830 (1967 Definition)
+    29873: ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+            "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 "
+            "+y_0=442857.65 +ellps=evrstSS +towgs84=-679,669,-48"),
+    # GDM2000 / Peninsular RSO: variant A (+no_uoff) on GRS80
+    3375: ("+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.0257964666666 "
+           "+gamma=323.1301023611111 +k=0.99984 +x_0=804671 +y_0=0 "
+           "+no_uoff +ellps=GRS80"),
+    # NAD83 / Alaska zone 1: variant A (+no_uoff) on GRS80
+    26931: ("+proj=omerc +lat_0=57 +lonc=-133.6666666666667 "
+            "+alpha=323.1301023611111 +gamma=323.1301023611111 "
+            "+k=0.9999 +x_0=5000000.001016002 +y_0=-5000000.001016002 "
+            "+no_uoff +ellps=GRS80"),
     # BD72 / Belgian Lambert 72 (International 1924, 7-param Helmert,
     # LCC 2SP with the pole as latitude of origin)
     31370: ("+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 "
@@ -205,6 +219,24 @@ _WKT_PROJ_NAMES = {
     "oblique_stereographic": "sterea",
     "double_stereographic": "sterea",
     "swiss_oblique_cylindrical": "somerc",
+    # Hotine oblique Mercator: "natural origin" / variant A names get
+    # +no_uoff in parse_wkt; "center" / variant B names are the default
+    "oblique_mercator": "omerc",
+    "hotine_oblique_mercator": "omerc",
+    "hotine_oblique_mercator_(variant_a)": "omerc",
+    "hotine_oblique_mercator_(variant_b)": "omerc",
+    "hotine_oblique_mercator_azimuth_natural_origin": "omerc",
+    "hotine_oblique_mercator_azimuth_center": "omerc",
+    "rectified_skew_orthomorphic_natural_origin": "omerc",
+    "rectified_skew_orthomorphic_center": "omerc",
+}
+
+# WKT omerc names that mean variant A (EPSG 9812, +no_uoff)
+_WKT_OMERC_VARIANT_A = {
+    "hotine_oblique_mercator",
+    "hotine_oblique_mercator_(variant_a)",
+    "hotine_oblique_mercator_azimuth_natural_origin",
+    "rectified_skew_orthomorphic_natural_origin",
 }
 
 _WKT_PARAM_NAMES = {
@@ -214,6 +246,8 @@ _WKT_PARAM_NAMES = {
     "latitude_of_center": "lat_0",
     "standard_parallel_1": "lat_1",
     "standard_parallel_2": "lat_2",
+    "azimuth": "alpha",
+    "rectified_grid_angle": "gamma",
     "scale_factor": "k",
     "false_easting": "x_0",
     "false_northing": "y_0",
@@ -252,6 +286,8 @@ def parse_wkt(s: str) -> dict:
                 f"WKT projection {name.group(1)!r} is not an implemented "
                 f"family {tuple(set(_WKT_PROJ_NAMES.values()))}")
     out: dict = {"proj": proj}
+    if proj == "omerc" and name is not None and key in _WKT_OMERC_VARIANT_A:
+        out["no_uoff"] = True
     for m in re.finditer(
         r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)', s
     ):
@@ -484,6 +520,25 @@ def _family(p: dict):
                    k0=float(p.get("k", p.get("k_0", 1.0))),
                    x0=float(p.get("x_0", 0.0)),
                    y0=float(p.get("y_0", 0.0)))
+        fwd, inv = inst.forward, inst.inverse
+    elif proj == "omerc":
+        # Hotine oblique Mercator (EPSG 9812 variant A via +no_uoff,
+        # 9815 variant B default) — ellipsoid-parameterized from the
+        # start (RSO Borneo is Everest, Alaska/Peninsular are GRS80)
+        D = _datum_mod()
+        if "alpha" not in p:
+            raise NotImplementedError(
+                "+proj=omerc needs +alpha (the two-point "
+                "+lat_1/+lon_1/+lat_2/+lon_2 form is not implemented)")
+        inst = D.HotineObliqueMercator(
+            ell, lat0=float(p.get("lat_0", 0.0)),
+            lonc=float(p.get("lonc", p.get("lon_0", 0.0))),
+            alpha=float(p["alpha"]),
+            gamma=(float(p["gamma"]) if "gamma" in p else None),
+            k0=float(p.get("k", p.get("k_0", 1.0))),
+            x0=float(p.get("x_0", 0.0)), y0=float(p.get("y_0", 0.0)),
+            no_uoff=bool(p.get("no_uoff", False)),
+            no_rot=bool(p.get("no_rot", False)))
         fwd, inv = inst.forward, inst.inverse
     elif proj == "krovak":
         # Krovak oblique conic (EPSG 9819, S-JTSK) — PROJ parameter

@@ -217,8 +217,13 @@ def test_proj_parse_conus_albers_and_errors():
         PP.forward("+proj=laea +lat_0=52 +lon_0=10 +ellps=airy")
     with pytest.raises(NotImplementedError, match="tmerc/utm/lcc/aea"):
         PP.forward("+proj=cea +lat_ts=30 +ellps=bessel")
+    # evrst30 joined the registry with the omerc family (late r5):
+    # Everest tmerc (Indian-subcontinent grids) resolves now
+    x, y = PP.forward("+proj=tmerc +lon_0=-2 +ellps=evrst30")(
+        np.array([-2.0]), np.array([0.0]))
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6  # central meridian, equator
     with pytest.raises(NotImplementedError, match="known names"):
-        PP.forward("+proj=tmerc +lon_0=-2 +ellps=evrst30")
+        PP.forward("+proj=tmerc +lon_0=-2 +ellps=plessis")
     with pytest.raises(NotImplementedError, match="nadgrids"):
         PP.forward("+proj=utm +zone=14 +datum=NAD27 +nadgrids=conus")
     with pytest.raises(NotImplementedError, match="datum"):

@@ -523,3 +523,127 @@ def test_warp_raster_to_rdnew_datum_chain(spark):
     sy = np.floor((54.0 - lat) / 0.05).astype(int)
     for (k, vx, vy) in zip(got, sx, sy):
         assert got[k] == srcv[(vx, vy)]
+
+
+# ------------------- Hotine oblique Mercator (EPSG 9812 / 9815, r5)
+
+
+def test_omerc_epsg_guidance_example_rso_borneo():
+    """EPSG Guidance Note 7-2 worked example for Timbalai 1948 / RSO
+    Borneo (m) (method 9815 variant B, Everest 1830 1967 Definition):
+    phi = 5°23'14.1129"N, lam = 115°48'19.8196"E (Timbalai geodetic)
+    → E 679245.73, N 596562.78 — projection only, no datum leg."""
+    ell = D.ELLIPSOIDS["evrstSS"]
+    inst = D.HotineObliqueMercator(
+        ell, lat0=4.0, lonc=115.0, alpha=53.31582047222222,
+        gamma=53.13010236111111, k0=0.99984,
+        x0=590476.87, y0=442857.65)
+    lat = 5 + 23 / 60 + 14.1129 / 3600
+    lon = 115 + 48 / 60 + 19.8196 / 3600
+    x, y = inst.forward(np.array([lon]), np.array([lat]))
+    assert x[0] == pytest.approx(679245.73, abs=5e-3)
+    assert y[0] == pytest.approx(596562.78, abs=5e-3)
+    # variant B maps the projection center exactly to (Ec, Nc)
+    xc, yc = inst.forward(np.array([115.0]), np.array([4.0]))
+    assert abs(xc[0] - 590476.87) < 1e-6 and abs(yc[0] - 442857.65) < 1e-6
+    # inverse of the published E/N reproduces the input coordinates
+    lon2, lat2 = inst.inverse(np.array([679245.73]), np.array([596562.78]))
+    assert lon2[0] == pytest.approx(lon, abs=5e-8)
+    assert lat2[0] == pytest.approx(lat, abs=5e-8)
+
+
+def test_omerc_conformality_and_center_scale():
+    """omerc is conformal (h == k away from the line) and the local
+    scale at the projection center equals the design kc; scale grows
+    away from the initial line (oblique Mercator law)."""
+    ell = D.ELLIPSOIDS["evrstSS"]
+    inst = D.HotineObliqueMercator(
+        ell, lat0=4.0, lonc=115.0, alpha=53.31582047222222,
+        gamma=53.13010236111111, k0=0.99984,
+        x0=590476.87, y0=442857.65)
+    assert _fd_scale(inst.forward, 115.0, 4.0, ell) == pytest.approx(
+        0.99984, rel=1e-6)
+    d = 1e-7
+    for lo, la in ((117.0, 2.0), (113.0, 6.0)):  # perpendicular to the line
+        k = _fd_scale(inst.forward, lo, la, ell)
+        x1, y1 = inst.forward(np.array([lo]), np.array([la]))
+        x2, y2 = inst.forward(np.array([lo]), np.array([la + d]))
+        phi = np.radians(la)
+        M = ell.a * (1 - ell.e2) / (1 - ell.e2 * np.sin(phi) ** 2) ** 1.5
+        h = float(np.hypot(x2 - x1, y2 - y1)[0] / (np.radians(d) * M))
+        assert h == pytest.approx(k, rel=1e-6)
+        assert k > 0.99984  # off the initial line
+
+
+def test_omerc_variant_a_alaska_and_peninsular():
+    """Variant A (+no_uoff, EPSG 9812): the natural origin (u=0, v=0)
+    carries the false coordinates — for a west-of-north azimuth
+    (323°) the projection center no longer lands on (FE, FN). Round
+    trips close over each zone's extent on GRS80."""
+    for code, box in (
+        ("EPSG:26931", (-141.0, -130.0, 54.5, 60.3)),
+        ("EPSG:3375", (99.6, 104.6, 1.2, 6.7)),
+    ):
+        f, i = PP.forward(code), PP.inverse(code)
+        lon, lat = np.meshgrid(np.linspace(box[0], box[1], 6),
+                               np.linspace(box[2], box[3], 6))
+        x, y = f(lon.ravel(), lat.ravel())
+        lon2, lat2 = i(x, y)
+        assert np.abs(lon2 - lon.ravel()).max() < 5e-8
+        assert np.abs(lat2 - lat.ravel()).max() < 5e-8
+    # variant A vs variant B on the same parameters differ by the
+    # constant center offset u_c along the rotated grid
+    ell = D.ELLIPSOIDS["GRS80"]
+    args = dict(lat0=4.0, lonc=102.25, alpha=323.0257964666666,
+                gamma=323.1301023611111, k0=0.99984)
+    va = D.HotineObliqueMercator(ell, no_uoff=True, **args)
+    vb = D.HotineObliqueMercator(ell, no_uoff=False, **args)
+    lon = np.array([101.0, 103.5])
+    lat = np.array([2.5, 5.5])
+    xa, ya = va.forward(lon, lat)
+    xb, yb = vb.forward(lon, lat)
+    de, dn = xa - xb, ya - yb
+    assert np.ptp(de) < 1e-6 and np.ptp(dn) < 1e-6  # rigid translation
+    assert float(np.hypot(de[0], dn[0])) == pytest.approx(
+        abs(vb.uc), rel=1e-12)
+
+
+def test_omerc_epsg29873_datum_chain_and_wkt():
+    """EPSG:29873 end-to-end (WGS84 → 3-param Helmert → omerc on
+    Everest SS): the datum leg moves the result hundreds of meters from
+    the projection-only coordinates, round-trips close, and the WKT1
+    variant-B name parses to the same transform."""
+    f, i = PP.forward("EPSG:29873"), PP.inverse("EPSG:29873")
+    lon, lat = np.array([115.80550544444444]), np.array([5.387253583333333])
+    x, y = f(lon, lat)
+    # vs the worked example (Timbalai geodetic == projection-only): the
+    # WGS84 input must land a datum-shift distance away
+    d = float(np.hypot(x[0] - 679245.73, y[0] - 596562.78))
+    assert 100.0 < d < 1000.0
+    lon2, lat2 = i(x, y)
+    assert abs(lon2[0] - lon[0]) < 5e-8 and abs(lat2[0] - lat[0]) < 5e-8
+    wkt = (
+        'PROJCS["Timbalai 1948 / RSO Borneo (m)",GEOGCS["Timbalai 1948",'
+        'DATUM["Timbalai_1948",SPHEROID["Everest 1830 (1967 Definition)",'
+        '6377298.556,300.8017],TOWGS84[-679,669,-48,0,0,0,0]],'
+        'PRIMEM["Greenwich",0]],'
+        'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+        'PARAMETER["latitude_of_center",4],'
+        'PARAMETER["longitude_of_center",115],'
+        'PARAMETER["azimuth",53.31582047222222],'
+        'PARAMETER["rectified_grid_angle",53.13010236111111],'
+        'PARAMETER["scale_factor",0.99984],'
+        'PARAMETER["false_easting",590476.87],'
+        'PARAMETER["false_northing",442857.65]]')
+    fw = PP.forward(wkt)
+    xw, yw = fw(lon, lat)
+    assert abs(xw[0] - x[0]) < 1e-6 and abs(yw[0] - y[0]) < 1e-6
+
+
+def test_omerc_missing_alpha_and_alpha90_raise():
+    with pytest.raises(NotImplementedError, match="two-point"):
+        PP.forward("+proj=omerc +lat_0=4 +lonc=115 +lat_1=1 +lon_1=110 "
+                   "+lat_2=6 +lon_2=118 +ellps=WGS84")
+    with pytest.raises(NotImplementedError, match="somerc"):
+        D.HotineObliqueMercator(
+            D.ELLIPSOIDS["bessel"], lat0=46.95, lonc=7.44, alpha=90.0)
