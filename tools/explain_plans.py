@@ -341,7 +341,8 @@ def main():
     # one ArrowEvalPython over the parquet scan — the whole transform is
     # a single vectorized batch per partition, no exchange, no join
     for qname in ("laea3035_points", "cea6933_points", "bng27700_points",
-                  "lambert72_points", "rdnew_points", "krovak_points"):
+                  "lambert72_points", "rdnew_points", "krovak_points",
+                  "rso_borneo_points"):
         rp = E.queries()[qname](spark, sf)
         plan = fmt(rp)
         n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", plan))
