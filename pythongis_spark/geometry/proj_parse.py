@@ -537,7 +537,7 @@ def _family(p: dict):
             gamma=(float(p["gamma"]) if "gamma" in p else None),
             k0=float(p.get("k", p.get("k_0", 1.0))),
             x0=float(p.get("x_0", 0.0)), y0=float(p.get("y_0", 0.0)),
-            no_uoff=bool(p.get("no_uoff", False)),
+            no_uoff=bool(p.get("no_uoff", p.get("no_off", False))),
             no_rot=bool(p.get("no_rot", False)))
         fwd, inv = inst.forward, inst.inverse
     elif proj == "krovak":

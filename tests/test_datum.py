@@ -640,6 +640,20 @@ def test_omerc_epsg29873_datum_chain_and_wkt():
     assert abs(xw[0] - x[0]) < 1e-6 and abs(yw[0] - y[0]) < 1e-6
 
 
+def test_omerc_no_off_alias_matches_no_uoff():
+    """PROJ accepts both +no_uoff and +no_off for variant A — the
+    parser treats them identically."""
+    base = ("+proj=omerc +lat_0=4 +lonc=102.25 +alpha=323.0257964666666 "
+            "+gamma=323.1301023611111 +k=0.99984 +x_0=804671 +ellps=GRS80 ")
+    fa = PP.forward(base + "+no_uoff")
+    fb = PP.forward(base + "+no_off")
+    lon = np.array([101.0, 103.5])
+    lat = np.array([2.5, 5.5])
+    xa, ya = fa(lon, lat)
+    xb, yb = fb(lon, lat)
+    assert np.array_equal(xa, xb) and np.array_equal(ya, yb)
+
+
 def test_omerc_missing_alpha_and_alpha90_raise():
     with pytest.raises(NotImplementedError, match="two-point"):
         PP.forward("+proj=omerc +lat_0=4 +lonc=115 +lat_1=1 +lon_1=110 "
