@@ -2828,8 +2828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Rotated out (all driver-green in CORRECTNESS_r04.json): the r4
         # window's 43 surviving rows, plus quality_docs / langid_docs
         # (r1-r3 green) displaced by the new projection-kernel gates.
-        # Still-stale remainder queued for the
-        # r6 sweep: rasterize_partial, vectorize_merged, buffer_zone_areas,
+        # Still-stale remainder queued for the r6 sweep (all
+        # check_oracle-green at sf0.01 this round): the four just-past-
+        # window rows at slots 50-53 (dedup_exact_docs, crop_raster,
+        # dissolve_overlap_rows, idw_bounded), plus
+        # rasterize_partial, vectorize_merged, buffer_zone_areas,
         # dissolve_zone_rows, histogram_quantity, tab_orderpriority,
         # merge_union_byname, topk_orders_per_customer, duplicates_geom,
         # field_values_segment, seq_interpolate, mosaic_last_wins,
@@ -2862,9 +2865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdnew_points": _q_rdnew,
         "krovak_points": _q_krovak,
         "rso_borneo_points": _q_rso_borneo,
-        # ---- slots 22-49: stalest rows (last driver green <= r3;
-        # dedup_exact_docs displaced past the window by the omerc gate —
-        # it stays judge-verifiable green via tools/check_oracle)
+        # ---- slots 22-49: stalest rows (last driver green <= r3); the
+        # stale list overflows the window by 4 — see the slots 50-53
+        # note below for which rows sit out and why
         "tpch_q1": _q_tpch_q1,
         "geojson_roundtrip": _q_geojson_roundtrip,
         "shapefile_roundtrip": _q_shapefile_roundtrip,
@@ -2883,7 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moving_window_global": _q_moving_window_global,
         "sessionize_events": _q_sessionize,
         "classify_quantile_breaks": _q_classify_quantile_breaks,
-        "idw_bounded": _q_idw_bounded,
+        "buffer_concave_count": _q_buffer_concave_count,
         "ann_topk_ids": _q_ann_topk,
         "embedding_pairs_exact": _q_embedding_pairs,
         "vectorize_cells": _q_vectorize,
@@ -2893,10 +2896,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_grid_path": _q_knn_grid,
         "spatial_join_clip": _q_spatial_join_clip,
         "spatial_join_clip_concave": _q_spatial_join_clip_concave,
+        # ---- slots 50-53: just past the gate boundary (the stale list
+        # is 32 rows for 28 slots) — these four carry the freshest
+        # NON-driver evidence of the stale set (dedup_exact_docs jv-r4,
+        # crop_raster jv-family, dissolve_overlap_rows r4-window,
+        # idw_bounded jv-green) and all four are check_oracle-green at
+        # sf0.01 this round; buffer_concave_count (no jv record) took
+        # the in-window slot instead
         "dedup_exact_docs": _q_dedup_exact_docs,
         "crop_raster": _q_crop,
         "dissolve_overlap_rows": _q_dissolve_overlap_rows,
-        "buffer_concave_count": _q_buffer_concave_count,
+        "idw_bounded": _q_idw_bounded,
         # ======== past the window: r4 driver-green (CORRECTNESS_r04) =====
         "token_counts_docs": _q_token_counts,
         "quality_docs": _q_quality_docs,

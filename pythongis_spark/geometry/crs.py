@@ -175,13 +175,23 @@ def _q(phi, e: float = E_, e2: float = E2):
 
 def _phi_from_q(q, e: float = E_, e2: float = E2):
     """Authalic → geodetic latitude: Newton on q(phi) = q (Snyder 3-16),
-    shared by the equal-area inverses (Albers / LAEA / CEA)."""
-    phi = np.arcsin(np.clip(q / 2, -1, 1))
+    shared by the equal-area inverses (Albers / LAEA / CEA).
+
+    Seeded with the authalic latitude arcsin(q/qp) — the q/2 seed loses
+    whole arc-minutes near the pole because dq/dphi → 0 there — and the
+    |q| >= qp pole case short-circuits to ±π/2 (Snyder's special case;
+    Newton cannot reach the pole through a vanishing derivative)."""
+    q = np.asarray(q, dtype=np.float64)
+    qp = float(_q(np.array([math.pi / 2]), e, e2)[0])
+    pole = np.abs(q) >= qp * (1.0 - 1e-14)
+    phi = np.arcsin(np.clip(q / qp, -1.0, 1.0))
     for _ in range(8):
         sphi = np.sin(phi)
-        denom = (1 - e2 * sphi**2) ** 2 / ((1 - e2) * np.cos(phi))
-        phi = phi + (q - _q(phi, e, e2)) * denom / 2
-    return phi
+        cphi = np.maximum(np.cos(phi), 1e-300)  # pole rows are overridden
+        denom = (1 - e2 * sphi**2) ** 2 / ((1 - e2) * cphi)
+        phi = np.clip(phi + (q - _q(phi, e, e2)) * denom / 2,
+                      -math.pi / 2, math.pi / 2)
+    return np.where(pole, np.copysign(math.pi / 2, q), phi)
 
 
 class AlbersEqualArea:

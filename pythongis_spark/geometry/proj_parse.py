@@ -336,7 +336,18 @@ def normalize(spec) -> dict:
         p = dict(spec)
     elif isinstance(spec, str):
         s = spec.strip()
-        up = s.upper().replace("CRS:", "EPSG:")
+        up = s.upper()
+        if up.startswith("CRS:") or up.startswith("OGC:CRS"):
+            # OGC CRS codes are NOT EPSG codes: map the common ones
+            # explicitly (this engine is lon/lat-ordered throughout, so
+            # CRS:84's axis-order distinction from EPSG:4326 is moot)
+            code = up.split("CRS", 1)[1].lstrip(":")
+            ogc = {"84": "EPSG:4326", "83": "EPSG:4269"}
+            if code not in ogc:
+                raise NotImplementedError(
+                    f"OGC CRS:{code} has no EPSG mapping here (CRS:27 is "
+                    f"NAD27, which needs +nadgrids)")
+            up = ogc[code]
         if up.startswith("EPSG:"):
             code = int(up.split(":")[1])
             if 32601 <= code <= 32660:
@@ -409,8 +420,10 @@ def normalize(spec) -> dict:
     av = p.get("a")
     if (av is not None and p.get("proj") not in ("sinu", "merc", "webmerc")
             and abs(float(av) - 6378137.0) > 0.5):
-        # sinu takes a custom sphere; merc/webmerc validate a/b
-        # themselves; other families need a NAMED registry ellipsoid
+        # sinu and spherical merc take a custom sphere radius (merc's
+        # ellipsoidal branch rejects non-WGS84 +b itself); webmerc is
+        # WGS84-sphere by definition; other families need a NAMED
+        # registry ellipsoid
         if _ellipsoid_from_axes_params(p) is None:
             raise NotImplementedError(
                 f"+a={av} matches no registry ellipsoid "
@@ -679,17 +692,47 @@ def _family_base(p: dict):
             south=lat0 < 0)
         return inst.forward, inst.inverse
     if proj == "merc" or proj == "webmerc":
-        # spherical (web) Mercator on the WGS84 major-axis sphere
+        # spherical Mercator: R from +a (webmerc and the bare default
+        # are the WGS84 major-axis sphere); honor +lon_0/+k/+lat_ts/
+        # +x_0/+y_0 instead of silently assuming EPSG:3857's zeros
+        R = PJ.R_MAJOR if proj == "webmerc" else float(p.get("a", PJ.R_MAJOR))
+        k = float(p.get("k", p.get("k_0", 1.0)))
+        ts = p.get("lat_ts", p.get("lat_1"))
+        if ts is not None:
+            k = math.cos(math.radians(float(ts)))  # spherical variant B
+        lon0 = float(p.get("lon_0", 0.0))
+        x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
+        if (R == PJ.R_MAJOR and k == 1.0 and lon0 == 0.0
+                and x0 == 0.0 and y0 == 0.0):
+            # EPSG:3857's exact parameterization — keep the bit-frozen
+            # kernel (incl. its MAX_LAT clamp) that the oracles lock
+
+            def fwd(lon, lat):
+                c = PJ._np_fwd("EPSG:3857")(
+                    np.stack([np.asarray(lon, float),
+                              np.asarray(lat, float)], 1))
+                return c[:, 0], c[:, 1]
+
+            def inv(x, y):
+                c = PJ._np_fwd("EPSG:4326")(
+                    np.stack([np.asarray(x, float), np.asarray(y, float)], 1))
+                return c[:, 0], c[:, 1]
+
+            return fwd, inv
+        Rk = R * k
 
         def fwd(lon, lat):
-            c = PJ._np_fwd("EPSG:3857")(
-                np.stack([np.asarray(lon, float), np.asarray(lat, float)], 1))
-            return c[:, 0], c[:, 1]
+            lam = np.radians(np.asarray(lon, float) - lon0)
+            phi = np.radians(np.asarray(lat, float))
+            return (x0 + Rk * lam,
+                    y0 + Rk * np.log(np.tan(math.pi / 4 + phi / 2)))
 
         def inv(x, y):
-            c = PJ._np_fwd("EPSG:4326")(
-                np.stack([np.asarray(x, float), np.asarray(y, float)], 1))
-            return c[:, 0], c[:, 1]
+            lon = lon0 + np.degrees((np.asarray(x, float) - x0) / Rk)
+            lat = np.degrees(
+                2 * np.arctan(np.exp((np.asarray(y, float) - y0) / Rk))
+                - math.pi / 2)
+            return lon, lat
 
         return fwd, inv
     if proj == "eqc":

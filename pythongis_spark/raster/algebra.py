@@ -441,15 +441,21 @@ def viewshed_sectors(
     def sec_of(angle):
         return F.floor(F.pmod(angle, F.lit(two_pi)) / F.lit(width)).cast("int")
 
+    # replicate each far cell into EVERY sector whose window intersects
+    # [θ−3/r, θ+3/r] — an explicit index range, not sampled probes: a
+    # 3-point probe under-replicates blockers (silently-visible errors)
+    # once sector width < probe gap, i.e. n_sectors > 2π·32/3 ≈ 67
     margin = F.lit(3.0) / F.col("_r")
+    base = F.pmod(F.col("_th") - margin, F.lit(two_pi))
+    lo = F.floor(base / F.lit(width))
+    cnt = (F.floor((base + 2 * margin) / F.lit(width)) - lo).cast("int")
     sectors = F.when(
         F.col("_r") < 32.0,
         F.sequence(F.lit(0), F.lit(n_sectors - 1)),
     ).otherwise(
-        F.array_distinct(F.array(
-            sec_of(F.col("_th") - margin),
-            sec_of(F.col("_th")),
-            sec_of(F.col("_th") + margin),
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), cnt),
+            lambda i: F.pmod(lo + i, F.lit(n_sectors)).cast("int"),
         ))
     )
     tagged = inr.select(

@@ -196,6 +196,46 @@ def test_proj_parse_lambert93_epsg_wkt_proj4_agree():
     assert np.abs(lon2 - lon).max() * 111_000 < 1e-3
 
 
+def test_proj_parse_spherical_merc_params_and_ogc_crs():
+    """+proj=merc with +a==+b honors the sphere radius, lon_0, lat_ts
+    and false origins (previously every spherical spec silently got the
+    EPSG:3857 constants); EPSG:3857's own parameterization keeps the
+    bit-frozen web-Mercator kernel; OGC CRS:84 maps to WGS84 lon/lat
+    instead of a bogus EPSG:84 lookup."""
+    from pythongis_spark.geometry import proj_parse as PP
+
+    R = 6371000.0
+    f = PP.forward(f"+proj=merc +a={R} +b={R}")
+    x, y = f(np.array([90.0]), np.array([0.0]))
+    assert x[0] == pytest.approx(R * np.pi / 2, rel=1e-15)
+    assert y[0] == 0.0
+    # lon_0 recenters; x_0/y_0 offset; lat_ts scales by cos
+    f2 = PP.forward(f"+proj=merc +a={R} +b={R} +lon_0=100 +lat_ts=30 "
+                    "+x_0=500000 +y_0=-100000")
+    x2, y2 = f2(np.array([100.0]), np.array([0.0]))
+    assert x2[0] == 500000.0 and y2[0] == -100000.0
+    x3, _ = f2(np.array([190.0]), np.array([0.0]))
+    assert (x3[0] - 500000.0) == pytest.approx(
+        R * np.cos(np.radians(30.0)) * np.pi / 2, rel=1e-15)
+    i2 = PP.inverse(f"+proj=merc +a={R} +b={R} +lon_0=100 +lat_ts=30 "
+                    "+x_0=500000 +y_0=-100000")
+    lon, lat = np.array([60.0, 140.0]), np.array([-55.0, 71.0])
+    lo, la = i2(*f2(lon, lat))
+    assert np.abs(lo - lon).max() < 1e-12 and np.abs(la - lat).max() < 1e-12
+    # EPSG:3857 stays on the frozen kernel (same bits incl. MAX_LAT clamp)
+    from pythongis_spark.geometry import projections as PJ
+    g = PP.forward("EPSG:3857")
+    pts = (np.array([-179.0, 0.0, 17.25]), np.array([-89.0, 0.0, 52.5]))
+    xg, yg = g(*pts)
+    c = PJ._np_fwd("EPSG:3857")(np.stack(pts, 1))
+    assert np.array_equal(xg, c[:, 0]) and np.array_equal(yg, c[:, 1])
+    # OGC authority
+    lo, la = PP.forward("CRS:84")(np.array([5.0]), np.array([50.0]))
+    assert lo[0] == 5.0 and la[0] == 50.0
+    with pytest.raises(NotImplementedError, match="nadgrids"):
+        PP.forward("CRS:27")
+
+
 def test_proj_parse_conus_albers_and_errors():
     from pythongis_spark.geometry import proj_parse as PP
 
@@ -325,6 +365,26 @@ def test_polar_stereographic_wkt_variant_b():
     xe, ye = PP.forward("EPSG:3031")(lon, lat)
     x, y = PP.forward(wkt)(lon, lat)
     assert np.array_equal(x, xe) and np.array_equal(y, ye)
+
+
+def test_equal_area_inverse_pole_cases():
+    """The shared authalic-latitude Newton (_phi_from_q) handles the
+    Snyder |q| >= qp pole case and stays accurate approaching it — the
+    q/2-seeded iteration silently lost ~1.7 km at lat 89.99 and could
+    not reach ±90 at all."""
+    from pythongis_spark.geometry import crs as C
+
+    lats = np.array([-90.0, -89.9999, -89.99, 0.0, 89.99, 89.9999, 90.0])
+    lons = np.full_like(lats, 17.0)
+    x, y = C.cea_forward(lons, lats, lon0=0.0, lat_ts=30.0)
+    _, la = C.cea_inverse(x, y, lon0=0.0, lat_ts=30.0)
+    assert np.abs(la - lats).max() < 5e-8  # ≈ 5 mm of arc
+    inst = C.LambertAzimuthalEqualArea(lat0=52.0, lon0=10.0,
+                                       x0=4321000.0, y0=3210000.0)
+    x, y = inst.forward(lons, lats)
+    _, la = inst.inverse(x, y)
+    assert np.abs(la - lats).max() < 5e-8
+    assert la[0] == -90.0 and la[-1] == 90.0  # exact at the poles
 
 
 def test_laea_epsg3035():

@@ -314,6 +314,30 @@ def test_viewshed_sectors_matches_dda(spark):
         assert dda == sec, (ox, oy, ns)
 
 
+def test_viewshed_sectors_far_branch_many_sectors(spark):
+    """Equivalence through the FAR (_r >= 32) replication branch with
+    n_sectors large enough that sector width < the old 3-point probe
+    gap (n_sectors > 2π·32/3 ≈ 67): the index-range replication must
+    ship every blocker to every wedge that needs it — the sampled
+    probes silently dropped blockers here and reported targets behind
+    them visible."""
+    import numpy as np
+
+    from pythongis_spark.raster.algebra import viewshed, viewshed_sectors
+
+    n, R = 90, 40
+    rng = np.random.default_rng(7)
+    z = np.round(rng.uniform(0, 30, size=(n, n)), 3)
+    cells = [(x, y, 0, float(z[y, x])) for y in range(n) for x in range(n)]
+    df = spark.createDataFrame(cells, "x int, y int, band int, val double")
+    dda = {(r["x"], r["y"]): (r["dist"], r["visible"])
+           for r in viewshed(df, 44, 43, 1.0, R).collect()}
+    sec = {(r["x"], r["y"]): (r["dist"], r["visible"])
+           for r in viewshed_sectors(df, 44, 43, 1.0, R,
+                                     n_sectors=135).collect()}
+    assert dda == sec
+
+
 def test_viewshed_sectors_large_radius_rowcount(spark):
     """Radius 120 on a 256² DEM: the sector path shuffles O(cells) rows
     (the explode would be ~radius³ ≈ 1.7M sample rows) and completes;
