@@ -363,9 +363,17 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from pythongis_spark.images.jpeg import encode_jpeg
 
         return encode_jpeg(pixels, quality=98)
+    if fmt == "gif":
+        from pythongis_spark.images.gif import encode_gif
+
+        return encode_gif(pixels)
     h, w, c = pixels.shape
     assert c == 3
-    magic = FMT_MAGIC[fmt]
+    magic = FMT_MAGIC.get(fmt)
+    if magic is None:
+        raise NotImplementedError(
+            f"encode_image fmt {fmt!r}: known formats are "
+            f"{sorted(FMT_MAGIC)} + ['jpeg-real', 'gif']")
     if magic == MAGIC_LOSSY:
         payload = zlib.compress(quantize_lossy(pixels).tobytes(), 1)
     else:

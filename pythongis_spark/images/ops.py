@@ -48,12 +48,20 @@ def verify_images(df: DataFrame, reencode: bool = True) -> DataFrame:
                     )
                     continue
                 ok_shape = px.shape == (r.h, r.w, 3)
-                lossless = codec.FMT_MAGIC[r.fmt] in codec.MAGIC_LOSSLESS
+                # gif is pixel-lossless for its ≤256-color domain; fmts
+                # outside FMT_MAGIC (e.g. jpeg-real) take the PSNR pass
+                lossless = (r.fmt == "gif"
+                            or codec.FMT_MAGIC.get(r.fmt)
+                            in codec.MAGIC_LOSSLESS)
                 # lossless re-encode is bit-identical by codec contract
                 # (unit-tested); only lossy formats need the PSNR pass
                 if reencode and not lossless:
-                    rt = codec.decode_image(codec.encode_image(px, r.fmt))
-                    psnr = codec.psnr_db(px, rt)
+                    try:
+                        rt = codec.decode_image(codec.encode_image(px, r.fmt))
+                        psnr = codec.psnr_db(px, rt)
+                    except Exception:
+                        # unknown/unencodable fmt: flag, never fail the task
+                        psnr = 0.0
                 else:
                     psnr = float("inf")
                 psnr_ok = True if lossless else psnr >= 40.0

@@ -147,7 +147,20 @@ def write_bil(cells: DataFrame, rd: RasterDef, path: str, bands: int = 1,
         out = arr
     else:
         raise NotImplementedError(f"BIL layout {layout}")
-    out.astype(np.dtype(_DTYPES[key]).newbyteorder("<")).tofile(path)
+    dt = np.dtype(_DTYPES[key]).newbyteorder("<")
+    if dt.kind in "iu":
+        # float→int astype of out-of-range values (e.g. a -9999 nodata
+        # fill into uint8) wraps to garbage bytes that read back as
+        # real data — refuse instead of silently corrupting
+        info = np.iinfo(dt)
+        bad = out[(out < info.min) | (out > info.max)]
+        if bad.size:
+            raise ValueError(
+                f"value {bad.flat[0]!r} (incl. the nodata fill "
+                f"{rd.nodata!r}?) does not fit {pixeltype.upper()}/{nbits}"
+                f" [{info.min}, {info.max}]; choose a representable "
+                f"nodata or a wider pixel type")
+    out.astype(dt).tofile(path)
     with open(os.path.splitext(path)[0] + ".hdr", "w") as fh:
         fh.write(f"NROWS {rd.height}\nNCOLS {rd.width}\nNBANDS {bands}\n")
         fh.write(f"NBITS {nbits}\nBYTEORDER I\nLAYOUT {layout}\n")

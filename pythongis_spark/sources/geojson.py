@@ -160,10 +160,11 @@ def expand_properties(df: DataFrame, schema_ddl: str, props_col: str = "properti
     """Expand the raw properties JSON into typed columns (from_json) —
     the reference's per-file field inference, with an explicit schema."""
     parsed = F.from_json(F.col(props_col), schema_ddl)
+    # one projection, not a withColumn per field (Catalyst re-analyzes
+    # the whole plan for each chained projection on wide schemas)
     out = df.withColumn("_p", parsed)
-    for field in out.select("_p.*").columns:
-        out = out.withColumn(field, F.col(f"_p.{field}"))
-    return out.drop("_p", props_col)
+    keep = [c for c in df.columns if c != props_col]
+    return out.select(*keep, "_p.*")
 
 
 def write_geojson(

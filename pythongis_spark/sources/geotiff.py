@@ -218,6 +218,12 @@ def parse_geotiff(buf: bytes):
             "(uncompressed, LZW, Deflate, PackBits)"
         )
     spp = int(one(277, 1))
+    if int(one(284, 1)) == 2 and spp > 1:
+        # band-sequential (planar) layout interleaves differently — the
+        # chunky reshape below would silently scramble bands
+        raise NotImplementedError(
+            "PlanarConfiguration=2 (band-sequential) TIFF not supported; "
+            "re-save pixel-interleaved (GDAL INTERLEAVE=PIXEL)")
     bps = tags.get(258, [8])
     bps0 = int(bps[0] if isinstance(bps, list) else bps)
     sfmt = int(one(339, 1))  # 1 uint, 2 int, 3 float
@@ -397,8 +403,10 @@ def write_geotiff(
         entries.append((tag, ftype, len(values), payload))
 
     nd_ascii = (repr(float(rd.nodata)) + "\x00").encode()
-    ent(256, 3, [rd.width], "H")
-    ent(257, 3, [rd.height], "H")
+    # width/height/rows-per-strip are SHORT-or-LONG tags — write LONG so
+    # dimensions past 65535 don't overflow the pack (readers accept both)
+    ent(256, 4, [rd.width], "I")
+    ent(257, 4, [rd.height], "I")
     ent(258, 3, [dt.itemsize * 8] * nbands, "H")
     ent(259, 3, [comp_tag], "H")
     ent(262, 3, [1], "H")          # BlackIsZero
@@ -412,7 +420,7 @@ def write_geotiff(
         entries.append((324, 4, len(blocks), b"\x00" * 4 * len(blocks)))
         offsets_tag = 324
     else:
-        ent(278, 3, [rd.height], "H")  # one strip
+        ent(278, 4, [rd.height], "I")  # one strip
         ent(279, 4, [len(blocks[0])], "I")
         entries.append((273, 4, 1, b"\x00\x00\x00\x00"))
         offsets_tag = 273

@@ -124,8 +124,11 @@ def parse_shp(buf: bytes) -> list[bytes | None]:
 
 # ---------------------------------------------------------------- .dbf
 
-def parse_dbf(buf: bytes) -> pd.DataFrame:
-    """.dbf bytes → DataFrame (typed columns, deleted rows skipped)."""
+def parse_dbf(buf: bytes, return_deleted: bool = False):
+    """.dbf bytes → DataFrame (typed columns, deleted rows skipped).
+    With ``return_deleted`` also returns the positional record ordinals
+    of soft-deleted (0x2A) rows so callers can drop the PAIRED .shp
+    geometries instead of mis-aligning the attribute/geometry zip."""
     nrec, hsize, rsize = struct.unpack_from("<iHH", buf, 4)
     fields = []
     off = 32
@@ -138,11 +141,13 @@ def parse_dbf(buf: bytes) -> pd.DataFrame:
         fields.append((name, ftype, flen, fdec))
         off += 32
     rows = []
+    deleted: list[int] = []
     roff = hsize
-    for _ in range(nrec):
+    for ri in range(nrec):
         rec = buf[roff : roff + rsize]
         roff += rsize
         if not rec or rec[0:1] == b"\x2a":  # deleted
+            deleted.append(ri)
             continue
         vals = {}
         p = 1
@@ -162,7 +167,8 @@ def parse_dbf(buf: bytes) -> pd.DataFrame:
             else:  # C, D, others as text
                 vals[name] = s
         rows.append(vals)
-    return pd.DataFrame(rows, columns=[f[0] for f in fields])
+    df = pd.DataFrame(rows, columns=[f[0] for f in fields])
+    return (df, deleted) if return_deleted else df
 
 
 # ---------------------------------------------------------------- read
@@ -173,7 +179,12 @@ def _read_one(shp_path: str) -> pd.DataFrame:
     dbf_path = os.path.splitext(shp_path)[0] + ".dbf"
     if os.path.exists(dbf_path):
         with open(dbf_path, "rb") as fh:
-            attrs = parse_dbf(fh.read())
+            attrs, deleted = parse_dbf(fh.read(), return_deleted=True)
+        if deleted and len(geoms) == len(attrs) + len(deleted):
+            # drop the geometries paired with soft-deleted dbf rows —
+            # the .shp keeps a record per ORIGINAL dbf slot
+            drop = set(deleted)
+            geoms = [g for i, g in enumerate(geoms) if i not in drop]
         if len(attrs) != len(geoms):
             raise ValueError(
                 f"shp/dbf record mismatch: {len(geoms)} vs {len(attrs)}"

@@ -36,7 +36,13 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: str | None = None,
     ``.filter`` afterwards — Catalyst pushes them into the scan (the
     reference's load-time ``select`` pushdown, ``loader.py:206-208``,
     for free)."""
-    if fmt == "iceberg" or (fmt is None and "/" not in path_or_table):
+    # a slash-less name with a known file extension is a relative file
+    # path, not an iceberg catalog identifier
+    _ext = os.path.splitext(path_or_table)[1].lstrip(".").lower()
+    _is_file = _ext in ("parquet", "csv", "json", "geojson", "shp",
+                        "xlsx", "xls", "dta")
+    if fmt == "iceberg" or (
+            fmt is None and "/" not in path_or_table and not _is_file):
         if _iceberg_available(spark):
             return spark.read.format("iceberg").load(path_or_table)
         if "/" not in path_or_table:
@@ -73,6 +79,10 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: str | None = None,
         from pythongis_spark.sources.xlsx import read_xlsx
 
         return read_xlsx(spark, path_or_table)
+    if ext == "xls":
+        from pythongis_spark.sources.xls import read_xls
+
+        return read_xls(spark, path_or_table)
     if ext == "dta":
         # Stata (reference vector/fileformats/stata.py wraps a vendored
         # PyDTA; pandas' read_stata covers the same formats). Field
@@ -82,10 +92,7 @@ def read_table(spark: SparkSession, path_or_table: str, fmt: str | None = None,
         pdf = _pd.read_stata(path_or_table)
         pdf.columns = [c.upper() for c in pdf.columns]
         return spark.createDataFrame(pdf)
-    raise ValueError(
-        f"unsupported format {ext!r} (.xls BIFF needs xlrd, not in this image; "
-        ".xlsx is supported)"
-    )
+    raise ValueError(f"unsupported format {ext!r}")
 
 
 def read_image_table(spark: SparkSession, path: str) -> DataFrame:

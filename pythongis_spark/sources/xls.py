@@ -472,17 +472,21 @@ def assemble_xls(rows_spec: list[tuple]) -> bytes:
     fat += [FREE] * (128 - len(fat))
     fat_sector = struct.pack("<128I", *fat[:128])
 
-    def direntry(nm, etype, start, size):
+    def direntry(nm, etype, start, size, child=-1):
         nmb = nm.encode("utf-16-le") + b"\x00\x00"
         e = nmb.ljust(64, b"\x00")
-        e += struct.pack("<H", len(nmb)) + bytes([etype, 0])
-        e += struct.pack("<3i", -1, -1, -1)
+        # color byte 1 = black (a single black node is a valid RB tree)
+        e += struct.pack("<H", len(nmb)) + bytes([etype, 1])
+        e += struct.pack("<3i", -1, -1, child)
         e = e[:80].ljust(116, b"\x00")
         e += struct.pack("<II", start & 0xFFFFFFFF, size)
         return e.ljust(128, b"\x00")
 
+    # the root storage's child pointer MUST reach the Workbook stream —
+    # conformant MS-CFB readers (Excel, olefile) walk the directory tree
+    # from root.child and would otherwise see an empty container
     dir_sector = (
-        direntry("Root Entry", 5, END, 0)
+        direntry("Root Entry", 5, END, 0, child=1)
         + direntry("Workbook", 2, 2, len(wb_b))
         + b"\x00" * 256
     )[:512]

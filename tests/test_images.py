@@ -67,6 +67,49 @@ def test_verify_images_all_pass(spark):
     assert (v[v.fmt == "jpeg"]["psnr"] >= 40).all()
 
 
+def test_verify_images_handles_jpeg_real_and_gif(spark):
+    """fmt values outside the legacy FMT_MAGIC table ('jpeg-real',
+    'gif') must flow through verify_images instead of KeyError-ing the
+    whole task: jpeg-real takes the PSNR pass, gif counts as lossless,
+    and an unknown fmt is flagged (psnr_ok False), never fatal."""
+    from pythongis_spark.fixtures import WORDS
+    from pythongis_spark.images import codec
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    px_gif = (px // 64) * 64  # ≤256 distinct colors for GIF
+    rows = []
+    for i, (fmt, pix) in enumerate(
+            [("jpeg-real", px), ("gif", px_gif), ("nope", px)]):
+        blob = codec.encode_image(pix, fmt) if fmt != "nope" else b"FPNG???"
+        dec = codec.decode_image(blob) if fmt != "nope" else pix
+        rows.append(dict(
+            image_id=f"img{i:012d}", bytes=bytearray(blob),
+            w=32, h=32, fmt=fmt,
+            caption=f"caption {i} {WORDS[i % 256]}",
+            phash=codec.average_phash(dec)))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "caption string, phash long")
+    v = verify_images(df).toPandas().set_index("fmt")
+    assert v.loc["jpeg-real", "psnr_ok"] and v.loc["jpeg-real", "psnr"] >= 40
+    assert v.loc["gif", "psnr_ok"] and np.isinf(v.loc["gif", "psnr"])
+    assert v.loc["jpeg-real", "phash_ok"] and v.loc["gif", "phash_ok"]
+    assert not v.loc["nope", "psnr_ok"]  # flagged, not fatal
+
+
+def test_encode_image_gif_and_unknown_fmt():
+    from pythongis_spark.images import codec
+
+    rng = np.random.default_rng(5)
+    px = (rng.integers(0, 4, size=(16, 16, 3), dtype=np.uint8)) * 80
+    blob = codec.encode_image(px, "gif")
+    assert blob[:6] in (b"GIF89a", b"GIF87a")
+    assert np.array_equal(codec.decode_image(blob), px)
+    with pytest.raises(NotImplementedError, match="known formats"):
+        codec.encode_image(px, "webp")
+
+
 def test_extract_features_and_resize(spark):
     imgs = FX.images_df(spark, 12)
     f = extract_features(imgs).toPandas()

@@ -414,6 +414,26 @@ def test_bil_round_trip_all_layouts(spark, tmp_path):
                     assert got[(x, y, b)] == vals[b, y, x], (layout, x, y, b)
 
 
+def test_bil_out_of_range_int_cast_raises(spark, tmp_path):
+    """Casting the float grid into an integer pixel type must refuse
+    values outside the dtype's range (the -9999 nodata fill wrapped into
+    uint8 garbage that read back as real data)."""
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.bil import write_bil
+
+    df = spark.createDataFrame(
+        [(0, 0, 0, 12.0), (1, 0, 0, 250.0)],
+        "x int, y int, band int, val double")
+    rd = RasterDef(3, 1, (1.0, 0.0, 0.0, 0.0, -1.0, 1.0), nodata=-9999.0)
+    with pytest.raises(ValueError, match="does not fit"):
+        write_bil(df, rd, str(tmp_path / "bad.bil"),
+                  pixeltype="UNSIGNEDINT", nbits=8)
+    # representable nodata → fine
+    rd2 = RasterDef(3, 1, (1.0, 0.0, 0.0, 0.0, -1.0, 1.0), nodata=255.0)
+    write_bil(df, rd2, str(tmp_path / "ok.bil"),
+              pixeltype="UNSIGNEDINT", nbits=8)
+
+
 def test_bil_int16_big_endian(spark, tmp_path):
     """Hand-written big-endian INT16 BIL decodes per spec."""
     import struct

@@ -195,6 +195,79 @@ def test_geotiff_rejects_unsupported(tmp_path):
         parse_geotiff(b"XX\x00\x00not a tiff")
 
 
+def test_deleted_dbf_rows_drop_paired_geometries(tmp_path):
+    """A soft-deleted (0x2A-flagged) dbf record keeps its paired .shp
+    record in the file; the reader must drop BOTH instead of raising a
+    length-mismatch (or worse, zipping attributes to wrong geometries)."""
+    import struct
+
+    from pythongis_spark.sources.shapefile import _read_one, write_shapefile
+
+    pdf = pd.DataFrame(
+        {
+            "fid": [1, 2, 3],
+            "geom": [W.wkb_point(0, 0), W.wkb_point(5, 5), W.wkb_point(9, 9)],
+        }
+    )
+    base = str(tmp_path / "del")
+    write_shapefile(pdf, base + ".shp")
+    dbf = bytearray(open(base + ".dbf", "rb").read())
+    _, hsize, rsize = struct.unpack_from("<iHH", dbf, 4)
+    dbf[hsize + rsize] = 0x2A  # delete the SECOND record
+    open(base + ".dbf", "wb").write(bytes(dbf))
+    out = _read_one(base + ".shp")
+    assert list(out["fid"]) == [1, 3]
+    assert [W.decode_wkb(g)[1][0].tolist() for g in out["geom"]] == [
+        [0, 0], [9, 9]]
+
+
+def test_geotiff_planar_config_raises(spark, tmp_path):
+    """PlanarConfiguration=2 (band-sequential) must raise instead of
+    silently scrambling bands through the chunky reshape."""
+    import struct
+
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.geotiff import parse_geotiff, write_geotiff
+
+    rd = RasterDef(4, 3, (1.0, 0.0, 0.0, 0.0, -1.0, 3.0), nodata=-1.0)
+    cells = spark.createDataFrame(
+        [(x, y, 0, float(x + y)) for y in range(3) for x in range(4)],
+        "x int, y int, band int, val double")
+    p = str(tmp_path / "planar.tif")
+    write_geotiff(cells, rd, p)
+    buf = bytearray(open(p, "rb").read())
+    # patch SamplesPerPixel (277) 1→2 and PlanarConfiguration (284) 1→2
+    for tag in (277, 284):
+        pat = struct.pack("<HHI", tag, 3, 1) + struct.pack("<HH", 1, 0)
+        i = buf.find(pat)
+        assert i >= 0, tag
+        buf[i + 8 : i + 12] = struct.pack("<HH", 2, 0)
+    with pytest.raises(NotImplementedError, match="[Pp]lanar"):
+        parse_geotiff(bytes(buf))
+
+
+def test_geotiff_dims_past_short_range(spark, tmp_path):
+    """Width/height/rows-per-strip are written as LONG so rasters wider
+    than 65535 cells don't overflow the 16-bit pack."""
+    import numpy as np
+
+    from pythongis_spark.raster.model import RasterDef
+    from pythongis_spark.sources.geotiff import parse_geotiff, write_geotiff
+
+    w = 70000
+    rd = RasterDef(w, 1, (1.0, 0.0, 0.0, 0.0, -1.0, 1.0), nodata=-1.0)
+    cells = spark.createDataFrame(
+        [(x, 0, 0, float(x % 251)) for x in range(0, w, 997)],
+        "x int, y int, band int, val double")
+    p = str(tmp_path / "wide.tif")
+    write_geotiff(cells, rd, p)
+    arr, rd2 = parse_geotiff(open(p, "rb").read())
+    assert rd2.width == w and rd2.height == 1
+    assert arr.shape[:2] == (1, w)
+    assert arr[0, 997 * 3, 0] == float((997 * 3) % 251)
+    assert np.isnan(arr[0, 1, 0])  # unset cell → nodata → NaN
+
+
 def test_writer_emits_valid_shx(tmp_path):
     """The mandatory .shx index: one BE (offset-words, length-words) pair
     per record, offsets consistent with the .shp record stream (ESRI

@@ -52,7 +52,15 @@ def test_read_write_roundtrip(spark, tmp_path):
     back = S.read_table(spark, p)
     assert back.count() == 2
     with pytest.raises(ValueError):
-        S.read_table(spark, "/tmp/whatever.xls")  # .shp is now supported
+        S.read_table(spark, "/tmp/whatever.ods")  # .shp/.xls now supported
+    # a slash-less RELATIVE path with a known extension routes to the
+    # file reader (regression: used to hit the iceberg branch and raise
+    # about missing jars); a bare catalog identifier still does
+    with pytest.raises(Exception) as ei:
+        S.read_table(spark, "no_such_file_here.csv").count()
+    assert "Iceberg" not in str(ei.value) and "iceberg" not in str(ei.value)
+    with pytest.raises(NotImplementedError, match="[Ii]ceberg"):
+        S.read_table(spark, "some_catalog_table")
 
 
 def test_read_image_table_schema_gate(spark, tmp_path):
@@ -390,6 +398,28 @@ def test_xls_sst_continue_hand_assembled():
     # s4 header at the very start of a CONTINUE record
     seg4 = struct.pack("<HB", len(s4), 0) + s4.encode("latin-1")
     assert _parse_sst([seg1, seg2, seg3, seg4]) == [s1, s2, s3, s4]
+
+
+def test_xls_cfb_directory_tree_reaches_workbook():
+    """Conformant MS-CFB readers walk the directory red-black tree from
+    the root entry's CHILD pointer — a root with child = NOSTREAM (-1)
+    presents an empty container even though a linear scan finds the
+    Workbook. The writer must emit root.child → the Workbook entry."""
+    import struct
+
+    from pythongis_spark.sources.xls import assemble_xls
+
+    blob = assemble_xls([(0, 0, "hi"), (1, 0, 2.5)])
+    dir_off = 1024  # header sector + one FAT sector
+    name = blob[dir_off:dir_off + 20].decode("utf-16-le")
+    assert name == "Root Entry"
+    (child,) = struct.unpack_from("<i", blob, dir_off + 76)
+    assert child == 1  # → the Workbook stream entry
+    wb_off = dir_off + 128
+    assert blob[wb_off:wb_off + 16].decode("utf-16-le") == "Workbook"
+    left, right = struct.unpack_from("<2i", blob, wb_off + 68)
+    assert left == -1 and right == -1
+    assert blob[dir_off + 67] == 1 and blob[wb_off + 67] == 1  # black
 
 
 def test_xls_sst_continue_roundtrip(spark, tmp_path):
