@@ -164,31 +164,9 @@ def snap_points(
     Output: point columns with lon/lat replaced where snapped, plus
     ``snapped`` boolean. Scales as a distance join on target vertices.
     """
-    from pythongis_spark.geometry.udfs import st_dump_points
     from pythongis_spark.operators.knn import knn_join
 
-    # explode target vertices -> (vlon, vlat) point table
-    verts = (
-        targets.select(F.explode(st_dump_points(F.col(target_geom))).alias("_vp"))
-        .select("_vp")
-        .distinct()
-    )
-
-    @F.pandas_udf("struct<vlon:double,vlat:double>")
-    def unpack(blobs: pd.Series) -> pd.DataFrame:
-        xs = np.full(len(blobs), np.nan)
-        ys = np.full(len(blobs), np.nan)
-        for i, b in enumerate(blobs.to_numpy(object)):
-            t, coords = W.decode_wkb(bytes(b))
-            xs[i], ys[i] = coords[0]
-        return pd.DataFrame({"vlon": xs, "vlat": ys}, index=blobs.index)
-
-    vert_pts = (
-        verts.withColumn("_c", unpack(F.col("_vp")))
-        .select(F.col("_c.vlon").alias("vlon"), F.col("_c.vlat").alias("vlat"))
-        .distinct()
-        .withColumn("vid", F.monotonically_increasing_id())
-    )
+    vert_pts = _target_vertex_table(targets, target_geom)
     nearest = knn_join(
         points, vert_pts, 1,
         point_id=point_id, target_id="vid", t_lon="vlon", t_lat="vlat",
@@ -205,7 +183,15 @@ def snap_points(
 
 
 def _target_vertex_table(targets: DataFrame, target_geom: str) -> DataFrame:
-    """Distinct (vlon, vlat, vid) vertex table of a layer."""
+    """Distinct (vlon, vlat, vid) vertex table of a layer.
+
+    The frame is frozen with ``localCheckpoint`` before the
+    ``monotonically_increasing_id`` vids leave this function: callers
+    evaluate it in TWO independent plans (the kNN probe and the final
+    vid→coordinate join), and distinct() output order is not stable
+    across computations — unfrozen, the same vid could resolve to a
+    different vertex in each plan (the r3 spark_partition_id bug class,
+    CLAUDE.md)."""
     from pythongis_spark.geometry.udfs import st_dump_points
 
     verts = (
@@ -228,6 +214,7 @@ def _target_vertex_table(targets: DataFrame, target_geom: str) -> DataFrame:
         .select(F.col("_c.vlon").alias("vlon"), F.col("_c.vlat").alias("vlat"))
         .distinct()
         .withColumn("vid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
 
 

@@ -155,6 +155,10 @@ def dissolve(
                 parts.append(payload)
             elif t == "MultiPoint":
                 parts.extend(payload)
+            elif t == "LineString":
+                parts.append(payload)
+            elif t == "MultiLineString":
+                parts.extend(payload)
         if not parts:
             merged = None
         elif kinds == {"Polygon"} and meld:
@@ -174,7 +178,18 @@ def dissolve(
 
             coords = np.vstack(parts)
             merged = W.wkb_multipoint(coords)
+        elif kinds == {"LineString"}:
+            # parts collected into a MultiLineString (the reference's
+            # shapely union would additionally node crossing lines —
+            # documented divergence; previously line groups silently
+            # dissolved to NULL geometry)
+            merged = W.wkb_multilinestring(parts)
         else:
+            import warnings
+
+            warnings.warn(
+                f"dissolve: mixed geometry kinds {sorted(kinds)} in one "
+                f"group have no union here — emitting NULL geometry")
             merged = None
         out = pdf.iloc[:1][list(by)].copy()
         out[geom_col] = [merged]

@@ -60,9 +60,16 @@ def kmeans_centroids(
     sample_rows: int = 10_000,
 ) -> np.ndarray:
     """Tiny driver-side Lloyd's k-means on a deterministic sample — the
-    coarse quantizer for IVF. Centroids are small (K × d) and broadcast."""
+    coarse quantizer for IVF. Centroids are small (K × d) and broadcast.
+
+    The sample is the ``sample_rows`` smallest-xxhash64 vectors (a
+    TakeOrderedAndProject, no full sort) — a bare ``limit()`` takes
+    whichever partitions answer first, so centroids would differ
+    between runs on identical data."""
     sample = np.array(
-        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        [r[0] for r in df.select(vec_col)
+         .orderBy(F.xxhash64(F.col(vec_col)))
+         .limit(sample_rows).collect()],
         dtype=np.float64,
     )
     rng = np.random.Generator(np.random.PCG64(seed))

@@ -175,8 +175,15 @@ def _make_pair_clipper(clip: str = "intersection"):
 
 
 def _geom_equals(ga, gb) -> bool:
+    """Topological equality (shapely ``equals``, reference
+    ``manager.py:196``): identical coordinate arrays fast-path, else
+    mutual covers — so the same polygon ringed from a different start
+    vertex (or MultiPolygon parts in another order) still matches."""
     ca, cb = W.all_coords(ga), W.all_coords(gb)
-    return ca.shape == cb.shape and bool((ca == cb).all()) and ga[0] == gb[0]
+    if ca.shape == cb.shape and bool((ca == cb).all()) and ga[0] == gb[0]:
+        return True
+    return (G.geom_within_covers(ga, gb, require_interior=False)
+            and G.geom_within_covers(gb, ga, require_interior=False))
 
 
 # ------------------------------------------------------------------
@@ -195,20 +202,37 @@ def _sem_key(df: DataFrame):
         return None
 
 
-def _plan_stat(key: tuple, fn):
+def _plan_stat(key: tuple, fn, df: DataFrame = None):
     """Session-lifetime memo for plan-time sizing jobs (giant-feature
     emptiness probes, build-side cell counts). Repeated joins against
     the same dimension table — the common pattern the reference serves
     with its cached r-tree — then plan with ZERO pre-jobs. Stats can go
     stale if the underlying files change mid-session; call
-    ``clear_plan_stats()`` then (same contract as catalog statistics)."""
+    ``clear_plan_stats()`` then (same contract as catalog statistics).
+
+    ``semanticHash`` is 32-bit, so hits are CONFIRMED with
+    ``sameSemantics`` against the stored source frame (a collision or a
+    stale frame from a stopped session falls through to a recompute
+    instead of silently serving another plan's answer)."""
     if key[1] is None:
         return fn()
-    if key not in _PLAN_STATS:
-        if len(_PLAN_STATS) > 256:
-            _PLAN_STATS.clear()
-        _PLAN_STATS[key] = fn()
-    return _PLAN_STATS[key]
+    hit = _PLAN_STATS.get(key)
+    if hit is not None:
+        src, val = hit
+        if df is None or _same_plan(df, src):
+            return val
+    if len(_PLAN_STATS) > 256:
+        _PLAN_STATS.clear()
+    val = fn()
+    _PLAN_STATS[key] = (df, val)
+    return val
+
+
+def _same_plan(a: DataFrame, b: DataFrame) -> bool:
+    try:
+        return a.sameSemantics(b)
+    except Exception:
+        return False
 
 
 import collections
@@ -225,19 +249,23 @@ _BUILD_CACHE_MAX = 8
 _BUILD_LOCK = threading.Lock()
 
 
-def _cached_build(key: tuple, make):
+def _cached_build(key: tuple, make, src: DataFrame = None):
     if key[1] is None:  # unhashable plan: no caching
         return make()
     with _BUILD_LOCK:
-        df = _BUILD_CACHE.get(key)
-        if df is not None:
-            _BUILD_CACHE.move_to_end(key)
-            return df
+        hit = _BUILD_CACHE.get(key)
+        if hit is not None:
+            cached_src, df = hit
+            # confirm the 32-bit hash hit (collision / stale session →
+            # recompute rather than serve another plan's build side)
+            if src is None or _same_plan(src, cached_src):
+                _BUILD_CACHE.move_to_end(key)
+                return df
     df = make().persist()
     with _BUILD_LOCK:
-        _BUILD_CACHE[key] = df
+        _BUILD_CACHE[key] = (src, df)
         while len(_BUILD_CACHE) > _BUILD_CACHE_MAX:
-            _, old = _BUILD_CACHE.popitem(last=False)
+            _, (_, old) = _BUILD_CACHE.popitem(last=False)
             try:
                 old.unpersist(blocking=False)
             except Exception:
@@ -361,7 +389,7 @@ def point_in_polygon_join(
     # pattern) re-plan with zero pre-jobs (~0.4 s/call measured).
     has_giants = _plan_stat(
         ("giants", _sem_key(polygons), z, DEFAULT_CELL_CAP),
-        lambda: polys_g.limit(1).count() > 0,
+        lambda: polys_g.limit(1).count() > 0, polygons,
     )
     polys_n = polygons.filter(cnt <= DEFAULT_CELL_CAP) if has_giants else polygons
 
@@ -383,10 +411,11 @@ def point_in_polygon_join(
         build_count = build_rows
     else:
         build_count = _plan_stat(
-            ("cells", _sem_key(polys_n), z, DEFAULT_CELL_CAP), build.count
+            ("cells", _sem_key(polys_n), z, DEFAULT_CELL_CAP), build.count,
+            polys_n,
         )
     if build_count <= broadcast_rows:
-        build = _cached_build(("build", _sem_key(polys_n), z), _make_build)
+        build = _cached_build(("build", _sem_key(polys_n), z), _make_build, polys_n)
         cand = probe.join(F.broadcast(build), "cell", "inner")
     else:
         probe_s, build_s, keys = _salt_plan(
@@ -424,6 +453,7 @@ def point_in_polygon_join(
         lambda: polygons.filter(
             ~st_is_bbox_rect(F.col(polygon_geom))
         ).limit(1).count() == 0,
+        polygons,
     )
     if all_rect:
         matched = cand.filter(
@@ -558,11 +588,11 @@ def spatial_join(
     right_g = right.filter(rcnt > cell_cap)
     has_lg = _plan_stat(
         ("giants", _sem_key(left), z, cell_cap),
-        lambda: left_g.select("bbox_xmin").limit(1).count() > 0,
+        lambda: left_g.select("bbox_xmin").limit(1).count() > 0, left,
     )
     has_rg = _plan_stat(
         ("giants", _sem_key(right), z, cell_cap),
-        lambda: right_g.select("bbox_xmin").limit(1).count() > 0,
+        lambda: right_g.select("bbox_xmin").limit(1).count() > 0, right,
     )
     left_n = left.filter(lcnt <= cell_cap) if has_lg else left
     right_n = right.filter(rcnt <= cell_cap) if has_rg else right
@@ -579,10 +609,10 @@ def spatial_join(
         build_count = build_rows
     else:
         build_count = _plan_stat(
-            ("cells", _sem_key(right), z, cell_cap), rx.count
+            ("cells", _sem_key(right), z, cell_cap), rx.count, right,
         )
     if build_count <= broadcast_rows:
-        rx = _cached_build(("build", _sem_key(right_n), z), _make_rx)
+        rx = _cached_build(("build", _sem_key(right_n), z), _make_rx, right_n)
         cand = lx.join(F.broadcast(rx), "cell", "inner")
     else:
         probe_s, build_s, keys = _salt_plan(
@@ -630,6 +660,7 @@ def spatial_join(
             lambda: df.filter(
                 ~st_is_bbox_rect(F.col(geom_col))
             ).limit(1).count() == 0,
+            df,
         )
 
     def _bbox_contained(inner: str, outer: str) -> Column:

@@ -29,13 +29,28 @@ def map_algebra(expr: str, **rasters: DataFrame) -> DataFrame:
     Inputs join on (x, y); each raster's ``val`` becomes a column named by
     its keyword. Nodata (NULL) propagates like the reference's unioned
     masks (``raster/data.py:264-273``).
+
+    Each input must be a SINGLE band (``band(df, b)``): a multi-band
+    frame has several rows per (x, y), and the grid join would silently
+    produce a band cross-product — validated with one tiny limit-2 job
+    per input (the repo's plan-time sizing-job pattern).
     """
     names = list(rasters)
     out = None
     for name in names:
-        d = rasters[name].select("x", "y", F.col("val").alias(name))
+        r = rasters[name]
+        _require_single_band(r, f"map_algebra input {name!r}")
+        d = r.select("x", "y", F.col("val").alias(name))
         out = d if out is None else out.join(d, ["x", "y"])
     return out.withColumn("val", F.expr(expr)).select("x", "y", "val")
+
+
+def _require_single_band(df: DataFrame, what: str) -> None:
+    if "band" in df.columns:
+        if df.select("band").distinct().limit(2).count() > 1:
+            raise ValueError(
+                f"{what} has multiple bands — a grid join would produce "
+                f"a band cross-product; select one with band(df, b)")
 
 
 def compute(df: DataFrame, expr: str, condition: str | None = None) -> DataFrame:
@@ -109,14 +124,23 @@ def band_stats(df: DataFrame, stats: list[str], by: list[str] | None = None) -> 
 
 
 def histogram(df: DataFrame, bins: int = 10, by: list[str] | None = None) -> DataFrame:
-    """``Band.histogram`` (``raster/data.py:842-869``)."""
+    """``Band.histogram`` (``raster/data.py:842-869``). Bin edges are
+    PER GROUP (the reference histograms each Band separately) — a global
+    [lo, hi] would collapse a narrow band's values into bin 0 next to a
+    wide one. Declarative lo/hi (groupBy agg + broadcast-size join), so
+    empty input yields an empty frame instead of a driver crash."""
     by = by or ["band"]
-    mm = df.agg(F.min("val").alias("lo"), F.max("val").alias("hi")).first()
-    lo, hi = float(mm["lo"]), float(mm["hi"])
-    width = (hi - lo) / bins if hi > lo else 1.0
-    b = F.least(F.lit(bins - 1), F.floor((F.col("val") - F.lit(lo)) / F.lit(width))).cast("int")
+    nn = df.filter(F.col("val").isNotNull())
+    gmm = nn.groupBy(*by).agg(F.min("val").alias("_lo"), F.max("val").alias("_hi"))
+    width = F.when(
+        F.col("_hi") > F.col("_lo"),
+        (F.col("_hi") - F.col("_lo")) / F.lit(bins),
+    ).otherwise(F.lit(1.0))
+    b = F.least(
+        F.lit(bins - 1), F.floor((F.col("val") - F.col("_lo")) / width)
+    ).cast("int")
     return (
-        df.filter(F.col("val").isNotNull())
+        nn.join(F.broadcast(gmm), by)
         .groupBy(*by, b.alias("bin"))
         .agg(F.count("*").alias("n"))
     )
@@ -205,7 +229,10 @@ def sequence_interpolate(r1: DataFrame, r2: DataFrame, t: float) -> DataFrame:
     """Linear interpolation between two same-grid rasters at fraction t —
     ``pythongis/raster/manager.py:65-160``. The inputs are two *rasters*
     (e.g. different bands or years), so the join key is the grid position
-    only."""
+    only — each input must be a single band (validated like
+    :func:`map_algebra`)."""
+    _require_single_band(r1, "sequence_interpolate r1")
+    _require_single_band(r2, "sequence_interpolate r2")
     a = r1.select("x", "y", F.col("val").alias("v1"))
     b = r2.select("x", "y", F.col("val").alias("v2"))
     return a.join(b, ["x", "y"]).select(
@@ -795,6 +822,8 @@ def least_cost_path(
             f"(raster.model.crop), or raise max_cells explicitly.")
     dist = cost_distance(cost, [source], max_rounds, diagonal).toPandas()
     dmap = {(int(r.x), int(r.y)): float(r.dist) for r in dist.itertuples()}
+    cpdf = cost.filter(F.col("val").isNotNull()).select("x", "y", "val").toPandas()
+    cmap = {(int(r.x), int(r.y)): float(r.val) for r in cpdf.itertuples()}
     if tuple(target) not in dmap:
         raise ValueError("target unreachable from source")
     path = [tuple(target)]
@@ -802,11 +831,19 @@ def least_cost_path(
             if (dx, dy) != (0, 0) and (diagonal or dx * dy == 0)]
     cur = tuple(target)
     while cur != tuple(source):
-        nbrs = [(dmap[(cur[0] + dx, cur[1] + dy)], (cur[0] + dx, cur[1] + dy))
-                for dx, dy in offs if (cur[0] + dx, cur[1] + dy) in dmap]
+        # the true predecessor satisfies d(nbr) + step(nbr, cur) == d(cur);
+        # choosing min d(nbr) alone can walk through an expensive step and
+        # return a path costlier than the computed dist
+        nbrs = []
+        for dx, dy in offs:
+            nb = (cur[0] + dx, cur[1] + dy)
+            if nb in dmap:
+                step = ((cmap[nb] + cmap[cur]) / 2.0) * (
+                    _SQRT2 if dx * dy else 1.0)
+                nbrs.append((dmap[nb] + step, dmap[nb], nb))
         best = min(nbrs)
-        if best[0] >= dmap[cur]:
+        if best[1] >= dmap[cur]:
             raise RuntimeError("stuck backtracking (non-decreasing dist)")
-        cur = best[1]
+        cur = best[2]
         path.append(cur)
     return path

@@ -421,13 +421,26 @@ def zonal_statistics(
             key = id(zcells)
         with _ZCELLS_LOCK:
             cached = _ZCELLS_CACHE.get(key)
+            # semanticHash is 32-bit: confirm the hit with sameSemantics
+            # so a collision (or a frame from a stopped session) falls
+            # through to a fresh persist instead of serving another
+            # zone layer's cells; touch the entry so the bound evicts
+            # least-recently-USED, not oldest-inserted
             if cached is not None:
+                try:
+                    same = zcells.sameSemantics(cached[0])
+                except Exception:
+                    same = False
+                cached = cached[1] if same else None
+            if cached is not None:
+                _ZCELLS_CACHE.move_to_end(key)
                 zcells = cached
             else:
+                src = zcells
                 zcells = zcells.persist()
-                _ZCELLS_CACHE[key] = zcells
+                _ZCELLS_CACHE[key] = (src, zcells)
                 while len(_ZCELLS_CACHE) > _ZCELLS_CACHE_MAX:
-                    _, old = _ZCELLS_CACHE.popitem(last=False)
+                    _, (_, old) = _ZCELLS_CACHE.popitem(last=False)
                     try:
                         old.unpersist(blocking=False)
                     except Exception:

@@ -67,6 +67,32 @@ def test_map_algebra_and_compute(spark, cells):
     )
 
 
+def test_map_algebra_rejects_multiband_input(spark, cells):
+    """Passing a multi-band frame to map_algebra would silently produce
+    a band cross-product through the (x, y) grid join — it must raise."""
+    with pytest.raises(ValueError, match="multiple bands"):
+        A.map_algebra("a + b", a=cells, b=A.band(cells, 0))
+    with pytest.raises(ValueError, match="multiple bands"):
+        A.sequence_interpolate(cells, A.band(cells, 1), 0.5)
+
+
+def test_histogram_per_group_bounds_and_empty(spark):
+    """Bin edges are per group (the reference histograms each Band
+    separately): a [0,1]-range band next to a [0,1000]-range band keeps
+    its own 10 bins instead of collapsing into bin 0. Empty input →
+    empty frame, not a driver crash."""
+    rows = ([(i, 0, 0, i / 100.0) for i in range(100)]
+            + [(i, 0, 1, i * 10.0) for i in range(100)])
+    df = spark.createDataFrame(rows, "x int, y int, band int, val double")
+    h = A.histogram(df, bins=10).toPandas()
+    per_band = h.groupby("band")["bin"].nunique()
+    assert per_band[0] == 10 and per_band[1] == 10
+    n = h.set_index(["band", "bin"])["n"]
+    assert (n == 10).all()  # uniform data → 10 per bin in BOTH bands
+    empty = df.filter("val IS NULL")
+    assert A.histogram(empty, bins=10).count() == 0
+
+
 def test_mosaic_last_wins(spark):
     a = spark.createDataFrame(
         pd.DataFrame({"x": [0, 1], "y": [0, 0], "band": [0, 0], "val": [1.0, None]})
@@ -650,6 +676,37 @@ def test_cost_distance_dijkstra_parity_and_path(spark):
 
     with pytest.raises(ValueError, match="max_cells"):
         least_cost_path(df, (0, 0), (7, 5), max_rounds=40, max_cells=10)
+
+
+def test_least_cost_path_backtrack_uses_step_cost(spark):
+    """The backtrack must pick the predecessor minimizing
+    d(nbr) + step(nbr, cur) — min d(nbr) alone walks into a low-dist
+    diagonal decoy whose step into the expensive target cell is huge,
+    returning a path costlier than the computed cost distance."""
+    import math
+
+    from pythongis_spark.raster.algebra import cost_distance, least_cost_path
+
+    # (0,0)/(1,0) barriers; T=(2,0) c=20; S=(0,1), decoy D=(1,1),
+    # true pred P=(2,1) all c=1. d(D)=1 < d(P)=2 but the diagonal
+    # step D→T costs 14.85 vs P→T's 10.5 → optimal path goes via P.
+    cells = [
+        (2, 0, 0, 20.0),
+        (0, 1, 0, 1.0), (1, 1, 0, 1.0), (2, 1, 0, 1.0),
+    ]
+    df = spark.createDataFrame(cells, "x int, y int, band int, val double")
+    d = {(r["x"], r["y"]): r["dist"]
+         for r in cost_distance(df, [(0, 1)], max_rounds=20).collect()}
+    assert d[(2, 0)] == pytest.approx(2.0 + (1.0 + 20.0) / 2.0)
+    path = least_cost_path(df, (0, 1), (2, 0), max_rounds=20)
+    assert path == [(2, 0), (2, 1), (1, 1), (0, 1)]
+    # total stepped cost along the returned path equals d(target)
+    c = {(x, y): v for x, y, _, v in cells}
+    tot = 0.0
+    for a, b in zip(path, path[1:]):
+        w = math.sqrt(2) if (a[0] - b[0]) * (a[1] - b[1]) else 1.0
+        tot += (c[a] + c[b]) / 2.0 * w
+    assert tot == pytest.approx(d[(2, 0)], rel=1e-12)
 
 
 def test_cost_distance_tile_rounds_scale_with_path_tiles(spark):

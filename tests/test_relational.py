@@ -157,6 +157,29 @@ def test_dissolve_union_geoms(spark):
     assert out.loc["a", "sv"] == 3.0
 
 
+def test_dissolve_linestring_groups(spark):
+    """Line layers dissolve to a MultiLineString of the parts instead of
+    silently emitting NULL geometry for every group (a road layer lost
+    its whole geometry column before)."""
+    import numpy as np
+
+    from pythongis_spark.geometry.wkb import decode_wkb, encode_wkb
+
+    l1 = encode_wkb(("LineString", np.array([[0.0, 0.0], [1.0, 1.0]])))
+    l2 = encode_wkb(("LineString", np.array([[1.0, 1.0], [2.0, 0.0]])))
+    ml = encode_wkb(("MultiLineString",
+                     [np.array([[5.0, 5.0], [6.0, 5.0]])]))
+    pdf = pd.DataFrame({"g": ["a", "a", "b"], "geom": [l1, l2, ml],
+                        "v": [1.0, 2.0, 3.0]})
+    out = (R.dissolve(spark.createDataFrame(pdf), ["g"],
+                      [("sv", "v", "sum")])
+           .toPandas().set_index("g"))
+    t, parts = decode_wkb(bytes(out.loc["a", "geom"]))
+    assert t == "MultiLineString" and len(parts) == 2
+    t, parts = decode_wkb(bytes(out.loc["b", "geom"]))
+    assert t == "MultiLineString" and len(parts) == 1
+
+
 def test_split_by(spark):
     pdf = pd.DataFrame({"k": ["a", "b", "a", "c"], "v": [1, 2, 3, 4]})
     parts = __import__("pythongis_spark.operators.relational", fromlist=["split_by"]).split_by(

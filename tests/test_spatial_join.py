@@ -521,3 +521,30 @@ def test_pip_rect_fast_path_equals_refine_randomized(spark):
     pf = {(r["point_id"], r["zone_id"]) for r in fast.select("point_id", "zone_id").collect()}
     ps = {(r["point_id"], r["zone_id"]) for r in slow.select("point_id", "zone_id").collect()}
     assert pf == ps and pf
+
+
+def test_geom_equals_is_topological():
+    """condition='equals' must match topologically equal geometries —
+    the same ring started at a different vertex, or MultiPolygon parts
+    in a different order — like shapely equals in the reference
+    (manager.py:196), not just identical coordinate arrays."""
+    import numpy as np
+
+    from pythongis_spark.geometry import wkb as W
+    from pythongis_spark.operators.spatial_join import _geom_equals
+
+    def poly(ring):
+        return W.decode_wkb(W.encode_wkb(("Polygon", [np.array(ring, float)])))
+
+    sq = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+    rot = [[4, 4], [0, 4], [0, 0], [4, 0], [4, 4]]
+    other = [[0, 0], [5, 0], [5, 4], [0, 4], [0, 0]]
+    assert _geom_equals(poly(sq), poly(sq))
+    assert _geom_equals(poly(sq), poly(rot))
+    assert not _geom_equals(poly(sq), poly(other))
+    # MultiPolygon parts in a different order
+    a = np.array(sq, float)
+    b = np.array([[10, 10], [12, 10], [12, 12], [10, 12], [10, 10]], float)
+    m1 = W.decode_wkb(W.encode_wkb(("MultiPolygon", [[a], [b]])))
+    m2 = W.decode_wkb(W.encode_wkb(("MultiPolygon", [[b], [a]])))
+    assert _geom_equals(m1, m2)
