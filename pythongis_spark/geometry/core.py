@@ -648,11 +648,18 @@ def _points_touch_only(pts: np.ndarray, geom) -> bool:
             return bool(onb.any() and not interior.any())
         # for a line, 'boundary' is its endpoints; a point on the line
         # interior intersects the interior -> not touches. Approximate
-        # with endpoint equality.
+        # with endpoint equality. CLOSED parts contribute no boundary
+        # (DE-9IM mod-2 rule, same as _polyline_endpoints): their
+        # start/end vertex is line INTERIOR, so a point there is not a
+        # touch.
         ends = []
         for seg in _boundary_polylines(geom):
+            if (seg[0] == seg[-1]).all():
+                continue
             ends.append(seg[0])
             ends.append(seg[-1])
+        if not ends:
+            return False  # closed line: empty boundary, nothing touches
         ends = np.array(ends)
         on_end = ((pts[:, None, :] == ends[None, :, :]).all(-1)).any(axis=1)
         on_line = onb

@@ -225,8 +225,11 @@ class AlbersEqualArea:
     def inverse(self, x, y):
         xs = np.asarray(x, dtype=np.float64) - self.x0
         ys = self.rho0 - (np.asarray(y, dtype=np.float64) - self.y0)
-        rho = np.sqrt(xs * xs + ys * ys)
-        th = np.arctan2(xs, ys)
+        # southern standard parallels give n < 0: rho/theta need the
+        # same sign handling as LambertConformal.inverse, else
+        # longitudes come back off by 180/n degrees (e.g. EPSG:3577)
+        rho = np.sign(self.n) * np.sqrt(xs * xs + ys * ys)
+        th = np.arctan2(np.sign(self.n) * xs, np.sign(self.n) * ys)
         q = (self.C - (rho * self.n / self.a) ** 2) / self.n
         phi = _phi_from_q(q, self.e, self.e2)
         return np.degrees(th / self.n) + self.lon0, np.degrees(phi)

@@ -181,7 +181,6 @@ _PM_DEFS = {
     "athens": 23.7163375,            # 23°42'58.815"E
 }
 
-_OK_ELLPS = {"WGS84", "GRS80"}
 
 # PROJ +datum= shortcuts (public PROJ datum table): name → proj4 tail
 _DATUM_DEFS = {
@@ -518,8 +517,16 @@ def _family(p: dict):
     if pm != 0.0 and proj != "longlat":
         # PROJ +pm: projection longitudes are measured from the named
         # meridian — the effective Greenwich central meridian is
-        # lon_0 + pm (every family subtracts lon0 in degrees)
+        # lon_0 + pm (every family subtracts lon0 in degrees). omerc
+        # reads +lonc, which must shift the same way; utm derives its
+        # meridian from the zone and cannot absorb the shift — raise.
+        if proj == "utm":
+            raise NotImplementedError(
+                "+proj=utm with a non-Greenwich +pm: the UTM central "
+                "meridian comes from the zone; spell it as +proj=tmerc")
         p = dict(p)
+        if "lonc" in p:
+            p["lonc"] = float(p["lonc"]) + pm
         p["lon_0"] = float(p.get("lon_0", 0.0)) + pm
     if proj in ("sterea", "somerc"):
         # oblique stereographic (EPSG 9809, RD New) / Swiss oblique
@@ -659,12 +666,18 @@ def _family_base(p: dict):
         ident = lambda a, b: (np.asarray(a, float), np.asarray(b, float))  # noqa: E731
         return ident, ident
     if proj == "merc":
-        # +a == +b (EPSG:3857's definition) selects the spherical path
-        # below; everything else is ellipsoidal Mercator on WGS84
-        # (EPSG:3395 family), so an explicit +b must be the WGS84/GRS80
-        # semi-minor
+        # sphere specs (+R, +a==+b, or a lone +a — PROJ's sphere forms)
+        # select the spherical path below; everything else is
+        # ellipsoidal Mercator on WGS84 (EPSG:3395 family), so an
+        # explicit +b must be the WGS84/GRS80 semi-minor
         av, bv = p.get("a"), p.get("b")
-        if av is None or bv is None or float(av) != float(bv):
+        sphere = ("R" in p
+                  or (av is not None and bv is not None
+                      and float(av) == float(bv))
+                  or (av is not None and bv is None
+                      and "rf" not in p and "ellps" not in p
+                      and "datum" not in p))
+        if not sphere:
             if bv is not None and abs(float(bv) - 6356752.3142) > 0.5:
                 raise NotImplementedError(
                     f"+b={bv} is not the WGS84/GRS80 semi-minor axis; "
@@ -692,10 +705,11 @@ def _family_base(p: dict):
             south=lat0 < 0)
         return inst.forward, inst.inverse
     if proj == "merc" or proj == "webmerc":
-        # spherical Mercator: R from +a (webmerc and the bare default
-        # are the WGS84 major-axis sphere); honor +lon_0/+k/+lat_ts/
-        # +x_0/+y_0 instead of silently assuming EPSG:3857's zeros
-        R = PJ.R_MAJOR if proj == "webmerc" else float(p.get("a", PJ.R_MAJOR))
+        # spherical Mercator: R from +R or +a (webmerc and the bare
+        # default are the WGS84 major-axis sphere); honor +lon_0/+k/
+        # +lat_ts/+x_0/+y_0 instead of silently assuming EPSG:3857's
+        R = (PJ.R_MAJOR if proj == "webmerc"
+             else float(p.get("R", p.get("a", PJ.R_MAJOR))))
         k = float(p.get("k", p.get("k_0", 1.0)))
         ts = p.get("lat_ts", p.get("lat_1"))
         if ts is not None:
@@ -736,13 +750,21 @@ def _family_base(p: dict):
 
         return fwd, inv
     if proj == "eqc":
-        km = math.pi / 180.0 * PJ.R_MAJOR
+        # honor the full parameter set (lon_0 / lat_ts x-scale / false
+        # origins) — the bare-constant form silently dropped them
+        R = float(p.get("R", p.get("a", PJ.R_MAJOR)))
+        km = math.pi / 180.0 * R
+        kx = km * math.cos(math.radians(float(p.get("lat_ts", 0.0))))
+        lon0 = float(p.get("lon_0", 0.0))
+        x0, y0 = float(p.get("x_0", 0.0)), float(p.get("y_0", 0.0))
 
         def fwd(lon, lat):
-            return np.asarray(lon, float) * km, np.asarray(lat, float) * km
+            return (x0 + (np.asarray(lon, float) - lon0) * kx,
+                    y0 + np.asarray(lat, float) * km)
 
         def inv(x, y):
-            return np.asarray(x, float) / km, np.asarray(y, float) / km
+            return (lon0 + (np.asarray(x, float) - x0) / kx,
+                    (np.asarray(y, float) - y0) / km)
 
         return fwd, inv
     if proj == "utm":

@@ -80,7 +80,13 @@ def st_is_bbox_rect(geom: pd.Series) -> pd.Series:
         pts = {tuple(p) for p in ring}
         x0, y0 = ring[:, 0].min(), ring[:, 1].min()
         x1, y1 = ring[:, 0].max(), ring[:, 1].max()
-        out[i] = pts == {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}
+        if pts != {(x0, y0), (x1, y0), (x1, y1), (x0, y1)}:
+            continue
+        # the vertex SET alone admits a crossed "bowtie" quad over the
+        # same corners, whose ray-cast parity differs from the box test
+        # — every edge must be axis-aligned (share an x or a y)
+        d = np.diff(ring, axis=0)
+        out[i] = bool(((d[:, 0] == 0.0) | (d[:, 1] == 0.0)).all())
     return pd.Series(out, index=geom.index)
 
 

@@ -122,17 +122,22 @@ def run_checkpointed(
         pending = df.join(
             done.withColumnRenamed("key", key_col), key_col, "left_anti"
         )
-    keys = [r[0] for r in pending.select(key_col).distinct().orderBy(key_col).collect()]
+    # ONE pre-write job: the per-key counts also carry the key list
+    # (a separate distinct().collect() re-ran the whole funnel, and
+    # pairing values from independent jobs on the same lazy frame is
+    # the drift pattern CLAUDE.md warns about)
+    counts = {
+        r[0]: r[1]
+        for r in pending.groupBy(key_col).agg(F.count("*").alias("n")).collect()
+    }
+    keys = sorted(counts)
     if not keys:
         return {"written_keys": [], "skipped": True}
     if batch_keys:
         keys = keys[:batch_keys]
         pending = pending.filter(F.col(key_col).isin(keys))
+        counts = {k: counts[k] for k in keys}
     t0 = time.perf_counter()
-    counts = {
-        r[0]: r[1]
-        for r in pending.groupBy(key_col).agg(F.count("*").alias("n")).collect()
-    }
     (
         pending.repartition(F.col(key_col))
         .write.mode("overwrite")

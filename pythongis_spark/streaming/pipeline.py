@@ -104,7 +104,10 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 3600,
     per user, a session closes when no event arrives within
     ``gap_seconds`` — the streaming analog of ``relational.sessionize``
     (batch lag+sum form). Emits one row per CLOSED session; state is
-    bounded per active user.
+    bounded per active user. ``session_id`` is the epoch second of the
+    session's first event — unique per (user, session) even across
+    timeout closures, where a plain counter would restart at 0 after
+    ``state.remove()``.
 
     Timeouts are EVENT-TIME (fire when the watermark passes
     last_event + gap): deterministic under replay, and a one-shot
@@ -127,23 +130,34 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 3600,
         if state.exists:
             sid, first_ts, last_ts, n = state.get
         else:
-            sid, first_ts, last_ts, n = 0, None, None, 0
-        for pdf in pdfs:
-            for ts in sorted(pdf[ts_col]):
-                t = ts.timestamp()
-                if last_ts is not None and t - last_ts > gap_seconds:
-                    rows.append(
-                        {"user_id": uid, "session_id": sid, "n_events": n,
-                         "start_ts": pd.Timestamp(first_ts, unit="s"),
-                         "end_ts": pd.Timestamp(last_ts, unit="s")}
-                    )
-                    sid += 1
-                    n = 0
-                    first_ts = t
-                if first_ts is None:
-                    first_ts = t
-                last_ts = t
-                n += 1
+            # derive the starting session id from event time so ids stay
+            # unique after a timeout closure removed the state (a plain
+            # 0 reset re-issues (user, 0) for every timeout-closed
+            # session); deterministic under replay.
+            sid, first_ts, last_ts, n = None, None, None, 0
+        # ONE global sort across all pandas chunks: a group split over
+        # several Arrow chunks (or chunks arriving newest-first) would
+        # otherwise be processed out of time order, silently merging
+        # sessions and rewinding last_ts
+        for ts in sorted(t for pdf in pdfs for t in pdf[ts_col]):
+            t = ts.timestamp()
+            if sid is None:
+                sid = int(t)
+            if last_ts is not None and t - last_ts > gap_seconds:
+                rows.append(
+                    {"user_id": uid, "session_id": sid, "n_events": n,
+                     "start_ts": pd.Timestamp(first_ts, unit="s"),
+                     "end_ts": pd.Timestamp(last_ts, unit="s")}
+                )
+                sid = max(int(t), sid + 1)  # new session: its own epoch
+                n = 0
+                first_ts = t
+            if first_ts is None:
+                first_ts = t
+            last_ts = t
+            n += 1
+        if sid is None:  # no events in this batch for the key
+            return
         state.update((sid, float(first_ts), float(last_ts), int(n)))
         # event-time timer: must be strictly beyond the current watermark
         to_ms = max(

@@ -367,6 +367,53 @@ def test_polar_stereographic_wkt_variant_b():
     assert np.array_equal(x, xe) and np.array_equal(y, ye)
 
 
+def test_albers_southern_hemisphere_inverse():
+    """Southern standard parallels give n < 0: the inverse needs the
+    same sign(n) rho/theta handling as LCC, else longitudes come back
+    off by 180/n degrees (EPSG:3577 Australian Albers hit this)."""
+    from pythongis_spark.geometry import proj_parse as PP
+
+    f, i = PP.forward("EPSG:3577"), PP.inverse("EPSG:3577")
+    lon = np.array([145.0, 132.0, 120.0, 153.5])
+    lat = np.array([-25.0, -12.0, -33.0, -43.0])
+    lo, la = i(*f(lon, lat))
+    assert np.abs(lo - lon).max() < 1e-9
+    assert np.abs(la - lat).max() < 1e-9
+
+
+def test_proj_parse_eqc_params_and_merc_sphere_forms():
+    """eqc honors lon_0/lat_ts/x_0/y_0 (they were silently dropped);
+    +R and a lone +a select the PROJ sphere forms of merc."""
+    from pythongis_spark.geometry import proj_parse as PP
+
+    R = 6371000.0
+    f = PP.forward(f"+proj=eqc +lon_0=90 +lat_ts=60 +x_0=100000 +R={R}")
+    x, y = f(np.array([90.0, 92.0]), np.array([10.0, -5.0]))
+    km = np.pi / 180.0 * R
+    assert x[0] == 100000.0
+    assert x[1] - 100000.0 == pytest.approx(2.0 * km * np.cos(np.radians(60.0)),
+                                            rel=1e-15)
+    assert y[0] == pytest.approx(10.0 * km, rel=1e-15)
+    lo, la = PP.inverse(f"+proj=eqc +lon_0=90 +lat_ts=60 +x_0=100000 +R={R}")(x, y)
+    assert lo[1] == pytest.approx(92.0, rel=1e-15) and la[1] == pytest.approx(-5.0)
+    # +R / lone +a sphere forms of merc (previously fell through to the
+    # WGS84 ellipsoid with the radius discarded)
+    for spec in (f"+proj=merc +R={R}", f"+proj=merc +a={R}"):
+        x, _ = PP.forward(spec)(np.array([10.0]), np.array([0.0]))
+        assert x[0] == pytest.approx(R * np.radians(10.0), rel=1e-15), spec
+    # +pm with omerc's +lonc shifts the center meridian (it was applied
+    # to lon_0, which omerc never reads); utm +pm raises
+    pm = 2.337229166666667
+    tmpl = ("+proj=omerc +lat_0=4 +lonc={c} +alpha=53.31582047222222 "
+            "+gamma=53.13010236111111 +k=0.99984 +ellps=evrstSS")
+    lon, lat = np.array([116.0, 113.5]), np.array([5.0, 3.2])
+    xs, ys = PP.forward(tmpl.format(c=115 + pm))(lon, lat)
+    xp, yp = PP.forward(tmpl.format(c=115) + f" +pm={pm}")(lon, lat)
+    assert np.abs(xp - xs).max() < 1e-9 and np.abs(yp - ys).max() < 1e-9
+    with pytest.raises(NotImplementedError, match="tmerc"):
+        PP.forward("+proj=utm +zone=31 +ellps=WGS84 +pm=paris")
+
+
 def test_equal_area_inverse_pole_cases():
     """The shared authalic-latitude Newton (_phi_from_q) handles the
     Snyder |q| >= qp pole case and stays accurate approaching it — the

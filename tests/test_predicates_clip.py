@@ -101,6 +101,18 @@ def test_touches_lines():
     assert not G.geom_touches(ln((0, 0), (10, 0)), ln((5, 0), (15, 0)))  # overlap
 
 
+def test_point_touches_closed_line_ring():
+    """A closed LineString has an EMPTY boundary (DE-9IM mod-2 rule):
+    a point at its start/end vertex meets line INTERIOR → not touches
+    (shapely agrees); an open line's endpoint still touches."""
+    ring = ("LineString",
+            np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float))
+    assert not G.geom_touches(pt(0, 0), ring)   # ring start == interior
+    assert not G.geom_touches(pt(10, 0), ring)  # mid-ring vertex
+    open_l = ln((0, 0), (10, 0), (10, 10))
+    assert G.geom_touches(pt(0, 0), open_l)     # true endpoint
+
+
 def test_touches_lines_interior_contact_de9im():
     """T/V contacts at a vertex interior to BOTH lines have
     interior∩interior ≠ ∅ → shapely classifies them as NOT touches."""

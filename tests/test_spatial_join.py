@@ -548,3 +548,22 @@ def test_geom_equals_is_topological():
     m1 = W.decode_wkb(W.encode_wkb(("MultiPolygon", [[a], [b]])))
     m2 = W.decode_wkb(W.encode_wkb(("MultiPolygon", [[b], [a]])))
     assert _geom_equals(m1, m2)
+
+
+def test_is_bbox_rect_rejects_bowtie(spark):
+    """A crossed 'bowtie' quad over the same 4 corners shares the bbox
+    vertex SET but not ray-cast parity — it must NOT enable the
+    all-rect half-open fast path."""
+    import numpy as np
+    import pandas as pd
+
+    from pythongis_spark.geometry import wkb as W
+    from pythongis_spark.geometry.udfs import st_is_bbox_rect
+
+    rect = W.encode_wkb(("Polygon", [np.array(
+        [[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]], float)]))
+    bowtie = W.encode_wkb(("Polygon", [np.array(
+        [[0, 0], [1, 0], [0, 1], [1, 1], [0, 0]], float)]))
+    df = spark.createDataFrame(pd.DataFrame({"geom": [rect, bowtie]}))
+    got = [r[0] for r in df.select(st_is_bbox_rect("geom")).collect()]
+    assert got == [True, False]

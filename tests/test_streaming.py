@@ -101,6 +101,11 @@ def test_sessionize_stream_closes_on_gap(spark, tmp_path):
     # the 2-event session closed when the 3rd event arrived past the gap
     assert len(out) == 1
     r = out.iloc[0]
-    assert r["user_id"] == 1 and r["session_id"] == 0 and r["n_events"] == 2
+    # session_id = epoch second of the session's first event (unique
+    # across timeout closures, unlike a counter reset by state.remove)
+    import pandas as pd
+
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["session_id"] == int(pd.Timestamp(r["start_ts"]).timestamp())
     assert str(r["start_ts"]).startswith("2026-01-01 00:00:00")
     assert str(r["end_ts"]).startswith("2026-01-01 00:10:00")
