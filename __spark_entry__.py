@@ -463,11 +463,18 @@ def _q_shapefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.geometry.udfs import st_area
     from pythongis_spark.sources.shapefile import read_shapefile, write_shapefile
 
+    import shutil
+
     zones = FX.oracle_zones_pdf()[["zone_id", "geom"]]
     d = tempfile.mkdtemp(dir="/tmp")
-    path = f"{d}/zones.shp"
-    write_shapefile(zones, path)
-    df = read_shapefile(spark, path)
+    try:
+        path = f"{d}/zones.shp"
+        write_shapefile(zones, path)
+        # read_shapefile parses driver-side EAGERLY, so the files can be
+        # removed immediately (repeated gate runs were leaking /tmp dirs)
+        df = read_shapefile(spark, path)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     return df.select("zone_id", st_area(F.col("geom")).alias("area"))
 
 
@@ -759,10 +766,21 @@ def _q_geojson_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     json.dump({"type": "FeatureCollection", "features": feats}, tmp)
     tmp.close()
-    df = read_geojson(spark, tmp.name)
-    df = expand_properties(df, "zone_id BIGINT")
-    df = with_bbox(df, "geom")
-    return df.select("zone_id", "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")
+    import os
+
+    try:
+        df = read_geojson(spark, tmp.name)
+        df = expand_properties(df, "zone_id BIGINT")
+        df = with_bbox(df, "geom")
+        out = df.select(
+            "zone_id", "bbox_xmin", "bbox_ymin", "bbox_xmax", "bbox_ymax")
+        # spark.read.json is lazy — materialize driver-side so the temp
+        # file can be deleted (repeated gate runs were leaking /tmp
+        # files); 60 rows, so the localized plan is trivial
+        pdf = out.toPandas()
+    finally:
+        os.unlink(tmp.name)
+    return spark.createDataFrame(pdf, schema=out.schema)
 
 
 def _q_classify_equal_breaks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,10 +963,14 @@ def _warp_utm_sql() -> str:
     from pythongis_spark.geometry.crs import A_RECT, BETA, DELTA
 
     k = repr(0.9996 * A_RECT)
-    xi_terms = " - ".join(
+    # every series term is SUBTRACTED (crs.tmerc_inverse: xi_p -= ...);
+    # the terms sit inside "xi - (...)" below so they join with "+" —
+    # a "-" join flipped the sign of terms j>=2 (≈1.2e-7 rad oracle
+    # divergence silently eating the floor-snap margin)
+    xi_terms = " + ".join(
         f"{repr(b)}*SIN({2 * j}*xi)*((EXP({2 * j}*eta)+EXP(-({2 * j})*eta))/2)"
         for j, b in enumerate(BETA, start=1))
-    eta_terms = " - ".join(
+    eta_terms = " + ".join(
         f"{repr(b)}*COS({2 * j}*xi)*((EXP({2 * j}*eta)-EXP(-({2 * j})*eta))/2)"
         for j, b in enumerate(BETA, start=1))
     phi_terms = " + ".join(
@@ -2752,9 +2774,17 @@ def _q_terrain_horn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.raster.algebra import horn_terrain
 
     cells = raster_cells(spark).filter(F.col("band") == 0)
+    # ROUND(…, 9): the decimal(38,18) cast of a double product rounds
+    # its 18th fraction digit differently across engines (measured
+    # ≤ 2.5e-14 drift); ideal gradients are one-decimal sums, so the
+    # 9-digit boundary distance ≈ 5e-10 — a ~20,000× measured margin
     return horn_terrain(cells).filter(
         "x >= 0 AND x < 120 AND y >= 0 AND y < 60"
-    ).select("x", "y", "band", "gx8", "gy8")
+    ).select(
+        "x", "y", "band",
+        F.round("gx8", 9).alias("gx8"),
+        F.round("gy8", 9).alias("gy8"),
+    )
 
 
 def _q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3646,8 +3676,10 @@ def oracle_sql() -> dict[str, str]:
               FROM spread GROUP BY x, y, band
             )
             SELECT x, y, band,
-                   CASE WHEN n = 9 AND nv = 9 THEN CAST(gx AS DOUBLE) END AS gx8,
-                   CASE WHEN n = 9 AND nv = 9 THEN CAST(gy AS DOUBLE) END AS gy8
+                   ROUND(CASE WHEN n = 9 AND nv = 9
+                              THEN CAST(gx AS DOUBLE) END, 9) AS gx8,
+                   ROUND(CASE WHEN n = 9 AND nv = 9
+                              THEN CAST(gy AS DOUBLE) END, 9) AS gy8
             FROM g
             WHERE x >= 0 AND x < 120 AND y >= 0 AND y < 60
         """,

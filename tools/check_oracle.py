@@ -22,12 +22,14 @@ TABLES = [
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    # floats compare BIT-EXACT, matching the driver's value hash — a
+    # tolerance here would let sub-tolerance Spark-vs-DuckDB drift pass
+    # locally and fail the real gate (it masked a 1.2e-7 oracle
+    # series-sign divergence until r5)
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype == object:
             pdf[c] = pdf[c].astype(str)
-        elif np.issubdtype(pdf[c].dtype, np.floating):
-            pdf[c] = pdf[c].round(6)
         elif np.issubdtype(pdf[c].dtype, np.integer):
             pdf[c] = pdf[c].astype("int64")
     return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
@@ -49,6 +51,11 @@ def main():
 
     qs = entrymod.queries()
     osql = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd name must not exit 0 having checked nothing
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
