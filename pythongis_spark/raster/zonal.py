@@ -10,6 +10,8 @@ a cell-assignment join and aggregates in ONE shuffle — O(pixels)
 
 from __future__ import annotations
 
+from decimal import Decimal as _Decimal
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -474,6 +476,66 @@ def vectorize_cells(raster_cells: DataFrame, rd: RasterDef, band: int = 0) -> Da
     )
 
 
+def _duck_dec18_unscaled(x):
+    """Replicate DuckDB's ``CAST(x AS DECIMAL(38,18))`` for a POSITIVE
+    (or NULL) double column, returning the exact unscaled integer
+    (= value·10¹⁸) as an exact decimal.
+
+    DuckDB converts double→decimal on the *binary* value:
+    ``rint(x·1e18 + 1e-9)`` (DoubleToDecimalCast nudge + the
+    double→hugeint round-half-to-EVEN cast — ties are COMMON here, since
+    at magnitudes in [2⁵¹,2⁵²) the double ulp is exactly 0.5), while
+    Spark's CAST goes through the shortest decimal repr
+    (``BigDecimal.valueOf``). The two differ in the last decimal digit
+    for doubles with long binary tails (e.g. 1/d2 IDW weights), which
+    surfaced as 1-ulp val drift in the r5 oracle gate. Probed against
+    DuckDB 1.0 (20k random samples + per-term tie cases, bit-exact).
+
+    Mechanics: ``m = x·1e18`` (same double multiply as DuckDB);
+    ``z = F.bround(m + 1e-9, 0)`` — HALF_EVEN on the shortest repr is
+    exact-nearest for non-halves (no integer+½ double can lie strictly
+    between a double and its shortest repr) and half-even at exact
+    halves, i.e. C ``rint``; then split the integer-valued double z
+    (valid for z < 2⁹⁶) into two exact ≤2⁵²-bit limbs and rebuild the
+    integer in decimal arithmetic, bypassing Spark's lossy
+    double→decimal cast entirely.
+    """
+    m = x * F.lit(1.0e18)
+    z = F.bround(m + F.lit(1.0e-9), 0)
+    hi = F.floor(z / F.lit(4503599627370496.0))          # 2^52 → long
+    lo = (z - hi.cast("double") * F.lit(4503599627370496.0)).cast("long")
+    return (
+        hi.cast("decimal(38,0)") * F.lit(_Decimal(2**52))
+        + lo.cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+
+
+def _duck_dec18_sum_to_double(s):
+    """Replicate DuckDB's ``CAST(decimal(38,18) AS DOUBLE)`` given the
+    exact unscaled integer sum ``s`` (decimal, positive). DuckDB's
+    hugeint→double is NOT correctly rounded: it computes
+    ``double(u >> 64)·2⁶⁴ + double(u mod 2⁶⁴)`` then divides by 10¹⁸
+    (probed: 20k random samples match this, while ~25% mismatch the
+    correctly-rounded conversion Spark's decimal→double cast uses)."""
+    two64 = F.lit(_Decimal(2**64))
+    lower = F.pmod(s, two64)
+    upper = ((s - lower) / two64).cast("double")
+    d = upper * F.lit(18446744073709551616.0) + lower.cast("double")
+    return d / F.lit(1.0e18)
+
+
+def _duck_exact_idw_sum():
+    """The exact-mode IDW aggregate twin of the frozen oracle SQL
+    ``CAST(SUM(CAST(w·pval AS DECIMAL(38,18))) AS DOUBLE) /
+    CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE)`` with DuckDB's binary
+    cast semantics reproduced bit-exactly (see _duck_dec18_unscaled)."""
+    num = F.sum(_duck_dec18_unscaled(F.col("_w") * F.col("pval")))
+    den = F.sum(_duck_dec18_unscaled(F.col("_w")))
+    return (
+        _duck_dec18_sum_to_double(num) / _duck_dec18_sum_to_double(den)
+    ).alias("_idw")
+
+
 def interpolate_idw(
     points: DataFrame,
     rd: RasterDef,
@@ -521,9 +583,7 @@ def interpolate_idw(
     # exact=True: decimal accumulation — order-independent bit-identical
     # sums (used by the DuckDB oracle gate); default double sums
     if exact:
-        num = F.sum((F.col("_w") * F.col("pval")).cast("decimal(38,18)"))
-        den = F.sum(F.col("_w").cast("decimal(38,18)"))
-        idw = (num.cast("double") / den.cast("double")).alias("_idw")
+        idw = _duck_exact_idw_sum()
     else:
         idw = (F.sum(F.col("_w") * F.col("pval")) / F.sum("_w")).alias("_idw")
     agg = (
@@ -592,9 +652,7 @@ def interpolate_idw_bounded(
             F.pow(F.sqrt(F.col("_d2")), F.lit(-float(sensitivity)))
         )
     if exact:
-        num = F.sum((F.col("_w") * F.col("pval")).cast("decimal(38,18)"))
-        den = F.sum(F.col("_w").cast("decimal(38,18)"))
-        idw = (num.cast("double") / den.cast("double")).alias("_idw")
+        idw = _duck_exact_idw_sum()
     else:
         idw = (F.sum(F.col("_w") * F.col("pval")) / F.sum("_w")).alias("_idw")
     agg = (
