@@ -113,7 +113,11 @@ def _zone_centers(spark: SparkSession) -> DataFrame:
 def _q_knn_zone_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pythongis_spark.operators.knn import knn_join
 
-    pts = FX.events_points(spark, sf_dir)
+    # r6 perf: the final select only keeps (event_id, zone_id, rank,
+    # dist), but knn_join's Arrow stage is opaque to Catalyst — project
+    # BEFORE the operator so event_type/value never cross the Python
+    # boundary (guide §4.1); result rows are identical.
+    pts = FX.events_points(spark, sf_dir).select("event_id", "lon", "lat")
     centers = _zone_centers(spark)
     got = knn_join(
         pts, centers, 3, point_id="event_id", target_id="zone_id",

@@ -31,57 +31,71 @@ def verify_images(df: DataFrame, reencode: bool = True) -> DataFrame:
     reconstruction."""
 
     def run(batches):
+        # heavyweight-free setup once per task (guide §4.5): the WORDS
+        # table import was previously inside the per-row loop
+        from pythongis_spark.fixtures import WORDS
+
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
+            n = len(pdf)
+            c_ok_shape = np.zeros(n, dtype=bool)
+            c_psnr = np.zeros(n, dtype=np.float64)
+            c_psnr_ok = np.zeros(n, dtype=bool)
+            c_phash_ok = np.zeros(n, dtype=bool)
+            c_caption_ok = np.zeros(n, dtype=bool)
+            it = zip(
+                pdf["bytes"].to_numpy(), pdf["fmt"].to_numpy(),
+                pdf["w"].to_numpy(), pdf["h"].to_numpy(),
+                pdf["phash"].to_numpy(), pdf["image_id"].to_numpy(),
+                pdf["caption"].to_numpy(),
+            )
+            for j, (blob, fmt, w, h, phash, image_id, caption) in enumerate(it):
                 try:
-                    px = codec.decode_image(r.bytes)
+                    px = codec.decode_image(blob)
                 except Exception:
                     # corrupt payload: flag the row, never fail the task
                     # (at 10^12 rows one bad blob must not kill a job)
-                    rows.append(
-                        dict(
-                            image_id=r.image_id, fmt=r.fmt, ok_shape=False,
-                            psnr=0.0, psnr_ok=False, phash_ok=False,
-                            caption_ok=False,
-                        )
-                    )
                     continue
-                ok_shape = px.shape == (r.h, r.w, 3)
+                c_ok_shape[j] = px.shape == (h, w, 3)
                 # gif is pixel-lossless for its ≤256-color domain; fmts
                 # outside FMT_MAGIC (e.g. jpeg-real) take the PSNR pass
-                lossless = (r.fmt == "gif"
-                            or codec.FMT_MAGIC.get(r.fmt)
+                lossless = (fmt == "gif"
+                            or codec.FMT_MAGIC.get(fmt)
                             in codec.MAGIC_LOSSLESS)
                 # lossless re-encode is bit-identical by codec contract
                 # (unit-tested); only lossy formats need the PSNR pass
                 if reencode and not lossless:
                     try:
-                        rt = codec.decode_image(codec.encode_image(px, r.fmt))
+                        if fmt == "jpeg":
+                            # FJPG: decode(encode(px)) ≡ quantize_lossy(px)
+                            # by construction (zlib is lossless), so the
+                            # PSNR input is computed directly — skips a
+                            # compress+decompress round trip per row with
+                            # bit-identical psnr (guide §4.2)
+                            rt = codec.quantize_lossy(px)
+                        else:
+                            rt = codec.decode_image(codec.encode_image(px, fmt))
                         psnr = codec.psnr_db(px, rt)
                     except Exception:
                         # unknown/unencodable fmt: flag, never fail the task
                         psnr = 0.0
                 else:
                     psnr = float("inf")
-                psnr_ok = True if lossless else psnr >= 40.0
-                phash_ok = codec.average_phash(px) == r.phash
-                i = int(r.image_id[3:])
-                from pythongis_spark.fixtures import WORDS
-
-                caption_ok = r.caption == f"caption {i} {WORDS[i % 256]}"
-                rows.append(
-                    dict(
-                        image_id=r.image_id,
-                        fmt=r.fmt,
-                        ok_shape=ok_shape,
-                        psnr=float(psnr),
-                        psnr_ok=psnr_ok,
-                        phash_ok=phash_ok,
-                        caption_ok=caption_ok,
-                    )
-                )
-            yield pd.DataFrame(rows)
+                c_psnr[j] = psnr
+                c_psnr_ok[j] = True if lossless else psnr >= 40.0
+                c_phash_ok[j] = codec.average_phash(px) == phash
+                i = int(image_id[3:])
+                c_caption_ok[j] = caption == f"caption {i} {WORDS[i % 256]}"
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "fmt": pdf["fmt"].to_numpy(),
+                    "ok_shape": c_ok_shape,
+                    "psnr": c_psnr,
+                    "psnr_ok": c_psnr_ok,
+                    "phash_ok": c_phash_ok,
+                    "caption_ok": c_caption_ok,
+                }
+            )
 
     return df.mapInPandas(run, schema=VERIFY_SCHEMA)
 

@@ -280,7 +280,18 @@ def _knn_tiny_arrow(pts: DataFrame, tgt: DataFrame, k: int,
     so values hash identically under the driver's oracle gate. Ties
     break by (dist, target id): targets are pre-sorted by id, and the
     stable argsort preserves that order among equal distances —
-    the same (dist, _tid) order the window path uses."""
+    the same (dist, _tid) order the window path uses. (Ranking must use
+    the POST-sqrt value: two distinct d² can round to one sqrt, and such
+    pairs are ties that break by _tid — an argsort on d² would order
+    them by d² instead.)
+
+    r6 perf (guide §4.2, §2.2): build the exploded output from
+    numpy ``np.repeat`` columns instead of a pandas ``.loc`` row
+    replication (~3× less per-batch overhead); and when the probe scan
+    has fewer partitions than the cluster's parallelism (single-row-
+    group local parquet), hash-repartition it so the Python stage runs
+    on every core — scale-adaptive: a real many-row-group table skips
+    the exchange entirely."""
     from pyspark.sql import types as T
 
     rows = sorted(tgt.collect(), key=lambda r: r["_tid"])
@@ -297,9 +308,16 @@ def _knn_tiny_arrow(pts: DataFrame, tgt: DataFrame, k: int,
         ]
     )
 
+    spark = pts.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if pts.rdd.getNumPartitions() < par:
+        pts = pts.repartition(par, F.col(point_id))
+
     def gen(batches):
+        ranks = np.arange(1, kk + 1, dtype=np.int32)
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
             px = pdf[lon].to_numpy(np.float64)
             py = pdf[lat].to_numpy(np.float64)
@@ -307,11 +325,11 @@ def _knn_tiny_arrow(pts: DataFrame, tgt: DataFrame, k: int,
             dy = py[:, None] - ty[None, :]
             d = np.sqrt(dx * dx + dy * dy)
             idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
-            out = pdf.loc[pdf.index.repeat(kk)].reset_index(drop=True)
-            out["_tid"] = tids[idx].ravel()
-            out["dist"] = np.take_along_axis(d, idx, axis=1).ravel()
-            out["knn_rank"] = np.tile(np.arange(1, kk + 1, dtype=np.int32), len(pdf))
-            yield out
+            cols = {c: np.repeat(pdf[c].to_numpy(), kk) for c in pdf.columns}
+            cols["_tid"] = tids[idx].ravel()
+            cols["dist"] = np.take_along_axis(d, idx, axis=1).ravel()
+            cols["knn_rank"] = np.tile(ranks, n)
+            yield pd.DataFrame(cols)
 
     return pts.mapInPandas(gen, out_schema)
 

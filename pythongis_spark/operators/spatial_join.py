@@ -263,6 +263,15 @@ def _cached_build(key: tuple, make, src: DataFrame = None):
                 return df
     df = make().persist()
     with _BUILD_LOCK:
+        displaced = _BUILD_CACHE.get(key)
+        if displaced is not None:
+            # a sameSemantics-rejected hit is being replaced at the same
+            # key: unpersist the evicted frame or its executor storage
+            # leaks until session end (ADVICE r5)
+            try:
+                displaced[1].unpersist(blocking=False)
+            except Exception:
+                pass
         _BUILD_CACHE[key] = (src, df)
         while len(_BUILD_CACHE) > _BUILD_CACHE_MAX:
             _, (_, old) = _BUILD_CACHE.popitem(last=False)
@@ -276,7 +285,10 @@ def _cached_build(key: tuple, make, src: DataFrame = None):
 def clear_plan_stats() -> None:
     _PLAN_STATS.clear()
     with _BUILD_LOCK:
-        for df in _BUILD_CACHE.values():
+        for _, df in _BUILD_CACHE.values():
+            # entries are (src, df) tuples — unpersist the FRAME (the old
+            # loop called .unpersist on the tuple, which raised into the
+            # except and silently leaked every cached build side)
             try:
                 df.unpersist(blocking=False)
             except Exception:

@@ -440,6 +440,15 @@ def zonal_statistics(
             else:
                 src = zcells
                 zcells = zcells.persist()
+                displaced = _ZCELLS_CACHE.get(key)
+                if displaced is not None:
+                    # sameSemantics-rejected hit replaced at the same
+                    # key: unpersist the evicted frame or its storage
+                    # leaks until session end (ADVICE r5)
+                    try:
+                        displaced[1].unpersist(blocking=False)
+                    except Exception:
+                        pass
                 _ZCELLS_CACHE[key] = (src, zcells)
                 while len(_ZCELLS_CACHE) > _ZCELLS_CACHE_MAX:
                     _, (_, old) = _ZCELLS_CACHE.popitem(last=False)
