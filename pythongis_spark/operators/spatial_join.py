@@ -296,6 +296,31 @@ def clear_plan_stats() -> None:
         _BUILD_CACHE.clear()
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Optimizer size estimate of a frame (driver-side, no job). Unknown
+    → +inf-ish so the caller treats it as big (the safe direction at
+    scale: a wrongly-skipped repartition costs a single-task stage, a
+    wrongly-added one costs a bounded exchange)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
+def _repart_min_bytes(spark) -> int:
+    """Floor below which the parallelism-guard repartition is skipped.
+    Parameterised (conf `pythongis.repartition.minBytes`) with a 64 MiB
+    default: below it the whole stage is sub-second on one core and the
+    exchange's fixed cost dominates (A/B-measured both ways at sf0.1 and
+    sf1.0); on a cluster any scan this small is a single split
+    regardless, while a >64 MiB single-split scan is exactly the
+    pathology the guard exists for."""
+    try:
+        return int(spark.conf.get("pythongis.repartition.minBytes", str(64 << 20)))
+    except Exception:
+        return 64 << 20
+
+
 def _prefix(df: DataFrame, prefix: str, exclude=()) -> DataFrame:
     for c in df.columns:
         if c not in exclude:
@@ -428,6 +453,28 @@ def point_in_polygon_join(
         )
     if build_count <= broadcast_rows:
         build = _cached_build(("build", _sem_key(polys_n), z), _make_build, polys_n)
+        # r6 scale-adaptive parallelism guard (guide §2.2): a broadcast
+        # join keeps the probe's own partitioning, so a probe scanned
+        # from fewer splits than the cluster has cores (single-row-group
+        # parquet) runs the join + downstream partial aggs on those few
+        # tasks. Hash-repartition by the point id only when BOTH
+        # (a) scan partitions < parallelism and (b) the optimizer's size
+        # estimate clears a floor. A/B measurements drove the floor UP:
+        # with a materializing sink the repartition wins big (6.0→2.3 s
+        # at sf1.0, noop), but with count-style sinks Catalyst prunes
+        # the payload and the exchange is a net LOSS at ≤15 MB (1.10→
+        # 1.64 s measured) — so the default floor (64 MiB) only fires
+        # for genuinely large single-split scans, where the single-task
+        # penalty dominates any sink. On a real many-row-group table
+        # (a) is false and this is a no-op; the salted/shuffle branch
+        # below already gets parallelism from its own exchange. Row set
+        # unchanged.
+        par = points.sparkSession.sparkContext.defaultParallelism
+        if (
+            _plan_size_bytes(probe) >= _repart_min_bytes(points.sparkSession)
+            and probe.rdd.getNumPartitions() < par
+        ):
+            probe = probe.repartition(par, F.col(pid))
         cand = probe.join(F.broadcast(build), "cell", "inner")
     else:
         probe_s, build_s, keys = _salt_plan(

@@ -153,7 +153,10 @@ def _cover_cells_udf(rd: RasterDef):
                 if win is not None:
                     keep &= (cx >= win[0]) & (cx <= win[1])
                     keep &= (cy >= win[2]) & (cy <= win[3])
-                out.append([{"x": int(a), "y": int(b)} for a, b in zip(cx[keep], cy[keep])])
+                out.append(
+                    [{"x": a, "y": b}
+                     for a, b in zip(cx[keep].tolist(), cy[keep].tolist())]
+                )
                 continue
             bb = _grid_bbox(g, rd)
             if bb is None:
@@ -177,10 +180,15 @@ def _cover_cells_udf(rd: RasterDef):
                 d = G.points_to_geom_dist(mx.ravel(), my.ravel(), g)
                 inside = d <= 0.5 * abs(rd.xscale)
             cxs, cys = np.meshgrid(xs, ys, indexing="ij")
+            # .tolist() yields python ints in bulk — ~4× faster than a
+            # per-element int() cast for big cover sets (r6, guide §4.2)
             out.append(
                 [
-                    {"x": int(a), "y": int(b)}
-                    for a, b in zip(cxs.ravel()[inside], cys.ravel()[inside])
+                    {"x": a, "y": b}
+                    for a, b in zip(
+                        cxs.ravel()[inside].tolist(),
+                        cys.ravel()[inside].tolist(),
+                    )
                 ]
             )
         return pd.Series(out, index=geom.index)
@@ -421,6 +429,7 @@ def zonal_statistics(
             key = zcells.semanticHash()
         except Exception:
             key = id(zcells)
+        n_cells = None
         with _ZCELLS_LOCK:
             cached = _ZCELLS_CACHE.get(key)
             # semanticHash is 32-bit: confirm the hit with sameSemantics
@@ -433,10 +442,14 @@ def zonal_statistics(
                     same = zcells.sameSemantics(cached[0])
                 except Exception:
                     same = False
-                cached = cached[1] if same else None
+                cached = cached if same else None
             if cached is not None:
                 _ZCELLS_CACHE.move_to_end(key)
-                zcells = cached
+                # r6: the sizing count is memoized with the entry — a
+                # cache hit previously still scheduled a count job per
+                # call (fast on the persisted frame, but one whole job
+                # of fixed latency per zonal_statistics invocation)
+                zcells, n_cells = cached[1], cached[2]
             else:
                 src = zcells
                 zcells = zcells.persist()
@@ -449,14 +462,19 @@ def zonal_statistics(
                         displaced[1].unpersist(blocking=False)
                     except Exception:
                         pass
-                _ZCELLS_CACHE[key] = (src, zcells)
+                _ZCELLS_CACHE[key] = (src, zcells, None)
                 while len(_ZCELLS_CACHE) > _ZCELLS_CACHE_MAX:
-                    _, (_, old) = _ZCELLS_CACHE.popitem(last=False)
+                    _, (_, old, _) = _ZCELLS_CACHE.popitem(last=False)
                     try:
                         old.unpersist(blocking=False)
                     except Exception:
                         pass
-        n_cells = zcells.count()
+        if n_cells is None:
+            n_cells = zcells.count()
+            with _ZCELLS_LOCK:
+                e = _ZCELLS_CACHE.get(key)
+                if e is not None and e[1] is zcells:
+                    _ZCELLS_CACHE[key] = (e[0], e[1], n_cells)
     build = F.broadcast(zcells) if n_cells <= broadcast_cells else zcells
     joined = raster_cells.join(build, ["x", "y"], "inner")
     return band_stats(
