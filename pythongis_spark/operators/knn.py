@@ -310,7 +310,7 @@ def _knn_tiny_arrow(pts: DataFrame, tgt: DataFrame, k: int,
 
     spark = pts.sparkSession
     par = spark.sparkContext.defaultParallelism
-    if pts.rdd.getNumPartitions() < par:
+    if not pts.isStreaming and pts.rdd.getNumPartitions() < par:
         pts = pts.repartition(par, F.col(point_id))
 
     def gen(batches):

@@ -471,7 +471,8 @@ def point_in_polygon_join(
         # unchanged.
         par = points.sparkSession.sparkContext.defaultParallelism
         if (
-            _plan_size_bytes(probe) >= _repart_min_bytes(points.sparkSession)
+            not probe.isStreaming  # .rdd is illegal on streaming frames
+            and _plan_size_bytes(probe) >= _repart_min_bytes(points.sparkSession)
             and probe.rdd.getNumPartitions() < par
         ):
             probe = probe.repartition(par, F.col(pid))

@@ -183,3 +183,17 @@ def test_knn_haversine_antimeridian_wrap(spark):
     )
     rows = got.collect()
     assert len(rows) == 1 and rows[0]["t_id"] == 0
+
+
+def test_knn_tiny_path_repartitions_single_partition_probe(spark, small):
+    """r6 parallelism guard: a probe scanned into fewer partitions than
+    defaultParallelism is hash-repartitioned before the tiny-target
+    Arrow stage (single-row-group parquet would otherwise run the whole
+    Python stage on one core), and the result set is unchanged."""
+    spts, stgt, pts, tgt = small
+    one = spts.coalesce(1)
+    got = knn_join(one, stgt, 3, point_id="p_id", target_id="t_id")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    if spark.sparkContext.defaultParallelism > 1:
+        assert "Exchange" in plan
+    assert _collect_knn(got) == brute_knn(pts, tgt, 3)
