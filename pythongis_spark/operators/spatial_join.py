@@ -308,17 +308,18 @@ def _plan_size_bytes(df: DataFrame) -> int:
 
 
 def _repart_min_bytes(spark) -> int:
-    """Floor below which the parallelism-guard repartition is skipped.
-    Parameterised (conf `pythongis.repartition.minBytes`) with a 64 MiB
-    default: below it the whole stage is sub-second on one core and the
-    exchange's fixed cost dominates (A/B-measured both ways at sf0.1 and
-    sf1.0); on a cluster any scan this small is a single split
-    regardless, while a >64 MiB single-split scan is exactly the
-    pathology the guard exists for."""
+    """Byte floor enabling the parallelism-guard repartition, conf
+    `pythongis.repartition.minBytes`. Default −1 = guard fully OFF
+    (not even plan introspection, which itself costs 150-300 ms of
+    driver time per call on the probe plans — measured). Deployments
+    whose inputs can produce large single-split scans set a floor
+    (e.g. 64 MiB): scans estimated above it with fewer partitions than
+    defaultParallelism get hash-repartitioned before the broadcast
+    join."""
     try:
-        return int(spark.conf.get("pythongis.repartition.minBytes", str(64 << 20)))
+        return int(spark.conf.get("pythongis.repartition.minBytes", "-1"))
     except Exception:
-        return 64 << 20
+        return -1
 
 
 def _prefix(df: DataFrame, prefix: str, exclude=()) -> DataFrame:
@@ -457,23 +458,28 @@ def point_in_polygon_join(
         # join keeps the probe's own partitioning, so a probe scanned
         # from fewer splits than the cluster has cores (single-row-group
         # parquet) runs the join + downstream partial aggs on those few
-        # tasks. Hash-repartition by the point id only when BOTH
-        # (a) scan partitions < parallelism and (b) the optimizer's size
-        # estimate clears a floor. A/B measurements drove the floor UP:
+        # tasks. Opt-in via conf `pythongis.repartition.minBytes` ≥ 0:
+        # hash-repartition the probe when (a) its scan has fewer
+        # partitions than defaultParallelism and (b) the optimizer size
+        # estimate clears the floor. A/B measurements shaped this twice:
         # with a materializing sink the repartition wins big (6.0→2.3 s
-        # at sf1.0, noop), but with count-style sinks Catalyst prunes
-        # the payload and the exchange is a net LOSS at ≤15 MB (1.10→
-        # 1.64 s measured) — so the default floor (64 MiB) only fires
-        # for genuinely large single-split scans, where the single-task
-        # penalty dominates any sink. On a real many-row-group table
-        # (a) is false and this is a no-op; the salted/shuffle branch
-        # below already gets parallelism from its own exchange. Row set
-        # unchanged.
-        par = points.sparkSession.sparkContext.defaultParallelism
+        # at sf1.0, noop sink), but with count-style sinks the exchange
+        # is a net LOSS at ≤15 MB scans (1.10→1.64 s) — AND the guard's
+        # own plan introspection (optimizedPlan stats / .rdd) costs
+        # 150-300 ms of driver time per call on this host, so the
+        # DEFAULT is fully off (no introspection at all) and deployments
+        # with pathological big single-split scans opt in with a byte
+        # floor. The checks run against the cheap pre-cell `points`
+        # frame (same partitioning as the probe; the quadkey cell
+        # expression makes the probe's own tree ~2× dearer to analyze).
+        spark_s = points.sparkSession
+        min_bytes = _repart_min_bytes(spark_s)
+        par = spark_s.sparkContext.defaultParallelism
         if (
-            not probe.isStreaming  # .rdd is illegal on streaming frames
-            and _plan_size_bytes(probe) >= _repart_min_bytes(points.sparkSession)
-            and probe.rdd.getNumPartitions() < par
+            min_bytes >= 0
+            and not probe.isStreaming  # .rdd is illegal on streaming frames
+            and _plan_size_bytes(points) >= min_bytes
+            and points.rdd.getNumPartitions() < par
         ):
             probe = probe.repartition(par, F.col(pid))
         cand = probe.join(F.broadcast(build), "cell", "inner")
