@@ -121,7 +121,7 @@ def _q_knn_zone_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = _zone_centers(spark)
     got = knn_join(
         pts, centers, 3, point_id="event_id", target_id="zone_id",
-        t_lon="cx", t_lat="cy",
+        t_lon="cx", t_lat="cy", point_cols=["event_id"],
     )
     return got.select("event_id", "zone_id", "knn_rank", "dist")
 

@@ -172,6 +172,7 @@ def knn_join(
     broadcast_targets_rows: int = 100_000,
     max_fallback_rounds: int = 3,
     target_rows: int | None = None,
+    point_cols: list[str] | None = None,
 ) -> DataFrame:
     """k nearest targets per point → columns of ``points`` + ``target_id``
     + ``dist`` + ``knn_rank`` (1-based).
@@ -179,6 +180,13 @@ def knn_join(
     Exact (guard + fallback), deterministic (ties by (dist, target_id)).
     Reference analog: ``spatial_join(condition='distance', n=k)``
     (``pythongis/vector/manager.py:293-296,345-355``); divergence: ties.
+
+    ``point_cols`` (r6, guide §4.1): restrict the point-side columns in
+    the RESULT to this list (coordinates are still used internally).
+    Catalyst prunes the JVM paths on its own, but the tiny-target Arrow
+    stage is opaque — without the hint every point column is serialized
+    back from Python k times per point. Result rows are identical to
+    selecting the same columns afterwards.
     """
     # planning statistic: an explicit hint avoids a count job per call
     # (dimension tables, repeated joins — reference keeps the r-tree
@@ -191,6 +199,11 @@ def knn_join(
     )
     pts = points.filter(F.col(lon).isNotNull() & F.col(lat).isNotNull())
 
+    def _restrict(out: DataFrame) -> DataFrame:
+        if point_cols is None:
+            return out
+        return out.select(*point_cols, target_id, "dist", "knn_rank")
+
     # tiny-table shortcut on an ABSOLUTE bound only: cross-join work is
     # O(points × targets), so tying this to broadcast_targets_rows (a
     # broadcast-SIZE knob) silently turned a raised broadcast budget into
@@ -200,14 +213,18 @@ def knn_join(
             # tiny PLANAR target table: vectorized Arrow top-k — no
             # crossJoin materialization and no per-point window shuffle
             # (the crossJoin plan shuffled |points|×|targets| rows)
-            return _knn_tiny_arrow(pts, tgt, k, point_id, lon, lat).withColumnRenamed(
-                "_tid", target_id
+            return _restrict(
+                _knn_tiny_arrow(
+                    pts, tgt, k, point_id, lon, lat, out_cols=point_cols
+                ).withColumnRenamed("_tid", target_id)
             )
         # tiny target table, trig metrics: exact broadcast cross join
         # (JVM trig keeps bit-parity with the SQL oracles; numpy libm
         # sin/cos can differ in the last ulp)
-        return _knn_bruteforce(pts, tgt, k, point_id, lon, lat, metric, n_targets).withColumnRenamed(
-            "_tid", target_id
+        return _restrict(
+            _knn_bruteforce(
+                pts, tgt, k, point_id, lon, lat, metric, n_targets
+            ).withColumnRenamed("_tid", target_id)
         )
 
     if z is None:
@@ -265,11 +282,12 @@ def knn_join(
             allow_broadcast=n_targets <= broadcast_targets_rows,
         )
         result = bf if result is None else result.unionByName(bf)
-    return result.withColumnRenamed("_tid", target_id)
+    return _restrict(result.withColumnRenamed("_tid", target_id))
 
 
 def _knn_tiny_arrow(pts: DataFrame, tgt: DataFrame, k: int,
-                    point_id: str, lon: str, lat: str) -> DataFrame:
+                    point_id: str, lon: str, lat: str,
+                    out_cols: list[str] | None = None) -> DataFrame:
     """Exact planar kNN against a tiny target set as ONE mapInPandas
     pass: per Arrow batch, a (B × T) numpy distance matrix and a stable
     argsort emit exactly k rows per point — no join, no exchange.
@@ -299,8 +317,12 @@ def _knn_tiny_arrow(pts: DataFrame, tgt: DataFrame, k: int,
     tx = np.array([r["_tlon"] for r in rows], dtype=np.float64)
     ty = np.array([r["_tlat"] for r in rows], dtype=np.float64)
     kk = min(k, len(tids))
+    # out_cols: only the listed point columns are serialized back from
+    # Python (k copies per point) — the stage is opaque to Catalyst's
+    # column pruning, so the caller's hint is the only way to shed them
+    keep = list(pts.columns) if out_cols is None else list(out_cols)
     out_schema = T.StructType(
-        list(pts.schema.fields)
+        [pts.schema[c] for c in keep]
         + [
             T.StructField("_tid", tgt.schema["_tid"].dataType),
             T.StructField("dist", T.DoubleType()),
@@ -331,7 +353,7 @@ def _knn_tiny_arrow(pts: DataFrame, tgt: DataFrame, k: int,
             np.add(dx, dy, out=dx)
             d = np.sqrt(dx, out=dx)
             idx = np.argsort(d, axis=1, kind="stable")[:, :kk]
-            cols = {c: np.repeat(pdf[c].to_numpy(), kk) for c in pdf.columns}
+            cols = {c: np.repeat(pdf[c].to_numpy(), kk) for c in keep}
             cols["_tid"] = tids[idx].ravel()
             cols["dist"] = np.take_along_axis(d, idx, axis=1).ravel()
             cols["knn_rank"] = np.tile(ranks, n)

@@ -197,3 +197,18 @@ def test_knn_tiny_path_repartitions_single_partition_probe(spark, small):
     if spark.sparkContext.defaultParallelism > 1:
         assert "Exchange" in plan
     assert _collect_knn(got) == brute_knn(pts, tgt, 3)
+
+
+def test_knn_point_cols_restriction_identical(spark, small):
+    """r6: point_cols restricts the point-side columns serialized out of
+    the opaque Arrow stage; rows must equal selecting afterwards."""
+    spts, stgt, pts, tgt = small
+    full = knn_join(spts, stgt, 3, point_id="p_id", target_id="t_id")
+    narrow = knn_join(
+        spts, stgt, 3, point_id="p_id", target_id="t_id",
+        point_cols=["p_id"],
+    )
+    assert narrow.columns == ["p_id", "t_id", "dist", "knn_rank"]
+    a = sorted(map(tuple, full.select("p_id", "t_id", "dist", "knn_rank").collect()))
+    b = sorted(map(tuple, narrow.collect()))
+    assert a == b
